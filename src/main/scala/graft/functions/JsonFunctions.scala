@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types._
+
+/** Name-compatibility layer for the JSON scalar functions the reference
+  * engine registers into its SQL dialect (/root/reference/src/engine.rs:51,
+  * Cargo.toml:28 — `datafusion-functions-json`): `json_get_str`,
+  * `json_get_int`, `json_get_float`, `json_get_bool`, `json_get_json`,
+  * `json_as_text`, `json_contains`, `json_length`.
+  *
+  * Built as expression builders over Spark's native, codegen'd
+  * [[GetJsonObject]] (+ `Cast`), not UDFs — the whole call stays inside
+  * whole-stage codegen (SURVEY.md §4.3).
+  *
+  * Semantics matched to the reference's exercised behavior:
+  * `json_get_int('{"foo": 123}', 'foo') → 123L`
+  * (/root/reference/tests/tests/test_transform.rs:724-756). Paths support
+  * multiple keys — string keys become `.key` segments, integer keys become
+  * `[idx]` array segments, and non-literal key expressions are composed with
+  * `concat` so dynamic paths still work.
+  */
+object JsonFunctions {
+
+  private def jsonPath(keys: Seq[Expression]): Expression = {
+    val segments = keys.map { k =>
+      k.dataType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          Concat(Seq(Literal("["), Cast(k, StringType), Literal("]")))
+        case _ =>
+          Concat(Seq(Literal("."), Cast(k, StringType)))
+      }
+    }
+    Concat(Literal("$") +: segments)
+  }
+
+  private def get(args: Seq[Expression]): Expression =
+    GetJsonObject(args.head, jsonPath(args.tail))
+
+  private def builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "json_get" -> (args => get(args)),
+    "json_get_str" -> (args => get(args)),
+    "json_as_text" -> (args => get(args)),
+    "json_get_json" -> (args => get(args)),
+    "json_get_int" -> (args => Cast(get(args), LongType)),
+    "json_get_float" -> (args => Cast(get(args), DoubleType)),
+    "json_get_bool" -> (args => Cast(get(args), BooleanType)),
+    "json_contains" -> (args => IsNotNull(get(args))),
+    "json_length" -> { args =>
+      val g = get(args)
+      Coalesce(Seq(
+        Cast(LengthOfJsonArray(g), LongType),
+        Cast(Size(JsonObjectKeys(g)), LongType),
+      ))
+    },
+  )
+
+  /** Register all functions into the session's (temp) function registry. */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    builders.foreach { case (name, b) =>
+      registry.createOrReplaceTempFunction(name, b, "built-in")
+    }
+  }
+}

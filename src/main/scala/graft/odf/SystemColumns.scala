@@ -1,0 +1,98 @@
+package graft.odf
+
+import java.time.Instant
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** A10-A13: system-column injection (/root/reference/src/engine.rs:478-562).
+  *
+  *   - A10 offset assignment: dense, order-preserving numbering starting at
+  *     `startOffset`, cast Int64 (Int64 not UInt64 — Spark parquet compat,
+  *     engine.rs:514-516);
+  *   - A11 default op injection: literal `Append (0)` as Int32 when the query
+  *     didn't propagate an op column (engine.rs:521-533);
+  *   - A12 system-time stamping: one constant ms-UTC timestamp for the whole
+  *     batch (engine.rs:536-545) — a Catalyst literal, constant-folded;
+  *   - A13 column reordering: `offset, op, system_time, event_time, data...`
+  *     (engine.rs:485-493, :548-557).
+  *
+  * Scale note (SURVEY.md §7.4): the reference gets a deterministic row order
+  * for free from `target_partitions = 1`. We instead keep the upstream plan
+  * fully parallel and serialize only this final numbering stage:
+  *
+  *   - `windowed` (default, parity path): `coalesce(1)` — which concatenates
+  *     upstream partitions in index order without a shuffle — then
+  *     `row_number()` over a single-partition window ordered by
+  *     `monotonically_increasing_id()` (deterministic: id encodes the
+  *     pre-coalesce partition/row order). Because the child is already one
+  *     partition, no exchange is inserted.
+  *   - `zipWithIndex` (scale path): RDD `zipWithIndex` — one extra count job,
+  *     but offsets are computed per-partition in parallel and the data never
+  *     collapses to one partition until the single-file sink (which is the
+  *     ODF contract's real serial point anyway). Preferable when a transform
+  *     produces tens of millions of rows.
+  */
+object SystemColumns {
+
+  sealed trait OffsetStrategy
+  case object WindowedOffsets extends OffsetStrategy
+  case object ZipWithIndexOffsets extends OffsetStrategy
+
+  def withSystemColumns(
+      df: DataFrame,
+      vocab: DatasetVocabulary,
+      systemTime: Instant,
+      startOffset: Long,
+      strategy: OffsetStrategy = WindowedOffsets,
+  ): DataFrame = {
+    import Normalize.quoted
+
+    // Data columns captured before injection; event_time and op are hoisted
+    // into the fixed prefix (engine.rs:485-493).
+    val dataColumns = df.schema.fieldNames.toSeq
+      .filterNot(n => n == vocab.eventTimeColumn || n == vocab.operationTypeColumn)
+
+    val withOffset = strategy match {
+      case WindowedOffsets =>
+        val w = Window.partitionBy(lit(1)).orderBy(monotonically_increasing_id())
+        df.coalesce(1).withColumn(
+          vocab.offsetColumn,
+          row_number().over(w).cast(LongType) + lit(startOffset - 1L))
+      case ZipWithIndexOffsets =>
+        zipWithIndexOffsets(df, vocab.offsetColumn, startOffset)
+    }
+
+    val withOp =
+      if (withOffset.schema.fieldNames.contains(vocab.operationTypeColumn)) withOffset
+      else withOffset.withColumn(vocab.operationTypeColumn, lit(OperationType.Append))
+
+    val withSystemTime = withOp.withColumn(
+      vocab.systemTimeColumn,
+      lit(java.sql.Timestamp.from(systemTime)))
+
+    val ordered = Seq(
+      vocab.offsetColumn,
+      vocab.operationTypeColumn,
+      vocab.systemTimeColumn,
+      vocab.eventTimeColumn,
+    ) ++ dataColumns
+
+    withSystemTime.select(ordered.map(n => col(quoted(n))): _*)
+  }
+
+  /** Distributed, order-stable offset assignment: `zipWithIndex` numbers rows
+    * by (partition index, position within partition) without collapsing
+    * parallelism. */
+  private def zipWithIndexOffsets(df: DataFrame, offsetColumn: String, startOffset: Long): DataFrame = {
+    val spark = df.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(
+      df.schema.fields :+ org.apache.spark.sql.types.StructField(offsetColumn, LongType, nullable = false))
+    val rdd = df.rdd.zipWithIndex().map { case (row, idx) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (idx + startOffset))
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+}

@@ -1,0 +1,389 @@
+package graft.odf
+
+import java.nio.file.{Files, Path}
+import java.sql.Timestamp
+import java.time.Instant
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Port of the reference's behavioral spec
+  * (/root/reference/tests/tests/test_transform.rs) — golden-output tests
+  * through the public Engine API, one test per scenario. */
+class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-odf-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  lazy val engine = new Engine(spark)
+
+  override def afterAll(): Unit = spark.stop()
+
+  // --- harness (mirrors test_query_common, test_transform.rs:182-308) ---
+
+  val T0: Instant = Instant.parse("2023-01-01T00:00:00Z")
+  val SystemTime: Instant = Instant.parse("2023-03-01T00:00:00Z")
+  def ts(s: String): Timestamp = Timestamp.from(Instant.parse(s))
+
+  /** The canonical "cities" ledger fixture (test_transform.rs:51-125,
+    * FIXTURES.md §1). */
+  def writeSampleData(path: Path): Unit = {
+    val schema = StructType(Seq(
+      StructField("offset", LongType, nullable = false),
+      StructField("op", IntegerType, nullable = false),
+      StructField("system_time", TimestampType, nullable = false),
+      StructField("event_time", TimestampType, nullable = false),
+      StructField("city", StringType, nullable = false),
+      StructField("population", LongType, nullable = false),
+    ))
+    val st = ts("2023-02-01T00:00:00Z")
+    val et = ts("2023-01-01T00:00:00Z")
+    val rows = Seq(
+      Row(0L, 0, st, et, "vancouver", 675000L),
+      Row(1L, 0, st, et, "seattle", 733000L),
+      Row(2L, 0, st, et, "kyiv", 2884000L),
+    )
+    writeOneFile(schema, rows, path)
+  }
+
+  def writeOneFile(schema: StructType, rows: Seq[Row], path: Path): Unit = {
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+    ParquetSink.writeSingleFile(df, path.toString)
+    ()
+  }
+
+  def tempDir(): Path = Files.createTempDirectory("graft-odf-spec")
+
+  def mkRequest(
+      dir: Path,
+      queries: Seq[SqlQueryStep],
+      nextOffset: Long = 0L,
+      dataExists: Boolean = true,
+      offsetInterval: Option[OffsetInterval] = Some(OffsetInterval(0, 2)),
+      watermarks: Seq[Watermark] = Nil,
+  ): TransformRequest = {
+    val dataPath = dir.resolve("input.parquet")
+    if (!Files.exists(dataPath)) writeSampleData(dataPath)
+    TransformRequest(
+      datasetId = "did:odf:test",
+      datasetAlias = "test",
+      systemTime = SystemTime,
+      vocab = DatasetVocabulary(),
+      queries = queries,
+      queryInputs = Seq(TransformRequestInput(
+        datasetId = "did:odf:foo",
+        datasetAlias = "foo",
+        queryAlias = "foo",
+        vocab = DatasetVocabulary(),
+        offsetInterval = if (dataExists) offsetInterval else None,
+        dataPaths = if (dataExists) Seq(dataPath.toString) else Nil,
+        schemaFile = dataPath.toString,
+        explicitWatermarks = watermarks,
+      )),
+      nextOffset = nextOffset,
+      newDataPath = dir.resolve("output.parquet").toString,
+    )
+  }
+
+  def readOutput(dir: Path): Array[Row] =
+    spark.read.parquet(dir.resolve("output.parquet").toString)
+      .orderBy("offset").collect()
+
+  val DefaultQuery =
+    "select event_time, city, population + 100 as population from foo"
+
+  // --- scenarios ---
+
+  test("minimum end-to-end slice: default query golden output (test_transform.rs:184-198)") {
+    val dir = tempDir()
+    val res = engine.executeTransform(mkRequest(dir, Seq(SqlQueryStep.output(DefaultQuery))))
+    assert(res == Right(TransformResponseSuccess(Some(OffsetInterval(0, 2)), None)))
+    val rows = readOutput(dir)
+    val st = ts("2023-03-01T00:00:00Z")
+    val et = ts("2023-01-01T00:00:00Z")
+    assert(rows.toSeq == Seq(
+      Row(0L, 0, st, et, "vancouver", 675100L),
+      Row(1L, 0, st, et, "seattle", 733100L),
+      Row(2L, 0, st, et, "kyiv", 2884100L),
+    ))
+  }
+
+  test("result schema: REQUIRED fields, TIMESTAMP(MILLIS,true), column order (test_transform.rs:312-330)") {
+    val dir = tempDir()
+    engine.executeTransform(mkRequest(dir, Seq(SqlQueryStep.output(DefaultQuery))))
+
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(dir.resolve("output.parquet").toUri),
+      new org.apache.hadoop.conf.Configuration()))
+    try {
+      val mt = reader.getFooter.getFileMetaData.getSchema
+      assert(mt.getFields.size == 6)
+      val names = (0 until mt.getFieldCount).map(mt.getFieldName)
+      assert(names == Seq("offset", "op", "system_time", "event_time", "city", "population"))
+      // system columns injected by the engine are non-null
+      for (n <- Seq("offset", "op", "system_time")) {
+        assert(mt.getType(mt.getFieldIndex(n)).getRepetition.name == "REQUIRED", s"column $n should be REQUIRED")
+      }
+      val sysT = mt.getType(mt.getFieldIndex("system_time")).asPrimitiveType.getLogicalTypeAnnotation.toString
+      assert(sysT.contains("MILLIS"), s"system_time logical type: $sysT")
+      val evT = mt.getType(mt.getFieldIndex("event_time")).asPrimitiveType.getLogicalTypeAnnotation.toString
+      assert(evT.contains("MILLIS"), s"event_time logical type: $evT")
+    } finally reader.close()
+  }
+
+  test("parquet encodings: snappy codec, dictionary on op/system_time (test_transform.rs:335-395)") {
+    val dir = tempDir()
+    engine.executeTransform(mkRequest(dir, Seq(SqlQueryStep.output(DefaultQuery))))
+
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(dir.resolve("output.parquet").toUri),
+      new org.apache.hadoop.conf.Configuration()))
+    try {
+      val cols = reader.getFooter.getBlocks.get(0).getColumns.asScala
+      for (c <- cols) {
+        assert(c.getCodec.name == "SNAPPY", s"${c.getPath} codec ${c.getCodec}")
+      }
+      for (name <- Seq("op", "system_time")) {
+        val c = cols.find(_.getPath.toDotString == name).get
+        val encs = c.getEncodings.asScala.map(_.name).toSet
+        assert(encs.exists(e => e.contains("DICTIONARY")), s"$name encodings: $encs")
+      }
+    } finally reader.close()
+  }
+
+  test("multi-step query chaining (test_transform.rs:400-427)") {
+    val dir = tempDir()
+    val res = engine.executeTransform(mkRequest(dir, Seq(
+      SqlQueryStep.named("a", "select event_time, city, population + 100 as population from foo"),
+      SqlQueryStep.named("b", "select event_time, city, population + 50 as population from a"),
+      SqlQueryStep.output("select event_time, city, population + 13 as population from b"),
+    )))
+    assert(res.isRight)
+    val rows = readOutput(dir)
+    assert(rows.map(_.getLong(5)).toSeq == Seq(675163L, 733163L, 2884163L))
+  }
+
+  test("watermark propagation: min of max (test_transform.rs:432-459)") {
+    val dir = tempDir()
+    val wm1 = Watermark(SystemTime, Instant.parse("2023-01-02T00:00:00Z"))
+    val wm2 = Watermark(SystemTime, Instant.parse("2023-01-03T00:00:00Z"))
+    val res = engine.executeTransform(
+      mkRequest(dir, Seq(SqlQueryStep.output(DefaultQuery)), watermarks = Seq(wm1, wm2)))
+    assert(res.map(_.newWatermark) == Right(Some(Instant.parse("2023-01-03T00:00:00Z"))))
+  }
+
+  test("empty result: no offset interval, empty file still written (test_transform.rs:464-483)") {
+    val dir = tempDir()
+    val res = engine.executeTransform(mkRequest(dir, Seq(SqlQueryStep.output(
+      "select event_time, city, population from foo where city = 'mumbai'"))))
+    assert(res == Right(TransformResponseSuccess(None, None)))
+    assert(readOutput(dir).isEmpty)
+  }
+
+  test("empty input: schema-file fallback yields typed empty table (test_transform.rs:488-508)") {
+    val dir = tempDir()
+    val res = engine.executeTransform(
+      mkRequest(dir, Seq(SqlQueryStep.output(DefaultQuery)), dataExists = false))
+    assert(res == Right(TransformResponseSuccess(None, None)))
+    assert(readOutput(dir).isEmpty)
+  }
+
+  test("partial input slice: offset-interval filter (test_transform.rs:513-540)") {
+    val dir = tempDir()
+    val res = engine.executeTransform(mkRequest(
+      dir, Seq(SqlQueryStep.output(DefaultQuery)), offsetInterval = Some(OffsetInterval(1, 2))))
+    assert(res == Right(TransformResponseSuccess(Some(OffsetInterval(0, 1)), None)))
+    val rows = readOutput(dir)
+    assert(rows.map(_.getString(4)).toSeq == Seq("seattle", "kyiv"))
+  }
+
+  test("non-zero base offset (test_transform.rs:545-574)") {
+    val dir = tempDir()
+    val res = engine.executeTransform(
+      mkRequest(dir, Seq(SqlQueryStep.output(DefaultQuery)), nextOffset = 10))
+    assert(res == Right(TransformResponseSuccess(Some(OffsetInterval(10, 12)), None)))
+    assert(readOutput(dir).map(_.getLong(0)).toSeq == Seq(10L, 11L, 12L))
+  }
+
+  test("invalid SQL → InvalidQuery (test_transform.rs:579-592)") {
+    val dir = tempDir()
+    val res = engine.executeTransform(mkRequest(dir, Seq(SqlQueryStep.output(
+      "select event_time, city, populllation from foo"))))
+    assert(res.isLeft)
+    assert(res.swap.toOption.get.isInstanceOf[InvalidQuery])
+  }
+
+  test("event-time as DATE is accepted (test_transform.rs:597-618)") {
+    val dir = tempDir()
+    val res = engine.executeTransform(mkRequest(dir, Seq(SqlQueryStep.output(
+      "select cast(event_time as date) as event_time, city, population from foo"))))
+    assert(res.isRight)
+    val df = spark.read.parquet(dir.resolve("output.parquet").toString)
+    assert(df.schema("event_time").dataType == DateType)
+  }
+
+  test("invalid event-time type → InvalidQuery (test_transform.rs:623-636)") {
+    val dir = tempDir()
+    val res = engine.executeTransform(mkRequest(dir, Seq(SqlQueryStep.output(
+      "select cast(event_time as string) as event_time, city, population from foo"))))
+    assert(res == Left(InvalidQuery(
+      "Event time column 'event_time' should be either Date or Timestamp, but found: string")))
+  }
+
+  test("missing event-time → InvalidQuery (engine.rs:459-473)") {
+    val dir = tempDir()
+    val res = engine.executeTransform(mkRequest(dir, Seq(SqlQueryStep.output(
+      "select city, population from foo"))))
+    assert(res == Left(InvalidQuery(
+      "Event time column event_time was not found amongst: city, population")))
+  }
+
+  test("offset/system_time collision → InvalidQuery (engine.rs:379-392)") {
+    val dir = tempDir()
+    val res = engine.executeTransform(mkRequest(dir, Seq(SqlQueryStep.output(
+      "select event_time, city, population, 1 as offset from foo"))))
+    assert(res.isLeft)
+    assert(res.swap.toOption.get.message.contains("conflicts with the system column"))
+  }
+
+  test("timestamp coercion: naive ns timestamps → ms UTC (test_transform.rs:641-682)") {
+    val dir = tempDir()
+    // Build an input whose event_time is TIMESTAMP_NTZ (naive)
+    val schema = StructType(Seq(
+      StructField("offset", LongType, nullable = false),
+      StructField("op", IntegerType, nullable = false),
+      StructField("system_time", TimestampType, nullable = false),
+      StructField("event_time", TimestampNTZType, nullable = false),
+      StructField("city", StringType, nullable = false),
+    ))
+    val rows = Seq(Row(0L, 0, ts("2023-02-01T00:00:00Z"),
+      java.time.LocalDateTime.parse("2023-01-01T00:00:00"), "vancouver"))
+    writeOneFile(schema, rows, dir.resolve("input.parquet"))
+    val res = engine.executeTransform(mkRequest(
+      dir, Seq(SqlQueryStep.output("select event_time, city from foo")),
+      offsetInterval = Some(OffsetInterval(0, 0))))
+    assert(res.isRight, res)
+    val df = spark.read.parquet(dir.resolve("output.parquet").toString)
+    assert(df.schema("event_time").dataType == TimestampType)
+    assert(df.collect()(0).getTimestamp(3) == ts("2023-01-01T00:00:00Z"))
+  }
+
+  test("identifier case sensitivity: alias `City` survives (test_transform.rs:687-719)") {
+    val dir = tempDir()
+    val res = engine.executeTransform(mkRequest(dir, Seq(SqlQueryStep.output(
+      "select event_time, city as City, population from foo"))))
+    assert(res.isRight)
+    val df = spark.read.parquet(dir.resolve("output.parquet").toString)
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("offset", "op", "system_time", "event_time", "City", "population"))
+  }
+
+  test("JSON extension: json_get_int (test_transform.rs:724-756)") {
+    val dir = tempDir()
+    val res = engine.executeTransform(mkRequest(dir, Seq(SqlQueryStep.output(
+      """select event_time, city, json_get_int('{"foo": 123}', 'foo') as j from foo"""))))
+    assert(res.isRight, res)
+    val rows = readOutput(dir)
+    assert(rows.map(_.getLong(5)).toSeq == Seq(123L, 123L, 123L))
+  }
+
+  test("retraction/correction: op pass-through (test_transform.rs:761-818)") {
+    val dir = tempDir()
+    val schema = StructType(Seq(
+      StructField("offset", LongType, nullable = false),
+      StructField("op", IntegerType, nullable = false),
+      StructField("system_time", TimestampType, nullable = false),
+      StructField("event_time", TimestampType, nullable = false),
+      StructField("city", StringType, nullable = false),
+      StructField("population", LongType, nullable = false),
+    ))
+    val st = ts("2023-02-01T00:00:00Z")
+    val et = ts("2023-01-01T00:00:00Z")
+    val rows = Seq(
+      Row(0L, OperationType.Append, st, et, "vancouver", 675000L),
+      Row(1L, OperationType.CorrectFrom, st, et, "vancouver", 675000L),
+      Row(2L, OperationType.CorrectTo, st, et, "vancouver", 676000L),
+      Row(3L, OperationType.Retract, st, et, "vancouver", 676000L),
+    )
+    writeOneFile(schema, rows, dir.resolve("input.parquet"))
+    val res = engine.executeTransform(mkRequest(
+      dir,
+      Seq(SqlQueryStep.output("select op, event_time, city, population + 100 as population from foo")),
+      offsetInterval = Some(OffsetInterval(0, 3))))
+    assert(res == Right(TransformResponseSuccess(Some(OffsetInterval(0, 3)), None)))
+    val out = readOutput(dir)
+    assert(out.map(_.getInt(1)).toSeq == Seq(0, 2, 3, 1))
+    assert(out.map(_.getLong(5)).toSeq == Seq(675100L, 675100L, 676100L, 676100L))
+  }
+
+  test("raw query path: no system columns, no validation (engine.rs:56-125)") {
+    val dir = tempDir()
+    writeSampleData(dir.resolve("raw-input.parquet"))
+    val res = engine.executeRawQuery(RawQueryRequest(
+      inputDataPaths = Seq(dir.resolve("raw-input.parquet").toString),
+      queries = Seq(SqlQueryStep.output("select city, population * 2 as population from input")),
+      outputDataPath = dir.resolve("raw-output.parquet").toString,
+    ))
+    assert(res == Right(RawQueryResponseSuccess(3)))
+    val df = spark.read.parquet(dir.resolve("raw-output.parquet").toString)
+    assert(df.schema.fieldNames.toSeq == Seq("city", "population"))
+    assert(df.orderBy("city").collect().map(_.getLong(1)).toSeq == Seq(5768000L, 1466000L, 1350000L))
+  }
+
+  test("multi-file input scan (A1)") {
+    val dir = tempDir()
+    writeSampleData(dir.resolve("part1.parquet"))
+    val schema = StructType(Seq(
+      StructField("offset", LongType, nullable = false),
+      StructField("op", IntegerType, nullable = false),
+      StructField("system_time", TimestampType, nullable = false),
+      StructField("event_time", TimestampType, nullable = false),
+      StructField("city", StringType, nullable = false),
+      StructField("population", LongType, nullable = false),
+    ))
+    writeOneFile(schema,
+      Seq(Row(3L, 0, ts("2023-02-02T00:00:00Z"), ts("2023-01-02T00:00:00Z"), "mumbai", 12500000L)),
+      dir.resolve("part2.parquet"))
+    val req = TransformRequest(
+      datasetId = "did:odf:test", datasetAlias = "test",
+      systemTime = SystemTime, vocab = DatasetVocabulary(),
+      queries = Seq(SqlQueryStep.output(DefaultQuery)),
+      queryInputs = Seq(TransformRequestInput(
+        "did:odf:foo", "foo", "foo", DatasetVocabulary(),
+        Some(OffsetInterval(0, 3)),
+        Seq(dir.resolve("part1.parquet").toString, dir.resolve("part2.parquet").toString),
+        dir.resolve("part1.parquet").toString, Nil)),
+      nextOffset = 0,
+      newDataPath = dir.resolve("output.parquet").toString)
+    val res = engine.executeTransform(req)
+    assert(res == Right(TransformResponseSuccess(Some(OffsetInterval(0, 3)), None)))
+    assert(readOutput(dir).length == 4)
+  }
+
+  test("watermark lattice unit behavior (A15)") {
+    def in(wms: Seq[Instant]) = TransformRequestInput(
+      "d", "d", "d", DatasetVocabulary(), None, Nil, "s",
+      wms.map(e => Watermark(SystemTime, e)))
+    val t1 = Instant.parse("2023-01-01T00:00:00Z")
+    val t2 = Instant.parse("2023-01-02T00:00:00Z")
+    val t3 = Instant.parse("2023-01-03T00:00:00Z")
+    assert(Watermarks.computeNewWatermark(Nil).isEmpty)
+    assert(Watermarks.computeNewWatermark(Seq(in(Nil))).isEmpty)
+    assert(Watermarks.computeNewWatermark(Seq(in(Seq(t1, t2)))) == Some(t2))
+    // min over inputs of max per input; inputs with no watermarks skipped
+    assert(Watermarks.computeNewWatermark(Seq(in(Seq(t1, t3)), in(Seq(t2)), in(Nil))) == Some(t2))
+  }
+}
