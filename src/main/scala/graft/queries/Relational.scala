@@ -1,0 +1,162 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Core relational surface: projection, filtering, dedup, sort/limit,
+  * set operations, conditionals and casts (SURVEY.md §2.B rows
+  * "Projection", "Filter", "Sort / limit", "Set operations", "casts").
+  *
+  * All pure narrow transformations except the set ops — no shuffles besides
+  * the final orderBy; filters and column pruning push down to the parquet
+  * scans.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.table(s, dir, n)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q_projection",
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+            upper(col("l_returnflag")).as("rf"))
+          // (l_orderkey, l_linenumber) is not unique in the synthetic data —
+          // order by every output column for a total, engine-independent order.
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("revenue"), col("rf"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+             |       l_extendedprice * (1.0 - l_discount) AS revenue,
+             |       upper(l_returnflag) AS rf
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber, revenue, rf""".stripMargin),
+    ),
+
+    QueryDef(
+      "q_filter",
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .filter(col("l_quantity").between(10, 20)
+            && col("l_returnflag").isin("A", "R")
+            && col("l_discount") > 0.05)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_discount"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_discount"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+             |FROM lineitem
+             |WHERE l_quantity BETWEEN 10 AND 20
+             |  AND l_returnflag IN ('A', 'R') AND l_discount > 0.05
+             |ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount""".stripMargin),
+    ),
+
+    QueryDef(
+      "q_filter_like",
+      (s, dir) => {
+        t(s, dir, "part")
+          .filter(col("p_name").like("%bolt%") || (col("p_name").like("red%") && col("p_type") === "ECONOMY"))
+          .select(col("p_partkey"), col("p_name"), col("p_type"))
+          .orderBy(col("p_partkey"))
+      },
+      Some("""SELECT p_partkey, p_name, p_type FROM part
+             |WHERE p_name LIKE '%bolt%' OR (p_name LIKE 'red%' AND p_type = 'ECONOMY')
+             |ORDER BY p_partkey""".stripMargin),
+    ),
+
+    QueryDef(
+      "q_distinct",
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_linestatus"))
+          .distinct()
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+    ),
+
+    QueryDef(
+      "q_sort_limit",
+      // Catalyst plans this as TakeOrderedAndProject (top-k, no full sort).
+      (s, dir) => {
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(100)
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin),
+    ),
+
+    QueryDef(
+      "q_case_cast",
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            when(col("l_quantity") < 10, "low")
+              .when(col("l_quantity") < 30, "mid")
+              .otherwise("high").as("bucket"),
+            col("l_quantity").cast("int").as("qty_int"),
+            col("l_orderkey").cast("string").as("okey_str"),
+            coalesce(nullif(col("l_returnflag"), lit("N")), lit("none")).as("rf_or_none"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("qty_int"), col("bucket"), col("rf_or_none"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+             |       CASE WHEN l_quantity < 10 THEN 'low'
+             |            WHEN l_quantity < 30 THEN 'mid'
+             |            ELSE 'high' END AS bucket,
+             |       CAST(l_quantity AS INT) AS qty_int,
+             |       CAST(l_orderkey AS VARCHAR) AS okey_str,
+             |       COALESCE(NULLIF(l_returnflag, 'N'), 'none') AS rf_or_none
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber, qty_int, bucket, rf_or_none""".stripMargin),
+    ),
+
+    QueryDef(
+      "q_union_all",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+          .filter(col("c_nationkey") === 1)
+          .select(lit("customer").as("src"), col("c_custkey").as("id"))
+        val sup = t(s, dir, "supplier")
+          .filter(col("s_nationkey") === 1)
+          .select(lit("supplier").as("src"), col("s_suppkey").as("id"))
+        c.unionAll(sup).orderBy(col("src"), col("id"))
+      },
+      Some("""SELECT 'customer' AS src, c_custkey AS id FROM customer WHERE c_nationkey = 1
+             |UNION ALL
+             |SELECT 'supplier' AS src, s_suppkey AS id FROM supplier WHERE s_nationkey = 1
+             |ORDER BY src, id""".stripMargin),
+    ),
+
+    QueryDef(
+      "q_intersect",
+      (s, dir) => {
+        val c = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        val sup = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+        c.intersect(sup).orderBy(col("nationkey"))
+      },
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+             |INTERSECT
+             |SELECT s_nationkey AS nationkey FROM supplier
+             |ORDER BY nationkey""".stripMargin),
+    ),
+
+    QueryDef(
+      "q_except",
+      (s, dir) => {
+        val n = t(s, dir, "nation").select(col("n_nationkey").as("nationkey"))
+        val sup = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+        n.except(sup).orderBy(col("nationkey"))
+      },
+      Some("""SELECT n_nationkey AS nationkey FROM nation
+             |EXCEPT
+             |SELECT s_nationkey AS nationkey FROM supplier
+             |ORDER BY nationkey""".stripMargin),
+    ),
+  )
+}
