@@ -1,0 +1,219 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/** Scalar-function surface: string, regex, crypto/hash, encoding, date/time,
+  * math, JSON, and the batch shape of tumbling-window time bucketing
+  * (SURVEY.md §2.B rows "String functions" … "JSON functions").
+  *
+  * Everything here is a builtin `org.apache.spark.sql.functions` call —
+  * whole-stage-codegen'd, no UDFs. The JSON query goes through the
+  * engine's DataFusion-name-compatible registered functions
+  * (graft.functions.JsonFunctions) to exercise that layer end-to-end.
+  */
+object Functions {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.table(s, dir, n)
+
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast("double")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q_string_funcs",
+      (s, dir) => {
+        t(s, dir, "part")
+          .select(
+            col("p_partkey"),
+            upper(col("p_name")).as("up"),
+            lower(col("p_type")).as("lo"),
+            length(col("p_name")).as("len"),
+            substring(col("p_name"), 1, 5).as("sub5"),
+            concat(col("p_brand"), lit(":"), col("p_type")).as("cat"),
+            lpad(col("p_partkey").cast("string"), 8, "0").as("padded"),
+            reverse(col("p_name")).as("rev"),
+            translate(col("p_name"), "aeiou", "AEIOU").as("tr"),
+            trim(lit("  x  ")).as("trimmed"),
+            element_at(split(col("p_name"), " "), 1).as("first_word"),
+            regexp_replace(col("p_name"), " ", "_").as("snake"))
+          .orderBy(col("p_partkey"))
+      },
+      Some("""SELECT p_partkey,
+             |  upper(p_name) AS up, lower(p_type) AS lo, length(p_name) AS len,
+             |  substring(p_name, 1, 5) AS sub5,
+             |  p_brand || ':' || p_type AS cat,
+             |  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded,
+             |  reverse(p_name) AS rev,
+             |  translate(p_name, 'aeiou', 'AEIOU') AS tr,
+             |  trim('  x  ') AS trimmed,
+             |  string_split(p_name, ' ')[1] AS first_word,
+             |  replace(p_name, ' ', '_') AS snake
+             |FROM part ORDER BY p_partkey""".stripMargin),
+    ),
+
+    QueryDef(
+      "q_regex_funcs",
+      (s, dir) => {
+        t(s, dir, "part")
+          .select(
+            col("p_partkey"),
+            regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"),
+            regexp_extract(col("p_brand"), "([0-9]+)", 1).as("brand_num"),
+            col("p_name").rlike("^(red|blue)").as("is_colored"),
+            regexp_replace(col("p_name"), "[aeiou]", "*").as("starred"))
+          .orderBy(col("p_partkey"))
+      },
+      Some("""SELECT p_partkey,
+             |  regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+             |  regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+             |  regexp_matches(p_name, '^(red|blue)') AS is_colored,
+             |  regexp_replace(p_name, '[aeiou]', '*', 'g') AS starred
+             |FROM part ORDER BY p_partkey""".stripMargin),
+    ),
+
+    QueryDef(
+      "q_hash_funcs",
+      (s, dir) => {
+        t(s, dir, "customer")
+          .filter(col("c_custkey") < 300)
+          .select(
+            col("c_custkey"),
+            md5(col("c_name").cast("binary")).as("name_md5"),
+            sha2(col("c_name").cast("binary"), 256).as("name_sha256"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, md5(c_name) AS name_md5, sha256(c_name) AS name_sha256
+             |FROM customer WHERE c_custkey < 300 ORDER BY c_custkey""".stripMargin),
+    ),
+
+    QueryDef(
+      "q_encoding_funcs",
+      (s, dir) => {
+        t(s, dir, "customer")
+          .filter(col("c_custkey") < 300)
+          .select(
+            col("c_custkey"),
+            base64(col("c_name").cast("binary")).as("b64"),
+            lower(hex(col("c_name").cast("binary"))).as("hx"),
+            // decode(unbase64(...)) round-trip proves the inverse pair
+            decode(unbase64(base64(col("c_name").cast("binary"))), "UTF-8").as("roundtrip"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey,
+             |  to_base64(c_name::BLOB) AS b64,
+             |  lower(hex(c_name)) AS hx,
+             |  c_name AS roundtrip
+             |FROM customer WHERE c_custkey < 300 ORDER BY c_custkey""".stripMargin),
+    ),
+
+    QueryDef(
+      "q_datetime_funcs",
+      (s, dir) => {
+        t(s, dir, "orders")
+          .filter(col("o_custkey") < 300)
+          .select(
+            col("o_orderkey"),
+            year(col("o_orderdate")).as("yr"),
+            month(col("o_orderdate")).as("mo"),
+            dayofmonth(col("o_orderdate")).as("dom"),
+            (dayofweek(col("o_orderdate")) - 1).as("dow"),
+            quarter(col("o_orderdate")).as("qtr"),
+            date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+            date_add(col("o_orderdate").cast("date"), 30).as("plus30"),
+            datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")).as("days_since"),
+            last_day(col("o_orderdate").cast("date")).as("month_end"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey,
+             |  CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo,
+             |  CAST(dayofmonth(o_orderdate) AS INT) AS dom,
+             |  CAST(dayofweek(o_orderdate) AS INT) AS dow,
+             |  CAST(quarter(o_orderdate) AS INT) AS qtr,
+             |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+             |  CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS plus30,
+             |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since,
+             |  last_day(CAST(o_orderdate AS DATE)) AS month_end
+             |FROM orders WHERE o_custkey < 300 ORDER BY o_orderkey""".stripMargin),
+    ),
+
+    QueryDef(
+      "q_math_funcs",
+      (s, dir) => {
+        t(s, dir, "orders")
+          .filter(col("o_custkey") < 300)
+          .select(
+            col("o_orderkey"),
+            abs(col("o_totalprice") * -1).as("abs_price"),
+            ceil(col("o_totalprice")).as("ceil_price"),
+            floor(col("o_totalprice")).as("floor_price"),
+            round(col("o_totalprice"), 1).as("round_price"),
+            sqrt(col("o_totalprice")).as("sqrt_price"),
+            (col("o_orderkey") % 7).as("mod7"),
+            signum(col("o_totalprice") - 250000).cast("int").as("sign_vs_avg"),
+            round(log(col("o_totalprice")), 4).as("ln_price"),
+            round(log10(col("o_totalprice")), 4).as("log10_price"),
+            round(exp(col("o_totalprice") / 100000.0), 4).as("exp_scaled"),
+            round(pow(col("o_totalprice"), 2), 2).as("price_sq"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey,
+             |  abs(o_totalprice * -1) AS abs_price,
+             |  CAST(ceil(o_totalprice) AS BIGINT) AS ceil_price,
+             |  CAST(floor(o_totalprice) AS BIGINT) AS floor_price,
+             |  round(o_totalprice, 1) AS round_price,
+             |  sqrt(o_totalprice) AS sqrt_price,
+             |  o_orderkey % 7 AS mod7,
+             |  CAST(sign(o_totalprice - 250000) AS INT) AS sign_vs_avg,
+             |  round(ln(o_totalprice), 4) AS ln_price,
+             |  round(log10(o_totalprice), 4) AS log10_price,
+             |  round(exp(o_totalprice / 100000.0), 4) AS exp_scaled,
+             |  round(power(o_totalprice, 2), 2) AS price_sq
+             |FROM orders WHERE o_custkey < 300 ORDER BY o_orderkey""".stripMargin),
+    ),
+
+    QueryDef(
+      "q_json_funcs",
+      // Goes through the engine's DataFusion-name JSON layer (json_get_int →
+      // GetJsonObject+Cast expression builders, codegen preserved).
+      (s, dir) => {
+        graft.functions.JsonFunctions.register(s)
+        t(s, dir, "events")
+          .select(
+            col("event_id"),
+            expr("json_get_int(props, 'k')").as("k"),
+            get_json_object(col("props"), "$.k").as("k_str"))
+          .filter(col("k") > 90)
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id,
+             |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+             |  json_extract_string(props, '$.k') AS k_str
+             |FROM events
+             |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 90
+             |ORDER BY event_id""".stripMargin),
+    ),
+
+    QueryDef(
+      "q_time_bucket",
+      // Tumbling-window aggregation in batch shape: hourly buckets over the
+      // event stream — count, distinct users, exact value sum.
+      (s, dir) => {
+        t(s, dir, "events")
+          .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("n_users"),
+            dsum(col("value")).as("total_value"))
+          .orderBy(col("bucket"), col("event_type"))
+      },
+      Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket, event_type,
+             |  COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
+             |  CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+             |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin),
+    ),
+  )
+}
