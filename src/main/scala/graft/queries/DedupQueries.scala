@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TextOps}
+import graft.sources.Tables
+
+/** Deduplication queries over `documents` (builder brief: exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard, embedding-cosine — embedding variant lives in
+  * SimilarityQueries).
+  *
+  * The synthetic corpus has no duplicates, so each query plants them
+  * deterministically first: exact copies (id+100000) and near-copies
+  * ('the' → 'thee' word substitution, id+200000). The planting is the same
+  * SQL in the DuckDB oracle, so hash-checkable variants stay hash-checkable.
+  */
+object DedupQueries {
+
+  private def docs(s: SparkSession, dir: String) = Tables.table(s, dir, "documents")
+
+  /** documents ∪ exact copies (of doc_id<100) ∪ near copies (of doc_id<60). */
+  private def plantedCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val exact = d.filter(col("doc_id") < 100)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    val near = d.filter(col("doc_id") < 60)
+      .select((col("doc_id") + 200000).as("doc_id"),
+        regexp_replace(col("text"), "\\bthe\\b", "thee").as("text"))
+    d.unionAll(exact).unionAll(near)
+  }
+
+  private val dkCorpus =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 100
+      |UNION ALL SELECT doc_id + 200000, regexp_replace(text, '\b(the)\b', 'thee', 'g')
+      |  FROM documents WHERE doc_id < 60""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q_dedup_exact",
+      // Exact dedup by normalized-text fingerprint: one hash-aggregate.
+      (s, dir) => {
+        Dedup.exact(plantedCorpus(s, dir), TextOps.fingerprint(col("text")), col("doc_id"))
+          .select(col("keep_id"), col("n_copies"))
+          .orderBy(col("keep_id"))
+      },
+      Some(s"""WITH corpus AS ($dkCorpus)
+              |SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies
+              |FROM corpus
+              |GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+              |ORDER BY keep_id""".stripMargin),
+    ),
+
+    QueryDef(
+      "q_dedup_minhash",
+      // MinHash(32) + LSH(8 bands × 4 rows) candidates, verified with exact
+      // Jaccard ≥ 0.3. xxhash64 signatures are not reproducible in DuckDB —
+      // rows-only check; OperatorsSpec asserts planted-pair recall instead.
+      (s, dir) => {
+        val corpus = plantedCorpus(s, dir)
+        val cands = Dedup.minhashCandidates(corpus, col("doc_id"), col("text"))
+        val toks = corpus.select(col("doc_id"),
+          array_distinct(TextOps.shingles(col("text"))).as("shs"))
+        cands
+          .join(toks.select(col("doc_id").as("id1"), col("shs").as("sh1")), "id1")
+          .join(toks.select(col("doc_id").as("id2"), col("shs").as("sh2")), "id2")
+          .withColumn("jaccard",
+            round(size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+              size(array_union(col("sh1"), col("sh2"))), 6))
+          .filter(col("jaccard") >= 0.3)
+          .select(col("id1"), col("id2"), col("jaccard"))
+          .orderBy(col("id1"), col("id2"))
+      },
+      None,
+    ),
+
+    QueryDef(
+      "q_dedup_simhash",
+      // SimHash(64-bit, 4×16 chunks) pigeonhole candidates, Hamming ≤ 6.
+      (s, dir) => {
+        Dedup.simhashPairs(plantedCorpus(s, dir), col("doc_id"), col("text"), maxDist = 6)
+          .orderBy(col("id1"), col("id2"))
+      },
+      None,
+    ),
+
+    QueryDef(
+      "q_dedup_ngram",
+      // Exact 3-gram Jaccard similarity join (inverted-index explode+join),
+      // threshold 0.3 — catches the planted near-copies exactly.
+      (s, dir) => {
+        Dedup.ngramJaccardPairs(plantedCorpus(s, dir), col("doc_id"), col("text"), threshold = 0.3)
+          .orderBy(col("id1"), col("id2"))
+      },
+      Some(s"""WITH corpus AS ($dkCorpus),
+              |toks AS (
+              |  SELECT doc_id,
+              |    list_distinct(list_transform(
+              |      range(1, greatest(len(string_split_regex(trim(lower(text)), '\\s+')) - 2, 1) + 1),
+              |      i -> array_to_string((string_split_regex(trim(lower(text)), '\\s+'))[i:i+2], ' '))) AS shs
+              |  FROM corpus),
+              |sh AS (SELECT doc_id, unnest(shs) AS sh FROM toks),
+              |common AS (
+              |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_common
+              |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |sizes AS (SELECT doc_id, len(shs) AS n_sh FROM toks)
+              |SELECT id1, id2, n_common,
+              |  round(CAST(n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - n_common), 6) AS jaccard
+              |FROM common
+              |JOIN sizes s1 ON id1 = s1.doc_id
+              |JOIN sizes s2 ON id2 = s2.doc_id
+              |WHERE CAST(n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - n_common) >= 0.3
+              |ORDER BY id1, id2""".stripMargin),
+    ),
+  )
+}

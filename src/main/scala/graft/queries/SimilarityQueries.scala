@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.VectorOps
+import graft.sources.Tables
+
+/** Similarity-search queries over `embeddings` (builder brief: brute-force
+  * cosine top-k baseline + LSH-bucketed scale path + embedding-cosine
+  * near-dup).
+  *
+  * Oracle note: DuckDB's `list_cosine_similarity` computes in float32 for
+  * FLOAT lists, which diverges from our double-precision fold at the 6th
+  * decimal; the oracles therefore cast to DOUBLE[] and spell out the exact
+  * same dot/(norm·norm) formula.
+  */
+object SimilarityQueries {
+
+  private def emb(s: SparkSession, dir: String) = Tables.table(s, dir, "embeddings")
+
+  private def queriesDf(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+
+  private val dkCos =
+    """list_dot_product(a.embedding::DOUBLE[], q.embedding::DOUBLE[]) /
+      |(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+      | sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])))""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q_ann_bruteforce",
+      // Baseline: exact top-10 cosine neighbors for 5 query vectors —
+      // queries broadcast, corpus streamed, per-query window rank.
+      (s, dir) => {
+        VectorOps.bruteForceTopK(emb(s, dir), queriesDf(s, dir), k = 10)
+          .select(col("query_id"), col("vec_id"), col("cos"), col("rnk"))
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+              |scored AS (
+              |  SELECT q.query_id, a.vec_id, round($dkCos, 6) AS cos
+              |  FROM embeddings a CROSS JOIN q),
+              |ranked AS (
+              |  SELECT query_id, vec_id, cos,
+              |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+              |  FROM scored)
+              |SELECT query_id, vec_id, cos, CAST(rnk AS INT) AS rnk
+              |FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin),
+    ),
+
+    QueryDef(
+      "q_ann_lsh",
+      // Scale path: 8-bit hyperplane LSH buckets; each query probes only its
+      // bucket. xxhash64-derived planes aren't reproducible in DuckDB —
+      // rows-only; OperatorsSpec asserts recall vs the brute-force baseline.
+      (s, dir) => {
+        VectorOps.lshTopK(emb(s, dir), queriesDf(s, dir), k = 10, dims = 64, bits = 8)
+          .select(col("query_id"), col("vec_id"), col("cos"), col("rnk"))
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      None,
+    ),
+
+    QueryDef(
+      "q_embedding_neardup",
+      // Embedding-cosine near-dup: corpus ∪ scaled copies (cosine exactly 1
+      // with their originals); threshold 0.999 recovers exactly the planted
+      // pairs (natural max cosine in this corpus is ~0.44).
+      (s, dir) => {
+        val base = emb(s, dir).select(col("vec_id"), col("embedding"))
+        val scaled = base.filter(col("vec_id") < 100)
+          .select((col("vec_id") + 100000).as("vec_id"),
+            transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+        VectorOps.cosineNearDupPairs(base.unionAll(scaled), "vec_id", "embedding", threshold = 0.999)
+          .orderBy(col("id1"), col("id2"))
+      },
+      Some("""WITH corpus AS (
+             |  SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+             |  UNION ALL
+             |  SELECT vec_id + 100000,
+             |         list_transform(embedding, x -> (x * 2.0::FLOAT)::FLOAT)::DOUBLE[]
+             |  FROM embeddings WHERE vec_id < 100),
+             |pairs AS (
+             |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+             |    round(list_dot_product(a.embedding, b.embedding) /
+             |          (sqrt(list_dot_product(a.embedding, a.embedding)) *
+             |           sqrt(list_dot_product(b.embedding, b.embedding))), 6) AS cos
+             |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
+             |SELECT id1, id2, cos FROM pairs WHERE cos >= 0.999
+             |ORDER BY id1, id2""".stripMargin),
+    ),
+  )
+}

@@ -1,0 +1,131 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextOps
+import graft.sources.Tables
+
+/** Text-analysis queries over the `documents` table: token counting,
+  * quality scoring, language ID, fingerprinting — the text half of the
+  * LLM-training-data pipeline operators (builder brief; SURVEY.md §7.5).
+  *
+  * Each is a pure map stage (no shuffle except the final order), expressed
+  * with the same formulas in the DuckDB oracle so values hash-match exactly.
+  */
+object TextAnalysis {
+
+  private def docs(s: SparkSession, dir: String) = Tables.table(s, dir, "documents")
+
+  /** DuckDB equivalents of TextOps building blocks. */
+  private val dkTokens = "string_split_regex(trim(lower(text)), '\\s+')"
+  private def dkHits(words: Seq[String]) =
+    s"len(list_filter($dkTokens, x -> x IN (${words.map(w => s"'$w'").mkString(",")})))"
+  private val dkEn = dkHits(TextOps.stopwords("en"))
+  private val dkDe = dkHits(TextOps.stopwords("de"))
+  private val dkEs = dkHits(TextOps.stopwords("es"))
+  private val dkFr = dkHits(TextOps.stopwords("fr"))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q_text_tokens",
+      (s, dir) => {
+        docs(s, dir)
+          .select(
+            col("doc_id"),
+            TextOps.tokenCount(col("text")).as("n_tokens"),
+            length(col("text")).as("n_chars_real"),
+            round(TextOps.meanWordLen(col("text")), 6).as("mean_word_len"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id,
+              |  CAST(len($dkTokens) AS INT) AS n_tokens,
+              |  CAST(length(text) AS INT) AS n_chars_real,
+              |  round(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+              |        / greatest(len($dkTokens), 1), 6) AS mean_word_len
+              |FROM documents ORDER BY doc_id""".stripMargin),
+    ),
+
+    QueryDef(
+      "q_text_quality",
+      (s, dir) => {
+        docs(s, dir)
+          .select(
+            col("doc_id"),
+            round(TextOps.punctRatio(col("text")), 6).as("punct_ratio"),
+            round(TextOps.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+            TextOps.qualityScore(col("text")).as("quality"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id,
+              |  round(CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"()-]', '', 'g')) AS DOUBLE)
+              |        / greatest(length(text), 1), 6) AS punct_ratio,
+              |  round(CAST($dkEn AS DOUBLE) / greatest(len($dkTokens), 1), 6) AS stopword_ratio,
+              |  round(
+              |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4 +
+              |    least((CAST($dkEn AS DOUBLE) / greatest(len($dkTokens), 1)) * 5.0, 1.0) * 0.3 +
+              |    (1.0 - least((CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"()-]', '', 'g')) AS DOUBLE)
+              |                  / greatest(length(text), 1)) * 10.0, 1.0)) * 0.3,
+              |    6) AS quality
+              |FROM documents ORDER BY doc_id""".stripMargin),
+    ),
+
+    QueryDef(
+      "q_text_langid",
+      (s, dir) => {
+        docs(s, dir)
+          .select(
+            col("doc_id"),
+            TextOps.stopwordHits(col("text"), "en").as("en_hits"),
+            TextOps.stopwordHits(col("text"), "de").as("de_hits"),
+            TextOps.langId(col("text")).as("pred_lang"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id,
+              |  CAST($dkEn AS INT) AS en_hits,
+              |  CAST($dkDe AS INT) AS de_hits,
+              |  CASE WHEN $dkEn >= $dkDe AND $dkEn >= $dkEs AND $dkEn >= $dkFr THEN 'en'
+              |       WHEN $dkDe >= $dkEs AND $dkDe >= $dkFr THEN 'de'
+              |       WHEN $dkEs >= $dkFr THEN 'es'
+              |       ELSE 'fr' END AS pred_lang
+              |FROM documents ORDER BY doc_id""".stripMargin),
+    ),
+
+    QueryDef(
+      "q_text_fingerprint",
+      (s, dir) => {
+        docs(s, dir)
+          .select(
+            col("doc_id"),
+            TextOps.fingerprint(col("text")).as("fp"),
+            TextOps.shingleFingerprint(col("text")).as("shingle_fp"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id,
+              |  md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+              |  list_min(list_transform(
+              |    range(1, greatest(len($dkTokens) - 2, 1) + 1),
+              |    i -> md5(array_to_string(($dkTokens)[i:i+2], ' ')))) AS shingle_fp
+              |FROM documents ORDER BY doc_id""".stripMargin),
+    ),
+
+    QueryDef(
+      "q_text_lang_stats",
+      // Aggregate shape: predicted-language distribution vs labeled lang.
+      (s, dir) => {
+        docs(s, dir)
+          .groupBy(col("lang"), TextOps.langId(col("text")).as("pred_lang"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("lang"), col("pred_lang"))
+      },
+      Some(s"""SELECT lang,
+              |  CASE WHEN $dkEn >= $dkDe AND $dkEn >= $dkEs AND $dkEn >= $dkFr THEN 'en'
+              |       WHEN $dkDe >= $dkEs AND $dkDe >= $dkFr THEN 'de'
+              |       WHEN $dkEs >= $dkFr THEN 'es'
+              |       ELSE 'fr' END AS pred_lang,
+              |  COUNT(*) AS n
+              |FROM documents GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin),
+    ),
+  )
+}

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.sources.Tables
+
+/** Behavioral spec for the LLM-pipeline operators: planted-duplicate recall
+  * for the dedup family, recall-vs-baseline for ANN, and decode-stub
+  * semantics for multimodal columns. Runs on sf0.001 (500 docs / 500 vecs). */
+class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-operators-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  def docs = Tables.table(spark, dir, "documents").select(col("doc_id"), col("text"))
+
+  /** 50 exact copies planted at id+100000. */
+  def withExactDups = docs.unionAll(
+    docs.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+
+  test("exact dedup recovers every planted duplicate") {
+    val deduped = Dedup.exact(withExactDups, TextOps.fingerprint(col("text")), col("doc_id"))
+    val dupGroups = deduped.filter(col("n_copies") >= 2).collect()
+    assert(dupGroups.length == 50)
+    assert(dupGroups.forall(_.getAs[Long]("keep_id") < 50)) // representative = original
+  }
+
+  test("minhash+LSH candidates include all identical pairs (J=1 ⇒ every band matches)") {
+    val cands = Dedup.minhashCandidates(withExactDups, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0L until 50L).map(i => (i, i + 100000)).toSet
+    assert(planted.subsetOf(cands), s"missing: ${planted.diff(cands).take(5)}")
+  }
+
+  test("simhash pairs find identical docs at hamming 0") {
+    val pairs = Dedup.simhashPairs(withExactDups, col("doc_id"), col("text"), maxDist = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0L until 50L).map(i => (i, i + 100000)).toSet
+    assert(planted.subsetOf(pairs), s"missing: ${planted.diff(pairs).take(5)}")
+  }
+
+  test("ngram jaccard finds mutated near-dups with correct score") {
+    val near = docs.unionAll(
+      docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          regexp_replace(col("text"), "\\bthe\\b", "thee").as("text")))
+    val pairs = Dedup.ngramJaccardPairs(near, col("doc_id"), col("text"), threshold = 0.3)
+      .collect()
+    val plantedFound = pairs.count(r => r.getLong(1) - r.getLong(0) == 200000)
+    assert(plantedFound >= 15, s"only $plantedFound/20 mutated pairs above 0.3")
+    assert(pairs.forall(r => r.getAs[Double]("jaccard") <= 1.0))
+  }
+
+  test("brute-force ANN: each query's own vector ranks first with cosine 1") {
+    val emb = Tables.table(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val top = VectorOps.bruteForceTopK(emb, queries, k = 10).collect()
+    for (q <- 0L until 5L) {
+      val first = top.filter(r => r.getAs[Long]("query_id") == q && r.getAs[Int]("rnk") == 1).head
+      assert(first.getAs[Long]("vec_id") == q)
+      assert(first.getAs[Double]("cos") == 1.0)
+    }
+    assert(top.length == 50)
+  }
+
+  test("LSH ANN: self-match always found; recall vs brute force is reported") {
+    val emb = Tables.table(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val brute = VectorOps.bruteForceTopK(emb, queries, k = 10)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val lsh = VectorOps.lshTopK(emb, queries, k = 10, dims = 64, bits = 8)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    for (q <- 0L until 5L) assert(lsh.contains((q, q)), s"query $q lost its own vector")
+    val recall = brute.intersect(lsh).size.toDouble / brute.size
+    info(f"LSH recall@10 vs brute force: $recall%.2f (bucketed search trades recall for speed)")
+    assert(recall > 0.0)
+  }
+
+  test("multimodal decode stub: features are a normalized 16-bin histogram") {
+    val mm = Multimodal.asMultimodal(Tables.table(spark, dir, "documents"))
+    val feats = Multimodal.decodeFeatures(mm).select(col("doc_id"), col("features")).collect()
+    assert(feats.length == 500)
+    for (r <- feats.take(20)) {
+      val v = r.getSeq[Float](1)
+      assert(v.length == Multimodal.FeatureBins)
+      assert(math.abs(v.sum - 1.0f) < 1e-3, s"doc ${r.getLong(0)}: histogram sum ${v.sum}")
+    }
+  }
+
+  test("multimodal transforms: frame-sample count and resize length are exact") {
+    val mm = Multimodal.asMultimodal(Tables.table(spark, dir, "documents"))
+    val out = mm.select(
+      col("doc_id"),
+      length(col("payload")).as("len"),
+      size(Multimodal.frameSample(col("payload"), 4)).as("n_frames"),
+      length(Multimodal.resize(col("payload"), 64)).as("resized_len")).collect()
+    for (r <- out) {
+      val len = r.getAs[Int]("len")
+      assert(r.getAs[Int]("n_frames") == math.max((len + 3) / 4, 1))
+      assert(r.getAs[Int]("resized_len") == 64)
+    }
+  }
+}
