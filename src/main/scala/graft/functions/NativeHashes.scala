@@ -1,0 +1,138 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the dedup signature computations.
+  *
+  * The composable higher-order-function versions (aggregate/zip_with/
+  * transform) are interpreted per array element with boxing — ~60 ms per
+  * document for a 64-bit SimHash at 80 tokens. These expressions evaluate
+  * the same math in a tight JVM loop (µs per document): the
+  * "custom Catalyst `Expression` beats a UDF beats interpreted HOFs"
+  * preference order from the build brief. Hash values are identical to the
+  * HOF versions (same xxhash64 seed 42, same derivation), so results are
+  * unchanged — only faster.
+  *
+  * CodegenFallback is deliberate: the per-row work is one compiled method
+  * call on a primitive loop; splicing it into whole-stage codegen would gain
+  * little next to the O(tokens·bits) loop body itself.
+  */
+object NativeHashes {
+
+  private def requireStringArray(e: Expression, name: String): TypeCheckResult =
+    e.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$name expects array<string>, got ${other.simpleString}")
+    }
+
+  private def xxh(s: Any): Long = XxHash64Function.hash(s, StringType, 42L)
+
+  private def pmod(a: Long, p: Long): Long = { val m = a % p; if (m < 0) m + p else m }
+
+  /** 64-bit SimHash over a token array as 4 × 16-bit chunks
+    * (semantics of [[graft.operators.Dedup.simhashChunks]]). */
+  case class SimHashChunks(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult = requireStringArray(child, "simhash_chunks")
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val counters = new Array[Int](64)
+      val n = arr.numElements()
+      var i = 0
+      while (i < n) {
+        val h = xxh(arr.getUTF8String(i))
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) counters(j) += 1 else counters(j) -= 1
+          j += 1
+        }
+        i += 1
+      }
+      val chunks = new Array[Long](4)
+      var c = 0
+      while (c < 4) {
+        var bits = 0L
+        var j = 0
+        while (j < 16) {
+          if (counters(c * 16 + j) > 0) bits |= (1L << j)
+          j += 1
+        }
+        chunks(c) = bits
+        c += 1
+      }
+      new GenericArrayData(chunks)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): SimHashChunks =
+      copy(child = newChild)
+  }
+
+  /** MinHash signature over a shingle array: numHashes universal-hash
+    * permutations (semantics of [[graft.operators.Dedup.minhashSignature]],
+    * identical a_i/b_i derivation). */
+  case class MinHashSignature(child: Expression, numHashes: Int)
+      extends UnaryExpression with CodegenFallback {
+
+    private val P = 2147483647L // 2^31 - 1
+
+    // a_i ∈ [1, P-1], b_i ∈ [0, P) — same derivation as the HOF version
+    private lazy val as: Array[Long] =
+      Array.tabulate(numHashes)(i => pmod(xxh(org.apache.spark.unsafe.types.UTF8String.fromString(s"mh-a-$i")), P - 1) + 1L)
+    private lazy val bs: Array[Long] =
+      Array.tabulate(numHashes)(i => pmod(xxh(org.apache.spark.unsafe.types.UTF8String.fromString(s"mh-b-$i")), P))
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult = requireStringArray(child, "minhash_signature")
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val xs = new Array[Long](n)
+      var i = 0
+      while (i < n) { xs(i) = pmod(xxh(arr.getUTF8String(i)), P); i += 1 }
+      val sig = new Array[Long](numHashes)
+      var k = 0
+      while (k < numHashes) {
+        val a = as(k); val b = bs(k)
+        var m = Long.MaxValue
+        i = 0
+        while (i < n) {
+          val v = pmod(a * xs(i) + b, P)
+          if (v < m) m = v
+          i += 1
+        }
+        sig(k) = if (n == 0) 0L else m
+        k += 1
+      }
+      new GenericArrayData(sig)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+      copy(child = newChild)
+  }
+
+  /** Register both as session functions (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    registry.createOrReplaceTempFunction("simhash_chunks",
+      args => SimHashChunks(args.head), "built-in")
+    registry.createOrReplaceTempFunction("minhash_signature",
+      args => {
+        val n = args(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"minhash_signature numHashes must be an int literal, got $other")
+        }
+        MinHashSignature(args.head, n)
+      }, "built-in")
+  }
+}

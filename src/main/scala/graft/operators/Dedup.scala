@@ -29,18 +29,12 @@ object Dedup {
     * permutations h_i(x) = (a_i * x + b_i) mod p applied to
     * xxhash64(shingle); signature[i] = min over shingles.
     *
-    * a_i/b_i are derived from the index via xxhash64 so the whole signature
-    * is one deterministic expression tree. All operands are reduced mod p
-    * (31 bits) before the multiply, so a·x + b stays below 2^63 — ANSI mode
-    * (Spark 4 default) would otherwise throw on long overflow. */
-  def minhashSignature(shinglesCol: Column, numHashes: Int): Column = {
-    val p = lit(2147483647L) // 2^31 - 1
-    transform(sequence(lit(0), lit(numHashes - 1)), i => {
-      val a = pmod(xxhash64(concat(lit("mh-a-"), i.cast("string"))), p - 1) + lit(1L) // ∈ [1, p-1]
-      val b = pmod(xxhash64(concat(lit("mh-b-"), i.cast("string"))), p)
-      array_min(transform(shinglesCol, s => pmod(a * pmod(xxhash64(s), p) + b, p)))
-    })
-  }
+    * Evaluated by the native [[graft.functions.NativeHashes.MinHashSignature]]
+    * expression (tight JVM loop; an interpreted HOF tree here costs ~ms per
+    * document). Requires `NativeHashes.register` on the session — the
+    * operator entry points below do it. */
+  def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
+    call_function("minhash_signature", shinglesCol, lit(numHashes))
 
   /** Banded LSH buckets: split the signature into `bands` equal bands and
     * hash each band's content. Returns one row per (id, band) with a bucket
@@ -54,24 +48,41 @@ object Dedup {
   }
 
   /** Candidate pairs from LSH buckets: self-equi-join on (band, bucket).
-    * The join shuffles on the bucket id — no cross product. */
-  def lshCandidatePairs(buckets: DataFrame): DataFrame = {
-    val l = buckets.select(col("band"), col("bucket"), col("id").as("id1"))
-    val r = buckets.select(col("band"), col("bucket"), col("id").as("id2"))
+    * The join shuffles on the bucket id — no cross product.
+    *
+    * `maxBucketSize` drops hot buckets before pair generation: a bucket with
+    * k members contributes k² pairs, so one degenerate bucket (boilerplate,
+    * near-constant docs) floods the candidate set. Standard LSH-at-scale
+    * practice — a duplicate pair colliding in one hot band usually also
+    * collides in a cooler one. */
+  def lshCandidatePairs(buckets: DataFrame, maxBucketSize: Int = 100): DataFrame = {
+    val capped = capBuckets(buckets, Seq("band", "bucket"), maxBucketSize)
+    val l = capped.select(col("band"), col("bucket"), col("id").as("id1"))
+    val r = capped.select(col("band"), col("bucket"), col("id").as("id2"))
     l.join(r, Seq("band", "bucket"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"))
       .distinct()
   }
 
+  /** Drop groups larger than `cap` (skew guard for candidate generation). */
+  private def capBuckets(df: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
+    val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__bucket_n"))
+      .filter(col("__bucket_n") <= cap)
+      .drop("__bucket_n")
+    df.join(counts, keys)
+  }
+
   /** End-to-end MinHash+LSH near-dup candidates over a text column. */
   def minhashCandidates(
       df: DataFrame, id: Column, text: Column,
-      numHashes: Int = 32, bands: Int = 8, shingleSize: Int = 3): DataFrame = {
+      numHashes: Int = 32, bands: Int = 8, shingleSize: Int = 3,
+      maxBucketSize: Int = 100): DataFrame = {
+    graft.functions.NativeHashes.register(df.sparkSession)
     val withSig = df.select(
       id.as("id"),
       minhashSignature(array_distinct(TextOps.shingles(text, shingleSize)), numHashes).as("sig"))
-    lshCandidatePairs(lshBuckets(withSig, col("id"), col("sig"), bands))
+    lshCandidatePairs(lshBuckets(withSig, col("id"), col("sig"), bands), maxBucketSize)
   }
 
   // --- SimHash ------------------------------------------------------------
@@ -80,24 +91,11 @@ object Dedup {
     * (chunked for pigeonhole banding: Hamming distance ≤ 3 ⇒ at least one
     * of 4 chunks identical).
     *
-    * bit_j = sign of Σ_tokens (bit_j(xxhash64(token)) ? +1 : -1). */
-  def simhashChunks(tokensCol: Column): Column = {
-    // per-token ±1 bit vectors folded with an array accumulator
-    val bitSums = aggregate(
-      tokensCol,
-      array_repeat(lit(0L), 64),
-      (acc, t) => {
-        val h = xxhash64(t)
-        zip_with(acc, sequence(lit(0), lit(63)),
-          (a, j) => a + when(call_function("getbit", h, j.cast("int")) === 1, 1L).otherwise(-1L))
-      })
-    transform(sequence(lit(0), lit(3)), c =>
-      aggregate(
-        sequence(lit(0), lit(15)),
-        lit(0L),
-        (acc, j) => acc + when(element_at(bitSums, (c * 16 + j + 1).cast("int")) > 0,
-          call_function("shiftleft", lit(1L), j.cast("int"))).otherwise(lit(0L))))
-  }
+    * bit_j = sign of Σ_tokens (bit_j(xxhash64(token)) ? +1 : -1).
+    * Evaluated by the native [[graft.functions.NativeHashes.SimHashChunks]]
+    * expression; requires `NativeHashes.register` on the session. */
+  def simhashChunks(tokensCol: Column): Column =
+    call_function("simhash_chunks", tokensCol)
 
   /** Hamming distance between two 4-chunk SimHash signatures. */
   def hammingDistance(sig1: Column, sig2: Column): Column =
@@ -105,16 +103,30 @@ object Dedup {
       lit(0L), (acc, x) => acc + x).cast("int")
 
   /** SimHash near-dup pairs: pigeonhole-band on chunks (candidates share at
-    * least one chunk value), then verify Hamming ≤ maxDist exactly. */
-  def simhashPairs(df: DataFrame, id: Column, text: Column, maxDist: Int = 6): DataFrame = {
+    * least one chunk value), then verify Hamming ≤ maxDist exactly.
+    *
+    * Cost shape: the expensive signature expression is evaluated once per
+    * doc (never per candidate row — candidates carry only ids and are
+    * deduplicated BEFORE signatures are joined back for the Hamming
+    * verify), and hot chunk buckets are capped like in LSH. */
+  def simhashPairs(
+      df: DataFrame, id: Column, text: Column,
+      maxDist: Int = 6, maxBucketSize: Int = 100): DataFrame = {
+    graft.functions.NativeHashes.register(df.sparkSession)
     val sigs = df.select(id.as("id"), simhashChunks(TextOps.tokens(text)).as("sig"))
-    val exploded = sigs.select(col("id"), col("sig"), posexplode(col("sig")).as(Seq("chunk_idx", "chunk_val")))
-    val l = exploded.select(col("chunk_idx"), col("chunk_val"), col("id").as("id1"), col("sig").as("sig1"))
-    val r = exploded.select(col("chunk_idx"), col("chunk_val"), col("id").as("id2"), col("sig").as("sig2"))
-    l.join(r, Seq("chunk_idx", "chunk_val"))
+    val exploded = sigs.select(col("id"),
+      posexplode(col("sig")).as(Seq("chunk_idx", "chunk_val")))
+    val capped = capBuckets(exploded, Seq("chunk_idx", "chunk_val"), maxBucketSize)
+    val l = capped.select(col("chunk_idx"), col("chunk_val"), col("id").as("id1"))
+    val r = capped.select(col("chunk_idx"), col("chunk_val"), col("id").as("id2"))
+    val candidates = l.join(r, Seq("chunk_idx", "chunk_val"))
       .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), hammingDistance(col("sig1"), col("sig2")).as("hamming"))
+      .select(col("id1"), col("id2"))
       .distinct()
+    candidates
+      .join(sigs.select(col("id").as("id1"), col("sig").as("sig1")), "id1")
+      .join(sigs.select(col("id").as("id2"), col("sig").as("sig2")), "id2")
+      .select(col("id1"), col("id2"), hammingDistance(col("sig1"), col("sig2")).as("hamming"))
       .filter(col("hamming") <= maxDist)
   }
 

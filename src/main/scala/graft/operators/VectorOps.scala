@@ -43,24 +43,29 @@ object VectorOps {
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
+  /** Deterministic ±1 hyperplane weights (LCG over (bit, dim) — no stored
+    * model, identical on every executor and every run). */
+  private def planeWeights(dims: Int, bits: Int): Array[Array[Double]] =
+    Array.tabulate(bits, dims) { (b, d) =>
+      val seed = b.toLong * 1000003L + d.toLong * 7919L
+      val x = seed * 6364136223846793005L + 1442695040888963407L
+      if (x < 0) -1.0 else 1.0
+    }
+
   /** Random-hyperplane signature: `bits` sign bits of dot products with
-    * pseudo-random ±1 planes (plane weights from xxhash64(bit, dim) parity —
-    * fully deterministic, no stored model). Returns an int bucket id. */
-  def hyperplaneBucket(vec: Column, dims: Int, bits: Int): Column =
-    aggregate(
-      sequence(lit(0), lit(bits - 1)),
-      lit(0L),
-      (acc, b) => {
-        val proj = aggregate(
-          zip_with(vec, sequence(lit(0), lit(dims - 1)), (x, d) => {
-            val sign = when(
-              pmod(xxhash64(concat(lit("hp-"), b.cast("string"), lit("-"), d.cast("string"))), lit(2L)) === 0L,
-              lit(1.0)).otherwise(lit(-1.0))
-            x.cast("double") * sign
-          }),
-          lit(0.0), (a2, x) => a2 + x)
-        acc + when(proj > 0, call_function("shiftleft", lit(1L), b.cast("int"))).otherwise(lit(0L))
-      }).cast("int")
+    * pseudo-random ±1 planes. The planes are driver-side literals — the
+    * per-row work is `bits` dot products, nothing else. Returns an int
+    * bucket id in [0, 2^bits). */
+  def hyperplaneBucket(vec: Column, dims: Int, bits: Int): Column = {
+    val planes = planeWeights(dims, bits)
+    val bucketBits = planes.zipWithIndex.map { case (plane, b) =>
+      val proj = aggregate(
+        zip_with(vec, typedLit(plane.toSeq), (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1 << b)).otherwise(lit(0))
+    }
+    bucketBits.reduce(_ + _)
+  }
 
   /** LSH-bucketed ANN: corpus and queries are bucketed by hyperplane
     * signature; each query probes only its bucket (equi-join on bucket id),
@@ -81,12 +86,31 @@ object VectorOps {
   }
 
   /** Embedding near-duplicate pairs: all pairs above a cosine threshold.
-    * Brute-force within-id-range guard for small corpora; at scale, route
-    * through `hyperplaneBucket` first (same pattern as lshTopK). */
+    * Brute-force — O(n²) pairs; only for small corpora or within buckets. */
   def cosineNearDupPairs(corpus: DataFrame, id: String, vec: String, threshold: Double): DataFrame = {
     val l = corpus.select(col(id).as("id1"), col(vec).as("v1"))
     val r = corpus.select(col(id).as("id2"), col(vec).as("v2"))
     l.join(r, col("id1") < col("id2"))
+      .withColumn("cos", round(cosine(col("v1"), col("v2")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("id1"), col("id2"), col("cos"))
+  }
+
+  /** Scale path for near-dup pairs: hyperplane-bucket the corpus (one map
+    * pass), generate pairs only within buckets (equi-join on bucket id),
+    * then verify with exact cosine. High-threshold pairs have tiny angles,
+    * so they agree on every hyperplane sign with probability
+    * ≈ 1 − bits·θ/π — and exact scale-copies always share a bucket. Turns
+    * O(n²) pair generation into Σ_buckets O(k²). */
+  def bucketedNearDupPairs(
+      corpus: DataFrame, id: String, vec: String, threshold: Double,
+      dims: Int, bits: Int = 8): DataFrame = {
+    val bucketed = corpus
+      .withColumn("bucket", hyperplaneBucket(col(vec), dims, bits))
+    val l = bucketed.select(col("bucket"), col(id).as("id1"), col(vec).as("v1"))
+    val r = bucketed.select(col("bucket"), col(id).as("id2"), col(vec).as("v2"))
+    l.join(r, Seq("bucket"))
+      .filter(col("id1") < col("id2"))
       .withColumn("cos", round(cosine(col("v1"), col("v2")), 6))
       .filter(col("cos") >= threshold)
       .select(col("id1"), col("id2"), col("cos"))

@@ -1,0 +1,102 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextOps
+import graft.sources.Tables
+
+/** Complex-type and reshaping surface: arrays, structs, maps, explode/unnest,
+  * pivot (SURVEY.md §2.B row "Array / struct / map functions").
+  */
+object Complex {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.table(s, dir, n)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q_array_funcs",
+      (s, dir) => {
+        val toks = TextOps.tokens(col("text"))
+        t(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            size(toks).as("n_tokens"),
+            element_at(toks, 1).as("first_tok"),
+            element_at(toks, -1).as("last_tok"),
+            array_contains(toks, "data").as("has_data"),
+            size(array_distinct(toks)).as("n_distinct"),
+            array_join(slice(sort_array(array_distinct(toks)), 1, 3), ",").as("top3_sorted"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  CAST(len(toks) AS INT) AS n_tokens,
+             |  toks[1] AS first_tok,
+             |  toks[-1] AS last_tok,
+             |  list_contains(toks, 'data') AS has_data,
+             |  CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+             |  array_to_string(list_sort(list_distinct(toks))[1:3], ',') AS top3_sorted
+             |FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+             |      FROM documents) ORDER BY doc_id""".stripMargin),
+    ),
+
+    QueryDef(
+      "q_explode",
+      // explode/unnest: one row per token, with position.
+      (s, dir) => {
+        t(s, dir, "documents")
+          .filter(col("doc_id") < 50)
+          .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
+          .orderBy(col("doc_id"), col("pos"))
+      },
+      Some("""SELECT doc_id, CAST(i - 1 AS INT) AS pos, toks[CAST(i AS INT)] AS tok
+             |FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+             |      FROM documents WHERE doc_id < 50),
+             |  UNNEST(range(1, len(toks) + 1)) AS t(i)
+             |ORDER BY doc_id, pos""".stripMargin),
+    ),
+
+    QueryDef(
+      "q_struct_map",
+      // struct construction + field access + map literal lookup.
+      (s, dir) => {
+        t(s, dir, "nation")
+          .select(
+            col("n_nationkey"),
+            struct(col("n_name").as("name"), col("n_regionkey").as("rk")).as("info"))
+          .select(
+            col("n_nationkey"),
+            col("info.name").as("name"),
+            col("info.rk").as("rk"),
+            element_at(
+              map(lit(0), lit("africa"), lit(1), lit("america"), lit(2), lit("asia"),
+                lit(3), lit("europe"), lit(4), lit("mideast")),
+              col("info.rk")).as("region_tag"))
+          .orderBy(col("n_nationkey"))
+      },
+      Some("""SELECT n_nationkey, n_name AS name, n_regionkey AS rk,
+             |  MAP([0,1,2,3,4], ['africa','america','asia','europe','mideast'])[n_regionkey] AS region_tag
+             |FROM nation ORDER BY n_nationkey""".stripMargin),
+    ),
+
+    QueryDef(
+      "q_pivot",
+      // Pivot: order-status counts per market segment, statuses as columns.
+      (s, dir) => {
+        t(s, dir, "orders").join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment,
+             |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+             |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+             |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+    ),
+  )
+}

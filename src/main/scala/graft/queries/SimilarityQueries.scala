@@ -68,13 +68,17 @@ object SimilarityQueries {
       "q_embedding_neardup",
       // Embedding-cosine near-dup: corpus ∪ scaled copies (cosine exactly 1
       // with their originals); threshold 0.999 recovers exactly the planted
-      // pairs (natural max cosine in this corpus is ~0.44).
+      // pairs (natural max cosine in this corpus is ~0.44). Uses the
+      // LSH-bucketed scale path: scaled copies share every hyperplane sign,
+      // so no planted pair is lost, and pair generation drops from O(n²)
+      // to per-bucket — the output still matches the brute-force oracle.
       (s, dir) => {
         val base = emb(s, dir).select(col("vec_id"), col("embedding"))
         val scaled = base.filter(col("vec_id") < 100)
           .select((col("vec_id") + 100000).as("vec_id"),
             transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
-        VectorOps.cosineNearDupPairs(base.unionAll(scaled), "vec_id", "embedding", threshold = 0.999)
+        VectorOps.bucketedNearDupPairs(base.unionAll(scaled), "vec_id", "embedding",
+            threshold = 0.999, dims = 64, bits = 8)
           .orderBy(col("id1"), col("id2"))
       },
       Some("""WITH corpus AS (

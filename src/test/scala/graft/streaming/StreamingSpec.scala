@@ -1,0 +1,102 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import java.time.Instant
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Streaming behavior: incremental windowed aggregation with watermark,
+  * late-data drop, and stateful sessionization with timeout. */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-streaming-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  def ts(s: String): Timestamp = Timestamp.from(Instant.parse(s))
+
+  test("hourlyStats over a MemoryStream: incremental windows, watermark drops late data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(Timestamp, String, Long, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "user_id", "value")
+
+    val query = EventPipelines.hourlyStats(events)
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode("append").start()
+
+    // batch 1: two events in hour 10, one in hour 11
+    input.addData(
+      (ts("2024-01-01T10:05:00Z"), "view", 1L, 1.0),
+      (ts("2024-01-01T10:45:00Z"), "view", 2L, 2.0),
+      (ts("2024-01-01T11:10:00Z"), "click", 1L, 5.0))
+    query.processAllAvailable()
+    // append mode: nothing emitted until the watermark passes hour 10
+    // batch 2: advance event time past hour 11 + watermark(1h) → hour-10
+    // window closes; also send a too-late hour-10 event that must be dropped
+    input.addData((ts("2024-01-01T13:30:00Z"), "view", 3L, 1.0))
+    query.processAllAvailable()
+    input.addData((ts("2024-01-01T10:59:00Z"), "view", 9L, 99.0)) // late: watermark is 12:30
+    query.processAllAvailable()
+    input.addData((ts("2024-01-01T15:00:00Z"), "view", 3L, 1.0)) // closes hour 11 too
+    query.processAllAvailable()
+
+    val out = spark.table("hourly").collect()
+      .map(r => (r.getTimestamp(0).toInstant.toString, r.getString(1), r.getLong(2)))
+      .toSet
+    query.stop()
+
+    assert(out.contains(("2024-01-01T10:00:00Z", "view", 2L)), s"got $out") // late event NOT counted
+    assert(out.contains(("2024-01-01T11:00:00Z", "click", 1L)), s"got $out")
+  }
+
+  test("sessionize: gap-based sessions close on timeout, state is bounded") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[EventPipelines.Event]
+    val sessions = EventPipelines.sessionize(input.toDS(), withTimeout = false)
+
+    val query = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+
+    // user 1: two bursts separated by > 30 min (second burst closes first session)
+    input.addData(
+      EventPipelines.Event(1L, ts("2024-01-01T10:00:00Z"), "view", 1.0),
+      EventPipelines.Event(1L, ts("2024-01-01T10:10:00Z"), "click", 1.0))
+    query.processAllAvailable()
+    input.addData(
+      EventPipelines.Event(1L, ts("2024-01-01T12:00:00Z"), "view", 1.0))
+    query.processAllAvailable()
+
+    val out = spark.table("sessions").as[EventPipelines.Session].collect()
+    query.stop()
+
+    assert(out.length == 1, s"got ${out.toSeq}")
+    assert(out.head.user_id == 1L)
+    assert(out.head.nEvents == 2L)
+    assert(out.head.durationSec == 600L)
+  }
+
+  test("unified API: the same hourlyStats runs on a batch frame") {
+    val batch = spark.createDataFrame(Seq(
+      (ts("2024-01-01T10:05:00Z"), "view", 1L, 1.0),
+      (ts("2024-01-01T10:45:00Z"), "view", 2L, 2.0),
+      (ts("2024-01-01T11:10:00Z"), "click", 1L, 5.0))).toDF("ts", "event_type", "user_id", "value")
+    val out = EventPipelines.hourlyStats(batch)
+      .orderBy(col("bucket"), col("event_type")).collect()
+    assert(out.map(r => (r.getString(1), r.getLong(2))).toSeq ==
+      Seq(("view", 2L), ("click", 1L)))
+  }
+}
