@@ -373,6 +373,37 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(readOutput(dir).length == 4)
   }
 
+  test("custom dataset vocabulary: renamed system columns end-to-end") {
+    val dir = tempDir()
+    val vocab = DatasetVocabulary("idx", "operation", "sys_at", "happened_at")
+    val schema = StructType(Seq(
+      StructField("idx", LongType, nullable = false),
+      StructField("operation", IntegerType, nullable = false),
+      StructField("sys_at", TimestampType, nullable = false),
+      StructField("happened_at", TimestampType, nullable = false),
+      StructField("city", StringType, nullable = false),
+    ))
+    val st = ts("2023-02-01T00:00:00Z")
+    val et = ts("2023-01-01T00:00:00Z")
+    writeOneFile(schema, Seq(Row(0L, 0, st, et, "vancouver")), dir.resolve("input.parquet"))
+    val req = TransformRequest(
+      datasetId = "did:odf:test", datasetAlias = "test",
+      systemTime = SystemTime, vocab = vocab,
+      queries = Seq(SqlQueryStep.output("select happened_at, city from foo")),
+      queryInputs = Seq(TransformRequestInput(
+        "did:odf:foo", "foo", "foo", vocab,
+        Some(OffsetInterval(0, 0)), Seq(dir.resolve("input.parquet").toString),
+        dir.resolve("input.parquet").toString, Nil)),
+      nextOffset = 5,
+      newDataPath = dir.resolve("output.parquet").toString)
+    val res = engine.executeTransform(req)
+    assert(res == Right(TransformResponseSuccess(Some(OffsetInterval(5, 5)), None)))
+    val df = spark.read.parquet(dir.resolve("output.parquet").toString)
+    assert(df.schema.fieldNames.toSeq == Seq("idx", "operation", "sys_at", "happened_at", "city"))
+    val row = df.collect()(0)
+    assert(row.getLong(0) == 5L && row.getInt(1) == 0)
+  }
+
   test("watermark lattice unit behavior (A15)") {
     def in(wms: Seq[Instant]) = TransformRequestInput(
       "d", "d", "d", DatasetVocabulary(), None, Nil, "s",
