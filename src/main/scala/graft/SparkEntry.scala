@@ -14,7 +14,8 @@ object SparkEntry {
   private val all: Seq[QueryDef] =
     Relational.defs ++ Aggregates.defs ++ Joins.defs ++ Windows.defs ++
       Functions.defs ++ TextAnalysis.defs ++ DedupQueries.defs ++
-      SimilarityQueries.defs ++ MultimodalQueries.defs ++ Complex.defs
+      SimilarityQueries.defs ++ MultimodalQueries.defs ++ Complex.defs ++
+      OdfQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

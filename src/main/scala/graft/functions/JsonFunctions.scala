@@ -38,7 +38,7 @@ object JsonFunctions {
   private def get(args: Seq[Expression]): Expression =
     GetJsonObject(args.head, jsonPath(args.tail))
 
-  private def builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+  private[graft] def builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "json_get" -> (args => get(args)),
     "json_get_str" -> (args => get(args)),
     "json_as_text" -> (args => get(args)),

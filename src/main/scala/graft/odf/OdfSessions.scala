@@ -20,12 +20,13 @@ import org.apache.spark.sql.SparkSession
   */
 object OdfSessions {
 
-  /** Configure a base session suitable for hosting ODF requests. Call once. */
+  /** Configure a base session suitable for hosting ODF requests. Call once.
+    * Deliberately does NOT touch parquet writer confs on the base session —
+    * every engine write happens through a request session (which sets
+    * TIMESTAMP_MILLIS itself), and mutating the host application's writer
+    * defaults would be rude. */
   def configureBase(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    // Reference writes ms-unit timestamps (engine.rs:329-373); Spark's
-    // default is micros — this is a real wire-format difference.
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
     // ns-unit parquet timestamps (reference regression fixture
     // data/datafusion-issue-6463) are not representable in Spark's reader —
     // surface them as nanos-since-epoch Int64 instead of failing the scan;

@@ -60,9 +60,15 @@ def main(sf_dir: str, out_dir: str) -> int:
                     e is None and (a is None or (isinstance(a, float) and math.isnan(a)))) or (
                     a is None and (e is None or (isinstance(e, float) and math.isnan(e))))
                 if not same:
-                    # timestamps: compare as values regardless of unit
+                    # timestamps: compare as instants regardless of unit/tz
+                    # (naive values are driver-side UTC by construction)
                     try:
-                        if pd.Timestamp(e) == pd.Timestamp(a):
+                        ta, tb = pd.Timestamp(e), pd.Timestamp(a)
+                        if ta.tz is None:
+                            ta = ta.tz_localize("UTC")
+                        if tb.tz is None:
+                            tb = tb.tz_localize("UTC")
+                        if ta == tb:
                             continue
                     except Exception:
                         pass
