@@ -33,5 +33,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other => throw new IllegalArgumentException(
           s"minhash_signature numHashes must be an int literal, got $other")
       }))
+    ext.injectFunction((FunctionIdentifier("word_shingles"), info("word_shingles"),
+      (args: Seq[Expression]) => args(1) match {
+        case Literal(v: Int, IntegerType) => NativeHashes.WordShingles(args.head, v)
+        case other => throw new IllegalArgumentException(
+          s"word_shingles n must be an int literal, got $other")
+      }))
   }
 }

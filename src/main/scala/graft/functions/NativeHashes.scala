@@ -120,19 +120,65 @@ object NativeHashes {
       copy(child = newChild)
   }
 
-  /** Register both as session functions (idempotent). */
+  /** Word n-gram shingles straight from raw text: lowercase, trim,
+    * whitespace-split, join n-token windows with single spaces — byte-for-
+    * byte the strings produced by the composable
+    * `transform(sequence, slice, concat_ws)` version in TextOps (which
+    * costs ~2 ms/doc interpreted; this is a single pass). Texts shorter
+    * than n tokens yield one shingle of all tokens. */
+  case class WordShingles(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"word_shingles expects string, got ${other.simpleString}")
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      // trim() trims ASCII spaces only — same as Spark's `trim` function,
+      // keeping the output byte-identical to the composable version
+      val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+        .toLowerCase.trim().toString
+      val tokens = text.split("\\s+", -1)
+      val count = math.max(tokens.length - (n - 1), 1)
+      val out = new Array[org.apache.spark.unsafe.types.UTF8String](count)
+      val sb = new java.lang.StringBuilder(64)
+      var i = 0
+      while (i < count) {
+        sb.setLength(0)
+        val end = math.min(i + n, tokens.length)
+        var j = i
+        while (j < end) {
+          if (j > i) sb.append(' ')
+          sb.append(tokens(j))
+          j += 1
+        }
+        out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+        i += 1
+      }
+      new GenericArrayData(out.asInstanceOf[Array[Any]])
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): WordShingles =
+      copy(child = newChild)
+  }
+
+  private def intLit(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects an int literal, got $other")
+  }
+
+  /** Register all native expressions as session functions (idempotent). */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     registry.createOrReplaceTempFunction("simhash_chunks",
       args => SimHashChunks(args.head), "built-in")
     registry.createOrReplaceTempFunction("minhash_signature",
-      args => {
-        val n = args(1) match {
-          case Literal(v: Int, IntegerType) => v
-          case other => throw new IllegalArgumentException(
-            s"minhash_signature numHashes must be an int literal, got $other")
-        }
-        MinHashSignature(args.head, n)
-      }, "built-in")
+      args => MinHashSignature(args.head, intLit(args(1), "minhash_signature")), "built-in")
+    registry.createOrReplaceTempFunction("word_shingles",
+      args => WordShingles(args.head, intLit(args(1), "word_shingles")), "built-in")
   }
 }

@@ -20,13 +20,14 @@ object TextOps {
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** Word n-gram shingles (default n=3) as space-joined strings.
-    * Docs shorter than n tokens yield one shingle = the whole text. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val ts = tokens(text)
-    transform(
-      sequence(lit(1), greatest(size(ts) - (n - 1), lit(1))),
-      i => concat_ws(" ", slice(ts, i, lit(n))))
-  }
+    * Docs shorter than n tokens yield one shingle = the whole text.
+    * Evaluated by the native WordShingles expression (registered by
+    * [[graft.sources.Tables]], the Dedup entry points, and
+    * GraftExtensions); the equivalent composable tree
+    * `transform(sequence(...), i => concat_ws(" ", slice(tokens, i, n)))`
+    * costs ~2 ms per document interpreted. */
+  def shingles(text: Column, n: Int = 3): Column =
+    call_function("word_shingles", text, lit(n))
 
   /** Tiny public stopword lists per language — enough signal for an n-gram
     * heuristic language ID over web-style text. */

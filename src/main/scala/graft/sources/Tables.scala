@@ -23,6 +23,7 @@ object Tables {
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.functions.NativeHashes.register(spark)
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events") df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     else df
