@@ -165,6 +165,39 @@ object NativeHashes {
       copy(child = newChild)
   }
 
+  /** Cosine similarity between two float vectors, accumulated in double in
+    * index order — value-identical to the composable
+    * `aggregate(zip_with(...))` fold (and to the DuckDB DOUBLE[] oracle
+    * formula), but a single primitive loop instead of an interpreted tree. */
+  case class CosineSimilarity(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+
+    override def dataType: DataType = DoubleType
+    override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"cosine_similarity expects (array<float>, array<float>), got $other")
+    }
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var dot = 0.0; var nx = 0.0; var ny = 0.0
+      var i = 0
+      while (i < n) {
+        val xi = x.getFloat(i).toDouble
+        val yi = y.getFloat(i).toDouble
+        dot += xi * yi; nx += xi * xi; ny += yi * yi
+        i += 1
+      }
+      dot / (math.sqrt(nx) * math.sqrt(ny))
+    }
+
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSimilarity =
+      copy(left = newLeft, right = newRight)
+  }
+
   private def intLit(e: Expression, fn: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
     case other => throw new IllegalArgumentException(
@@ -180,5 +213,7 @@ object NativeHashes {
       args => MinHashSignature(args.head, intLit(args(1), "minhash_signature")), "built-in")
     registry.createOrReplaceTempFunction("word_shingles",
       args => WordShingles(args.head, intLit(args(1), "word_shingles")), "built-in")
+    registry.createOrReplaceTempFunction("cosine_similarity",
+      args => CosineSimilarity(args.head, args(1)), "built-in")
   }
 }

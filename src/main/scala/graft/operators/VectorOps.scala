@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   * LSH-bucketed ANN — over plain `array<float>` columns.
   *
   * Scale design:
-  *   - similarity math is expression-tree only (zip_with/aggregate — no
+  *   - similarity math is expression-level (native CosineSimilarity — no
   *     UDFs), accumulated in double, sequential fold order so results are
   *     deterministic;
   *   - brute-force top-k broadcasts the (small) query set and streams the
@@ -20,14 +20,20 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  /** Dot product in double precision, sequential fold. */
+  /** Dot product in double precision, sequential fold (generic: any numeric
+    * array type). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity for float vectors — evaluated by the native
+    * CosineSimilarity expression (same fold order/values as
+    * dot/(norm·norm), single primitive loop). Registered by the operator
+    * entry points and GraftExtensions. */
+  def cosine(a: Column, b: Column): Column =
+    call_function("cosine_similarity", a, b)
 
   /** Brute-force cosine top-k: every query row against every corpus row.
     * `queries` must be small (it is broadcast); corpus streams map-side. */
@@ -35,6 +41,7 @@ object VectorOps {
       corpus: DataFrame, queries: DataFrame, k: Int,
       corpusId: String = "vec_id", corpusVec: String = "embedding",
       queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
+    graft.functions.NativeHashes.register(corpus.sparkSession)
     val scored = corpus.crossJoin(broadcast(queries))
       .select(
         col(queryId), col(corpusId),
@@ -75,6 +82,7 @@ object VectorOps {
       corpus: DataFrame, queries: DataFrame, k: Int, dims: Int, bits: Int = 8,
       corpusId: String = "vec_id", corpusVec: String = "embedding",
       queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
+    graft.functions.NativeHashes.register(corpus.sparkSession)
     val bucketedCorpus = corpus.withColumn("bucket", hyperplaneBucket(col(corpusVec), dims, bits))
     val bucketedQueries = queries.withColumn("bucket", hyperplaneBucket(col(queryVec), dims, bits))
     val scored = bucketedCorpus.join(broadcast(bucketedQueries), "bucket")
@@ -88,6 +96,7 @@ object VectorOps {
   /** Embedding near-duplicate pairs: all pairs above a cosine threshold.
     * Brute-force — O(n²) pairs; only for small corpora or within buckets. */
   def cosineNearDupPairs(corpus: DataFrame, id: String, vec: String, threshold: Double): DataFrame = {
+    graft.functions.NativeHashes.register(corpus.sparkSession)
     val l = corpus.select(col(id).as("id1"), col(vec).as("v1"))
     val r = corpus.select(col(id).as("id2"), col(vec).as("v2"))
     l.join(r, col("id1") < col("id2"))
@@ -105,6 +114,7 @@ object VectorOps {
   def bucketedNearDupPairs(
       corpus: DataFrame, id: String, vec: String, threshold: Double,
       dims: Int, bits: Int = 8): DataFrame = {
+    graft.functions.NativeHashes.register(corpus.sparkSession)
     val bucketed = corpus
       .withColumn("bucket", hyperplaneBucket(col(vec), dims, bits))
     val l = bucketed.select(col("bucket"), col(id).as("id1"), col(vec).as("v1"))

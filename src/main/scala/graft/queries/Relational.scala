@@ -134,6 +134,20 @@ object Relational {
     ),
 
     QueryDef(
+      "q_union_distinct",
+      // UNION (dedup) semantics — vs q_union_all's bag semantics.
+      (s, dir) => {
+        val c = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        val sup = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+        c.union(sup).distinct().orderBy(col("nationkey"))
+      },
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+             |UNION
+             |SELECT s_nationkey AS nationkey FROM supplier
+             |ORDER BY nationkey""".stripMargin),
+    ),
+
+    QueryDef(
       "q_intersect",
       (s, dir) => {
         val c = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))

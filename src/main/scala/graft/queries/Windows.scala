@@ -124,6 +124,28 @@ object Windows {
     ),
 
     QueryDef(
+      "q_window_range_frame",
+      // RANGE frame over a numeric ordering column: all orders within
+      // ±10000 of the current price count as peers.
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("o_totalprice"))
+          .rangeBetween(-10000L, 10000L)
+        t(s, dir, "orders")
+          .filter(col("o_custkey") < 100)
+          .select(
+            col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+            count(lit(1)).over(w).as("n_peers"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice,
+             |  COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+             |                 RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING) AS n_peers
+             |FROM orders WHERE o_custkey < 100
+             |ORDER BY o_orderkey""".stripMargin),
+    ),
+
+    QueryDef(
       "q_window_ntile",
       (s, dir) => {
         val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))

@@ -89,6 +89,35 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.head.durationSec == 600L)
   }
 
+  test("file-source deployment path: readEventStream processes landed parquet incrementally") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("stream-src")
+    val batch1 = spark.createDataFrame(Seq(
+      (ts("2024-01-01T10:05:00Z"), "view", 1L, 1.0),
+      (ts("2024-01-01T10:45:00Z"), "view", 2L, 2.0))).toDF("ts", "event_type", "user_id", "value")
+    batch1.write.parquet(dir.resolve("b1").toString)
+
+    val stream = EventPipelines.readEventStream(spark, s"$dir/*")
+    assert(stream.isStreaming)
+    val query = stream
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("filesrc")
+      .outputMode("complete").start()
+    query.processAllAvailable()
+    assert(spark.table("filesrc").collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("view", 2L)))
+
+    // a new file lands → incrementally picked up
+    val batch2 = spark.createDataFrame(Seq(
+      (ts("2024-01-01T11:10:00Z"), "click", 1L, 5.0))).toDF("ts", "event_type", "user_id", "value")
+    batch2.write.parquet(dir.resolve("b2").toString)
+    query.processAllAvailable()
+    query.stop()
+    assert(spark.table("filesrc").collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("view", 2L), ("click", 1L)))
+  }
+
   test("unified API: the same hourlyStats runs on a batch frame") {
     val batch = spark.createDataFrame(Seq(
       (ts("2024-01-01T10:05:00Z"), "view", 1L, 1.0),
