@@ -130,6 +130,38 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  // --- Corpus cleaning (pairs → representatives → deduped corpus) ---------
+
+  /** Connected components over near-dup pairs by iterative min-label
+    * propagation: every doc ends up labeled with the smallest id reachable
+    * through the pair graph. Converges in O(component diameter) iterations
+    * (near-dup clusters are shallow in practice); each iteration is one
+    * join + one aggregate — all shuffles on the id key. */
+  def connectedComponentsMin(ids: DataFrame, pairs: DataFrame, maxIter: Int = 5): DataFrame = {
+    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
+      .unionAll(pairs.select(col("id2").as("a"), col("id1").as("b")))
+    var labels = ids.select(col("id"), col("id").as("rep"))
+    var i = 0
+    while (i < maxIter) {
+      val neighborMin = edges.join(labels.withColumnRenamed("id", "b2"), col("b") === col("b2"))
+        .groupBy(col("a")).agg(min(col("rep")).as("nrep"))
+      labels = labels.join(neighborMin, col("id") === col("a"), "left")
+        .select(col("id"), least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
+        .localCheckpoint() // truncate lineage between iterations
+      i += 1
+    }
+    labels
+  }
+
+  /** The user-facing near-dedup operator: given candidate pairs (from any
+    * of the signature schemes), keep one representative per duplicate
+    * cluster — the smallest id — and drop the rest. */
+  def removeDuplicates(df: DataFrame, id: Column, pairs: DataFrame): DataFrame = {
+    val reps = connectedComponentsMin(df.select(id.as("id")), pairs)
+    df.join(reps.filter(col("id") === col("rep")).select(col("id").as("__keep")),
+        id === col("__keep"), "left_semi")
+  }
+
   // --- Exact n-gram Jaccard ----------------------------------------------
 
   /** Exact n-gram Jaccard similarity join: pairs sharing ≥1 shingle, scored

@@ -64,6 +64,37 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.forall(r => r.getAs[Double]("jaccard") <= 1.0))
   }
 
+  test("removeDuplicates: cluster-aware cleaning keeps exactly one representative") {
+    // base ∪ exact copies (0-49 → +100000) ∪ copies-of-copies (0-19 → +300000)
+    // forms chains {i, i+100000, i+300000}: representatives must be the originals
+    val chained = withExactDups.unionAll(
+      docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 300000).as("doc_id"), col("text")))
+    // full pipeline: LSH candidates → exact-Jaccard verify → clean.
+    // (unverified band collisions between distinct docs must NOT drop rows)
+    val cands = Dedup.minhashCandidates(chained, col("doc_id"), col("text"))
+    val toks = chained.select(col("doc_id"),
+      array_distinct(TextOps.shingles(col("text"))).as("shs"))
+    val pairs = cands
+      .join(toks.select(col("doc_id").as("id1"), col("shs").as("sh1")), "id1")
+      .join(toks.select(col("doc_id").as("id2"), col("shs").as("sh2")), "id2")
+      .filter(size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+        size(array_union(col("sh1"), col("sh2"))) >= 0.9)
+      .select(col("id1"), col("id2"))
+    val cleaned = Dedup.removeDuplicates(chained, col("doc_id"), pairs)
+    val keptIds = cleaned.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    // planted copies always have a smaller-id original in their component
+    assert((0L until 50L).forall(i => !keptIds.contains(i + 100000)), "copies must be dropped")
+    assert((0L until 20L).forall(i => !keptIds.contains(i + 300000)), "chained copies must be dropped")
+    assert(keptIds.contains(0L), "global min id must survive")
+    // representatives are component minima ⇒ no two kept docs may be paired
+    // (the corpus also has natural short-doc near-dups — that's real dedup work)
+    val pairSet = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!pairSet.exists(p => keptIds.contains(p._1) && keptIds.contains(p._2)),
+      "no duplicate pair may survive cleaning")
+    assert(keptIds.size < 570 && keptIds.size > 400, s"implausible kept count ${keptIds.size}")
+  }
+
   test("brute-force ANN: each query's own vector ranks first with cosine 1") {
     val emb = Tables.table(spark, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < 5)
