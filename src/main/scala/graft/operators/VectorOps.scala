@@ -93,6 +93,47 @@ object VectorOps {
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
+  /** IVF (inverted-file) ANN: partition the corpus into `nCells` Voronoi
+    * cells around centroid vectors, then answer queries by probing only the
+    * `nProbe` nearest cells.
+    *
+    * Centroid seeding is deterministic (the first `nCells` corpus vectors by
+    * id) — a real deployment would k-means them, which only changes the
+    * centroid literals, not the plan shape. Centroids are driver-side
+    * literals, so cell assignment is a pure map stage; the probe is an
+    * equi-join on cell id. Recall/cost knob: nProbe of nCells cells scanned.
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 4,
+      corpusId: String = "vec_id", corpusVec: String = "embedding",
+      queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
+    graft.functions.NativeHashes.register(corpus.sparkSession)
+    val centroids: Array[Seq[Float]] = corpus
+      .orderBy(col(corpusId)).limit(nCells)
+      .select(col(corpusVec)).collect()
+      .map(_.getSeq[Float](0))
+
+    def cellScores(vec: Column): Column = array(
+      centroids.zipWithIndex.map { case (c, i) =>
+        struct(cosine(vec, typedLit(c)).as("cos"), lit(i).as("cell"))
+      }: _*)
+
+    val bucketedCorpus = corpus.withColumn("cell",
+      array_max(cellScores(col(corpusVec))).getField("cell"))
+    // each query probes its nProbe best cells
+    val probes = queries.withColumn("cell",
+      explode(transform(
+        slice(reverse(array_sort(cellScores(col(queryVec)))), 1, nProbe),
+        s => s.getField("cell"))))
+    val scored = bucketedCorpus.join(broadcast(probes), "cell")
+      .select(
+        col(queryId), col(corpusId),
+        round(cosine(col(queryVec), col(corpusVec)), 6).as("cos"))
+    val w = Window.partitionBy(col(queryId)).orderBy(col("cos").desc, col(corpusId))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
   /** Embedding near-duplicate pairs: all pairs above a cosine threshold.
     * Brute-force — O(n²) pairs; only for small corpora or within buckets. */
   def cosineNearDupPairs(corpus: DataFrame, id: String, vec: String, threshold: Double): DataFrame = {

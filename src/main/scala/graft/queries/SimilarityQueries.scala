@@ -65,6 +65,19 @@ object SimilarityQueries {
     ),
 
     QueryDef(
+      "q_ann_ivf",
+      // IVF scale path: 16 deterministic cells, 4 probed per query.
+      // Centroid assignment isn't DuckDB-reproducible cheaply — rows-only;
+      // OperatorsSpec asserts recall vs the brute-force baseline.
+      (s, dir) => {
+        VectorOps.ivfTopK(emb(s, dir), queriesDf(s, dir), k = 10, nCells = 16, nProbe = 4)
+          .select(col("query_id"), col("vec_id"), col("cos"), col("rnk"))
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      None,
+    ),
+
+    QueryDef(
       "q_embedding_neardup",
       // Embedding-cosine near-dup: corpus ∪ scaled copies (cosine exactly 1
       // with their originals); threshold 0.999 recovers exactly the planted

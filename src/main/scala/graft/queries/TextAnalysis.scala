@@ -35,12 +35,17 @@ object TextAnalysis {
           .select(
             col("doc_id"),
             TextOps.tokenCount(col("text")).as("n_tokens"),
+            // BPE-ish sub-word segmentation: letter runs, digit runs, and
+            // single punctuation marks each count as a token
+            expr("size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0))")
+              .as("n_bpe_tokens"),
             length(col("text")).as("n_chars_real"),
             round(TextOps.meanWordLen(col("text")), 6).as("mean_word_len"))
           .orderBy(col("doc_id"))
       },
       Some(s"""SELECT doc_id,
               |  CAST(len($dkTokens) AS INT) AS n_tokens,
+              |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INT) AS n_bpe_tokens,
               |  CAST(length(text) AS INT) AS n_chars_real,
               |  round(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
               |        / greatest(len($dkTokens), 1), 6) AS mean_word_len

@@ -373,6 +373,50 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(readOutput(dir).length == 4)
   }
 
+  test("ODF streaming model: two transform rounds over a growing ledger") {
+    // ODF "streaming" = repeated batch invocations over growing offset
+    // intervals (SURVEY.md §2.10): round 2 consumes only the new slice and
+    // continues the offset sequence from round 1's response.
+    val dir = tempDir()
+    writeSampleData(dir.resolve("slice1.parquet")) // offsets 0-2
+    val schema = StructType(Seq(
+      StructField("offset", LongType, nullable = false),
+      StructField("op", IntegerType, nullable = false),
+      StructField("system_time", TimestampType, nullable = false),
+      StructField("event_time", TimestampType, nullable = false),
+      StructField("city", StringType, nullable = false),
+      StructField("population", LongType, nullable = false),
+    ))
+    writeOneFile(schema, Seq(
+      Row(3L, 0, ts("2023-02-02T00:00:00Z"), ts("2023-01-02T00:00:00Z"), "mumbai", 12500000L),
+      Row(4L, 0, ts("2023-02-02T00:00:00Z"), ts("2023-01-02T00:00:00Z"), "osaka", 2700000L),
+    ), dir.resolve("slice2.parquet"))
+
+    def round(slices: Seq[String], interval: OffsetInterval, nextOffset: Long, out: String) =
+      engine.executeTransform(TransformRequest(
+        datasetId = "did:odf:test", datasetAlias = "test",
+        systemTime = SystemTime, vocab = DatasetVocabulary(),
+        queries = Seq(SqlQueryStep.output(DefaultQuery)),
+        queryInputs = Seq(TransformRequestInput(
+          "did:odf:foo", "foo", "foo", DatasetVocabulary(),
+          Some(interval), slices.map(s => dir.resolve(s).toString),
+          dir.resolve("slice1.parquet").toString, Nil)),
+        nextOffset = nextOffset,
+        newDataPath = dir.resolve(out).toString))
+
+    val r1 = round(Seq("slice1.parquet"), OffsetInterval(0, 2), 0, "out1.parquet")
+    assert(r1 == Right(TransformResponseSuccess(Some(OffsetInterval(0, 2)), None)))
+    // round 2: both slices registered, but the interval selects only the new rows
+    val r2 = round(Seq("slice1.parquet", "slice2.parquet"), OffsetInterval(3, 4), 3, "out2.parquet")
+    assert(r2 == Right(TransformResponseSuccess(Some(OffsetInterval(3, 4)), None)))
+    val ledger = spark.read.parquet(
+        dir.resolve("out1.parquet").toString, dir.resolve("out2.parquet").toString)
+      .orderBy("offset").collect()
+    assert(ledger.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    assert(ledger.map(_.getString(4)).toSeq ==
+      Seq("vancouver", "seattle", "kyiv", "mumbai", "osaka"))
+  }
+
   test("custom dataset vocabulary: renamed system columns end-to-end") {
     val dir = tempDir()
     val vocab = DatasetVocabulary("idx", "operation", "sys_at", "happened_at")

@@ -122,6 +122,21 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall > 0.0)
   }
 
+  test("IVF ANN: self-match always found; recall vs brute force is reported") {
+    val emb = Tables.table(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val brute = VectorOps.bruteForceTopK(emb, queries, k = 10)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val ivf = VectorOps.ivfTopK(emb, queries, k = 10, nCells = 16, nProbe = 4)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    // a query vector is assigned to its own best cell, which is always probed
+    for (q <- 0L until 5L) assert(ivf.contains((q, q)), s"query $q lost its own vector")
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    info(f"IVF recall@10 vs brute force (4/16 cells probed): $recall%.2f")
+    assert(recall > 0.0)
+  }
+
   test("multimodal decode stub: features are a normalized 16-bin histogram") {
     val mm = Multimodal.asMultimodal(Tables.table(spark, dir, "documents"))
     val feats = Multimodal.decodeFeatures(mm).select(col("doc_id"), col("features")).collect()
