@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.sources.Tables
 
@@ -131,6 +132,31 @@ object Relational {
              |UNION ALL
              |SELECT 'supplier' AS src, s_suppkey AS id FROM supplier WHERE s_nationkey = 1
              |ORDER BY src, id""".stripMargin),
+    ),
+
+    QueryDef(
+      "q_decimal_arith",
+      // Exact DECIMAL arithmetic surface: cast, multiply, sum — fixed-point
+      // money math with no float drift (SURVEY §1.3 decimals row).
+      (s, dir) => {
+        val price = col("o_totalprice").cast(DecimalType(18, 2))
+        t(s, dir, "orders")
+          .filter(col("o_custkey") < 500)
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            // arithmetic stays fixed-point; the wire type is DOUBLE because
+            // DECIMAL surfaces differently in the two engines' pandas bridges
+            sum(price).cast("double").as("total"),
+            max((price * lit(2)).cast(DecimalType(18, 2))).cast("double").as("max_doubled"),
+            count(lit(1)).as("n"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             |  CAST(CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2)) * 2) AS DECIMAL(18,2)) AS DOUBLE) AS max_doubled,
+             |  COUNT(*) AS n
+             |FROM orders WHERE o_custkey < 500
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
     ),
 
     QueryDef(
