@@ -243,6 +243,23 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "Event time column 'event_time' should be either Date or Timestamp, but found: string")))
   }
 
+  test("op column of wrong type → InvalidQuery (engine.rs:394-413)") {
+    val dir = tempDir()
+    val res = engine.executeTransform(mkRequest(dir, Seq(SqlQueryStep.output(
+      "select event_time, city, population, cast(0 as bigint) as op from foo"))))
+    assert(res == Left(InvalidQuery(
+      "Operation type column 'op' should be Int32, but found: bigint")))
+  }
+
+  test("narrow op column is widened to Int32 (A8, engine.rs:351-362)") {
+    val dir = tempDir()
+    val res = engine.executeTransform(mkRequest(dir, Seq(SqlQueryStep.output(
+      "select event_time, city, population, cast(0 as smallint) as op from foo"))))
+    assert(res.isRight, res)
+    val df = spark.read.parquet(dir.resolve("output.parquet").toString)
+    assert(df.schema("op").dataType == IntegerType)
+  }
+
   test("missing event-time → InvalidQuery (engine.rs:459-473)") {
     val dir = tempDir()
     val res = engine.executeTransform(mkRequest(dir, Seq(SqlQueryStep.output(
