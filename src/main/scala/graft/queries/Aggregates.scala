@@ -94,15 +94,15 @@ object Aggregates {
         t(s, dir, "lineitem")
           .rollup(col("l_returnflag"), col("l_linestatus"))
           .agg(
-            grouping(col("l_returnflag")).as("g_rf"),
-            grouping(col("l_linestatus")).as("g_ls"),
+            grouping(col("l_returnflag")).cast("int").as("g_rf"),
+            grouping(col("l_linestatus")).cast("int").as("g_ls"),
             count(lit(1)).as("n"),
             dsum(col("l_quantity")).as("sum_qty"))
           .orderBy(col("g_rf"), col("g_ls"),
             col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
       },
       Some("""SELECT l_returnflag, l_linestatus,
-             |  GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls,
+             |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf, CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
              |  COUNT(*) AS n,
              |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
              |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
@@ -115,15 +115,15 @@ object Aggregates {
         t(s, dir, "orders")
           .cube(col("o_orderstatus"), col("o_orderpriority"))
           .agg(
-            grouping(col("o_orderstatus")).as("g_st"),
-            grouping(col("o_orderpriority")).as("g_pr"),
+            grouping(col("o_orderstatus")).cast("int").as("g_st"),
+            grouping(col("o_orderpriority")).cast("int").as("g_pr"),
             count(lit(1)).as("n"),
             dsum(col("o_totalprice")).as("sum_price"))
           .orderBy(col("g_st"), col("g_pr"),
             col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
       },
       Some("""SELECT o_orderstatus, o_orderpriority,
-             |  GROUPING(o_orderstatus) AS g_st, GROUPING(o_orderpriority) AS g_pr,
+             |  CAST(GROUPING(o_orderstatus) AS INT) AS g_st, CAST(GROUPING(o_orderpriority) AS INT) AS g_pr,
              |  COUNT(*) AS n,
              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
              |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
@@ -138,14 +138,14 @@ object Aggregates {
             Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
             col("l_returnflag"), col("l_linestatus"))
           .agg(
-            grouping(col("l_returnflag")).as("g_rf"),
-            grouping(col("l_linestatus")).as("g_ls"),
+            grouping(col("l_returnflag")).cast("int").as("g_rf"),
+            grouping(col("l_linestatus")).cast("int").as("g_ls"),
             count(lit(1)).as("n"))
           .orderBy(col("g_rf"), col("g_ls"),
             col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
       },
       Some("""SELECT l_returnflag, l_linestatus,
-             |  GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls,
+             |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf, CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
              |  COUNT(*) AS n
              |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
              |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),

@@ -43,7 +43,7 @@ object Functions {
           .orderBy(col("p_partkey"))
       },
       Some("""SELECT p_partkey,
-             |  upper(p_name) AS up, lower(p_type) AS lo, length(p_name) AS len,
+             |  upper(p_name) AS up, lower(p_type) AS lo, CAST(length(p_name) AS INT) AS len,
              |  substring(p_name, 1, 5) AS sub5,
              |  p_brand || ':' || p_type AS cat,
              |  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded,
@@ -122,10 +122,10 @@ object Functions {
             dayofmonth(col("o_orderdate")).as("dom"),
             (dayofweek(col("o_orderdate")) - 1).as("dow"),
             quarter(col("o_orderdate")).as("qtr"),
-            date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
-            date_add(col("o_orderdate").cast("date"), 30).as("plus30"),
+            date_trunc("month", col("o_orderdate")).cast("date").cast("string").as("month_start"),
+            date_add(col("o_orderdate").cast("date"), 30).cast("string").as("plus30"),
             datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")).as("days_since"),
-            last_day(col("o_orderdate").cast("date")).as("month_end"))
+            last_day(col("o_orderdate").cast("date")).cast("string").as("month_end"))
           .orderBy(col("o_orderkey"))
       },
       Some("""SELECT o_orderkey,
@@ -133,10 +133,10 @@ object Functions {
              |  CAST(dayofmonth(o_orderdate) AS INT) AS dom,
              |  CAST(dayofweek(o_orderdate) AS INT) AS dow,
              |  CAST(quarter(o_orderdate) AS INT) AS qtr,
-             |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
-             |  CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS plus30,
+             |  CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS month_start,
+             |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS VARCHAR) AS plus30,
              |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since,
-             |  last_day(CAST(o_orderdate AS DATE)) AS month_end
+             |  CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end
              |FROM orders WHERE o_custkey < 300 ORDER BY o_orderkey""".stripMargin),
     ),
 
@@ -203,17 +203,17 @@ object Functions {
       // event stream — count, distinct users, exact value sum.
       (s, dir) => {
         t(s, dir, "events")
-          .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+          .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("bucket_epoch"), col("event_type"))
           .agg(
             count(lit(1)).as("n"),
             countDistinct(col("user_id")).as("n_users"),
             dsum(col("value")).as("total_value"))
-          .orderBy(col("bucket"), col("event_type"))
+          .orderBy(col("bucket_epoch"), col("event_type"))
       },
-      Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket, event_type,
+      Some("""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket_epoch, event_type,
              |  COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
              |  CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS total_value
-             |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin),
+             |FROM events GROUP BY 1, 2 ORDER BY bucket_epoch, event_type""".stripMargin),
     ),
   )
 }

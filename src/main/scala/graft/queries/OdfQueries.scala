@@ -67,14 +67,19 @@ object OdfQueries {
     QueryDef(
       "q_odf_transform",
       (s, dir) => {
-        import org.apache.spark.sql.functions.col
-        runPipeline(s, dir).orderBy(col("offset"))
+        import org.apache.spark.sql.functions.{col, unix_millis}
+        // timestamps surfaced as epoch millis: the instants are identical in
+        // both engines but pandas timestamp units (ns vs µs) are not
+        runPipeline(s, dir)
+          .withColumn("system_time", unix_millis(col("system_time")))
+          .withColumn("event_time", unix_millis(col("event_time")))
+          .orderBy(col("offset"))
       },
       // event_time is ms-truncated: the ODF sink writes TIMESTAMP_MILLIS
       // (engine.rs:329-373 parity), so the µs-precision source is floored.
       Some(s"""WITH ledger AS (
               |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS BIGINT) AS "offset",
-              |         date_trunc('millisecond', CAST(ts AS TIMESTAMP)) AS event_time,
+              |         epoch_ms(date_trunc('millisecond', CAST(ts AS TIMESTAMP))) AS event_time,
               |         event_id, event_type, "value",
               |         CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
               |  FROM events),
@@ -82,7 +87,7 @@ object OdfQueries {
               |  SELECT * FROM ledger WHERE k > 50)
               |SELECT CAST(ROW_NUMBER() OVER (ORDER BY "offset") - 1 AS BIGINT) AS "offset",
               |       CAST(0 AS INT) AS op,
-              |       TIMESTAMP '2024-06-02 00:00:00' AS system_time,
+              |       epoch_ms(TIMESTAMP '2024-06-02 00:00:00') AS system_time,
               |       event_time, event_id, event_type,
               |       "value" * 2 AS value2, k
               |FROM filtered ORDER BY "offset"""".stripMargin),

@@ -44,7 +44,7 @@ object Windows {
       },
       Some("""SELECT * FROM (
              |  SELECT c_nationkey, c_custkey, c_acctbal,
-             |         ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rk, DENSE_RANK() OVER w AS drk
+             |         CAST(ROW_NUMBER() OVER w AS INT) AS rn, CAST(RANK() OVER w AS INT) AS rk, CAST(DENSE_RANK() OVER w AS INT) AS drk
              |  FROM customer
              |  WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
              |) WHERE rn <= 3 ORDER BY c_nationkey, rn""".stripMargin),
@@ -159,7 +159,7 @@ object Windows {
           .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       },
       Some("""SELECT o_orderkey, o_totalprice,
-             |  NTILE(4) OVER w AS quartile,
+             |  CAST(NTILE(4) OVER w AS INT) AS quartile,
              |  ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
              |  ROUND(CUME_DIST() OVER w, 6) AS cume
              |FROM orders WHERE o_custkey < 100
