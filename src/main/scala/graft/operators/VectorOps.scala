@@ -75,17 +75,23 @@ object VectorOps {
   }
 
   /** LSH-bucketed ANN: corpus and queries are bucketed by hyperplane
-    * signature; each query probes only its bucket (equi-join on bucket id),
-    * then ranks candidates by exact cosine. Trades recall for a
-    * 2^bits-fold reduction in comparisons. */
+    * signature; each query probes its own bucket plus every single-bit-flip
+    * neighbor (multiprobe — near-misses on one hyperplane are the dominant
+    * recall loss, and probing them costs query fan-out, not index size).
+    * Candidates are ranked by exact cosine. Trades recall for a
+    * ~2^bits/(bits+1)-fold reduction in comparisons. */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame, k: Int, dims: Int, bits: Int = 8,
       corpusId: String = "vec_id", corpusVec: String = "embedding",
       queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
     graft.functions.NativeHashes.register(corpus.sparkSession)
     val bucketedCorpus = corpus.withColumn("bucket", hyperplaneBucket(col(corpusVec), dims, bits))
-    val bucketedQueries = queries.withColumn("bucket", hyperplaneBucket(col(queryVec), dims, bits))
-    val scored = bucketedCorpus.join(broadcast(bucketedQueries), "bucket")
+    val probes = queries
+      .withColumn("__home", hyperplaneBucket(col(queryVec), dims, bits))
+      .withColumn("bucket", explode(array(
+        col("__home") +: (0 until bits).map(b => col("__home").bitwiseXOR(lit(1 << b))): _*)))
+      .drop("__home")
+    val scored = bucketedCorpus.join(broadcast(probes), "bucket")
       .select(
         col(queryId), col(corpusId),
         round(cosine(col(queryVec), col(corpusVec)), 6).as("cos"))
