@@ -33,6 +33,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other => throw new IllegalArgumentException(
           s"minhash_signature numHashes must be an int literal, got $other")
       }))
+    ext.injectFunction((FunctionIdentifier("cosine_similarity"), info("cosine_similarity"),
+      (args: Seq[Expression]) => NativeHashes.CosineSimilarity(args.head, args(1))))
+    ext.injectFunction((FunctionIdentifier("rabin_fingerprint"), info("rabin_fingerprint"),
+      (args: Seq[Expression]) => NativeHashes.RabinFingerprint(args.head)))
     ext.injectFunction((FunctionIdentifier("word_shingles"), info("word_shingles"),
       (args: Seq[Expression]) => args(1) match {
         case Literal(v: Int, IntegerType) => NativeHashes.WordShingles(args.head, v)

@@ -165,6 +165,38 @@ object NativeHashes {
       copy(child = newChild)
   }
 
+  /** Rabin-style rolling polynomial fingerprint over normalized text bytes:
+    * h = Σ byte_i · B^(n-1-i) mod P, computed in one pass with Horner's
+    * rule. The same window-shiftable hash family used for content-defined
+    * chunking; exposed directly as a whole-document fingerprint. */
+  case class RabinFingerprint(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+
+    private val B = 1000003L
+    private val P = 2147483647L // 2^31 - 1
+
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"rabin_fingerprint expects string, got ${other.simpleString}")
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val bytes = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+      var h = 0L
+      var i = 0
+      while (i < bytes.length) {
+        h = (h * B + (bytes(i) & 0xff)) % P
+        i += 1
+      }
+      h
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): RabinFingerprint =
+      copy(child = newChild)
+  }
+
   /** Cosine similarity between two float vectors, accumulated in double in
     * index order — value-identical to the composable
     * `aggregate(zip_with(...))` fold (and to the DuckDB DOUBLE[] oracle
@@ -215,5 +247,7 @@ object NativeHashes {
       args => WordShingles(args.head, intLit(args(1), "word_shingles")), "built-in")
     registry.createOrReplaceTempFunction("cosine_similarity",
       args => CosineSimilarity(args.head, args(1)), "built-in")
+    registry.createOrReplaceTempFunction("rabin_fingerprint",
+      args => RabinFingerprint(args.head), "built-in")
   }
 }

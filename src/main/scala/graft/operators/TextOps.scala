@@ -75,6 +75,14 @@ object TextOps {
   def shingleFingerprint(text: Column, n: Int = 3): Column =
     array_min(transform(shingles(text, n), s => md5(s.cast("binary"))))
 
+  /** Rolling polynomial (Rabin) fingerprint of the whitespace-normalized
+    * text — the window-shiftable hash family behind content-defined
+    * chunking. Native expression; registered alongside the other
+    * NativeHashes functions. */
+  def rollingFingerprint(text: Column): Column =
+    call_function("rabin_fingerprint",
+      regexp_replace(trim(lower(text)), "\\s+", " "))
+
   /** Heuristic language ID: argmax of per-language stopword hits, with a
     * fixed priority order on ties. */
   def langId(text: Column): Column = {

@@ -116,6 +116,26 @@ object TextAnalysis {
     ),
 
     QueryDef(
+      "q_text_rollhash",
+      // Rolling (Rabin) polynomial fingerprint — oracle reproduces the exact
+      // Horner fold in DuckDB via list_reduce over the byte values.
+      (s, dir) => {
+        docs(s, dir)
+          .select(col("doc_id"), TextOps.rollingFingerprint(col("text")).as("rh"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  list_reduce(
+             |    list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(range(1, length(t) + 1),
+             |                     i -> CAST(ord(t[CAST(i AS INT)]) AS BIGINT))),
+             |    (h, c) -> (h * 1000003 + c) % 2147483647) AS rh
+             |FROM (SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
+             |      FROM documents)
+             |ORDER BY doc_id""".stripMargin),
+    ),
+
+    QueryDef(
       "q_text_lang_stats",
       // Aggregate shape: predicted-language distribution vs labeled lang.
       (s, dir) => {
