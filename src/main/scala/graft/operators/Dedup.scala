@@ -85,6 +85,16 @@ object Dedup {
     lshCandidatePairs(lshBuckets(withSig, col("id"), col("sig"), bands), maxBucketSize)
   }
 
+  /** Jaccard similarity estimated from two MinHash signatures: the fraction
+    * of agreeing positions is an unbiased estimator of J(A,B). The standard
+    * cheap pre-filter before exact verification — O(numHashes) per pair
+    * instead of O(|shingle sets|). */
+  def estimatedJaccard(sig1: Column, sig2: Column): Column =
+    aggregate(
+      zip_with(sig1, sig2, (a, b) => when(a === b, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x
+    ).cast("double") / greatest(size(sig1), lit(1))
+
   // --- SimHash ------------------------------------------------------------
 
   /** 64-bit SimHash over a token array, returned as 4 × 16-bit chunk values

@@ -45,6 +45,35 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(planted.subsetOf(cands), s"missing: ${planted.diff(cands).take(5)}")
   }
 
+  test("minhash signature Jaccard estimate: 1.0 for identical docs, sane for mutated") {
+    graft.functions.NativeHashes.register(spark)
+    val near = docs.filter(col("doc_id") < 30).unionAll(
+      docs.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 500000).as("doc_id"),
+          regexp_replace(col("text"), "\\bthe\\b", "thee").as("text")))
+    val sigs = near.select(col("doc_id"),
+      Dedup.minhashSignature(array_distinct(TextOps.shingles(col("text"))), 64).as("sig"))
+    val joined = sigs.as("a")
+      .join(sigs.as("b"), col("b.doc_id") === col("a.doc_id") + 500000)
+      .select(col("a.doc_id").as("id"),
+        Dedup.estimatedJaccard(col("a.sig"), col("b.sig")).as("est"))
+    val toks = near.select(col("doc_id"), array_distinct(TextOps.shingles(col("text"))).as("shs"))
+    val exact = joined.join(toks.withColumnRenamed("doc_id", "id"), "id")
+      .join(toks.select((col("doc_id") - 500000).as("id"), col("shs").as("shs2")), "id")
+      .select(col("id"), col("est"),
+        (size(array_intersect(col("shs"), col("shs2"))).cast("double") /
+          size(array_union(col("shs"), col("shs2")))).as("true_j"))
+      .collect()
+    for (r <- exact) {
+      val (est, truth) = (r.getDouble(1), r.getDouble(2))
+      assert(math.abs(est - truth) < 0.35, s"doc ${r.getLong(0)}: est=$est true=$truth")
+    }
+    // unmutated docs: identical signatures ⇒ estimate exactly 1
+    val self = sigs.as("a").join(sigs.as("b"), col("a.doc_id") === col("b.doc_id"))
+      .select(Dedup.estimatedJaccard(col("a.sig"), col("b.sig")).as("e")).collect()
+    assert(self.forall(_.getDouble(0) == 1.0))
+  }
+
   test("simhash pairs find identical docs at hamming 0") {
     val pairs = Dedup.simhashPairs(withExactDups, col("doc_id"), col("text"), maxDist = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
