@@ -198,6 +198,65 @@ object Functions {
     ),
 
     QueryDef(
+      "q_sessionize_batch",
+      // Gap-based sessionization in batch SQL: a session starts when the
+      // user's gap since the previous event exceeds 30 min; session id =
+      // running count of session starts. The batch twin of the streaming
+      // flatMapGroupsWithState sessionizer (graft.streaming).
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        t(s, dir, "events")
+          .filter(col("user_id") < 50)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("ts_us"))
+          .withColumn("new_s",
+            when(col("ts_us") - lag(col("ts_us"), 1).over(
+              Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))) > 1800000000L, 1)
+              .otherwise(0))
+          .withColumn("sid", sum(col("new_s")).over(
+            Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("sid").cast("int").as("sid"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            min(col("ts_us")).as("start_us"),
+            max(col("ts_us")).as("end_us"),
+            ((max(col("ts_us")) - min(col("ts_us"))) / 1000000L).cast("long").as("duration_sec"))
+          .orderBy(col("user_id"), col("sid"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, epoch_us(ts) AS ts_us
+             |  FROM events WHERE user_id < 50),
+             |flags AS (
+             |  SELECT user_id, event_id, ts_us,
+             |    CASE WHEN ts_us - LAG(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+             |              > 1800000000 THEN 1 ELSE 0 END AS new_s
+             |  FROM e),
+             |sess AS (
+             |  SELECT user_id, ts_us,
+             |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+             |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM flags)
+             |SELECT user_id, CAST(sid AS INT) AS sid, COUNT(*) AS n_events,
+             |  MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+             |  CAST((MAX(ts_us) - MIN(ts_us)) // 1000000 AS BIGINT) AS duration_sec
+             |FROM sess GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin),
+    ),
+
+    QueryDef(
+      "q_approx_percentile",
+      // Sketch-based percentile (the 100 TB path — bounded memory, one
+      // pass); sketch values differ across engines, so rows-only.
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"))
+          .orderBy(col("l_returnflag"))
+      },
+      None,
+    ),
+
+    QueryDef(
       "q_time_bucket",
       // Tumbling-window aggregation in batch shape: hourly buckets over the
       // event stream — count, distinct users, exact value sum.
