@@ -88,6 +88,25 @@ object Joins {
     ),
 
     QueryDef(
+      "q_join_right",
+      // Right outer join: all nations kept from the right side even with no
+      // matching supplier.
+      (s, dir) => {
+        t(s, dir, "supplier")
+          .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"), "right")
+          .groupBy(col("n_nationkey"), col("n_name"))
+          .agg(
+            count(col("s_suppkey")).as("n_suppliers"),
+            coalesce(dsum(col("s_acctbal")), lit(0.0)).as("total_bal"))
+          .orderBy(col("n_nationkey"))
+      },
+      Some("""SELECT n_nationkey, n_name, COUNT(s_suppkey) AS n_suppliers,
+             |  COALESCE(CAST(SUM(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE), 0.0) AS total_bal
+             |FROM supplier RIGHT JOIN nation ON s_nationkey = n_nationkey
+             |GROUP BY n_nationkey, n_name ORDER BY n_nationkey""".stripMargin),
+    ),
+
+    QueryDef(
       "q_join_full",
       // Full outer join of two pre-aggregated sides (aggregate-then-join:
       // the join input is one row per key, not the raw fact table).
