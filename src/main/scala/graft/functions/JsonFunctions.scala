@@ -20,6 +20,13 @@ import org.apache.spark.sql.types._
   * multiple keys — string keys become `.key` segments, integer keys become
   * `[idx]` array segments, and non-literal key expressions are composed with
   * `concat` so dynamic paths still work.
+  *
+  * The typed getters cast with TRY semantics: Spark 4 runs ANSI-on by
+  * default, where a plain Cast of a non-numeric JSON value would throw
+  * mid-query; the reference's `datafusion-functions-json` returns NULL on a
+  * type mismatch, so these must too. `json_contains` tests KEY EXISTENCE
+  * (object-key membership / array-index bounds on the parent), not value
+  * non-nullness — a key holding JSON `null` still exists.
   */
 object JsonFunctions {
 
@@ -38,15 +45,34 @@ object JsonFunctions {
   private def get(args: Seq[Expression]): Expression =
     GetJsonObject(args.head, jsonPath(args.tail))
 
+  /** Key existence on the parent container: object-key membership for string
+    * keys, index-in-bounds for integer keys. `get_json_object` cannot be used
+    * here — it returns NULL both for a missing key and for a key holding JSON
+    * null, and the reference distinguishes the two. */
+  private def contains(args: Seq[Expression]): Expression = {
+    val parent = GetJsonObject(args.head, jsonPath(args.tail.dropRight(1)))
+    val last = args.last
+    val exists = last.dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        val idx = Cast(last, LongType)
+        And(
+          GreaterThanOrEqual(idx, Literal(0L)),
+          LessThan(idx, Cast(LengthOfJsonArray(parent), LongType)))
+      case _ =>
+        ArrayContains(JsonObjectKeys(parent), Cast(last, StringType))
+    }
+    Coalesce(Seq(exists, Literal(false)))
+  }
+
   private[graft] def builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "json_get" -> (args => get(args)),
     "json_get_str" -> (args => get(args)),
     "json_as_text" -> (args => get(args)),
     "json_get_json" -> (args => get(args)),
-    "json_get_int" -> (args => Cast(get(args), LongType)),
-    "json_get_float" -> (args => Cast(get(args), DoubleType)),
-    "json_get_bool" -> (args => Cast(get(args), BooleanType)),
-    "json_contains" -> (args => IsNotNull(get(args))),
+    "json_get_int" -> (args => Cast(get(args), LongType, None, EvalMode.TRY)),
+    "json_get_float" -> (args => Cast(get(args), DoubleType, None, EvalMode.TRY)),
+    "json_get_bool" -> (args => Cast(get(args), BooleanType, None, EvalMode.TRY)),
+    "json_contains" -> (args => contains(args)),
     "json_length" -> { args =>
       val g = get(args)
       Coalesce(Seq(

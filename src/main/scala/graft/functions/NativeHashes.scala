@@ -200,11 +200,17 @@ object NativeHashes {
   /** Cosine similarity between two float vectors, accumulated in double in
     * index order — value-identical to the composable
     * `aggregate(zip_with(...))` fold (and to the DuckDB DOUBLE[] oracle
-    * formula), but a single primitive loop instead of an interpreted tree. */
+    * formula), but a single primitive loop instead of an interpreted tree.
+    *
+    * Conventions (explicit, not accidental): a dimension mismatch is a data
+    * bug and throws rather than silently truncating to the shorter vector;
+    * a zero vector has undefined cosine and yields NULL (not NaN — NaN
+    * compares unequal to itself and poisons downstream filters). */
   case class CosineSimilarity(left: Expression, right: Expression)
       extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
 
     override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
     override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
       case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
       case other => TypeCheckResult.TypeCheckFailure(
@@ -214,7 +220,10 @@ object NativeHashes {
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
-      val n = math.min(x.numElements(), y.numElements())
+      val n = x.numElements()
+      if (y.numElements() != n)
+        throw new IllegalArgumentException(
+          s"cosine_similarity: dimension mismatch ($n vs ${y.numElements()})")
       var dot = 0.0; var nx = 0.0; var ny = 0.0
       var i = 0
       while (i < n) {
@@ -223,7 +232,8 @@ object NativeHashes {
         dot += xi * yi; nx += xi * xi; ny += yi * yi
         i += 1
       }
-      dot / (math.sqrt(nx) * math.sqrt(ny))
+      if (nx == 0.0 || ny == 0.0) null
+      else dot / (math.sqrt(nx) * math.sqrt(ny))
     }
 
     override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSimilarity =

@@ -25,7 +25,7 @@ object Inputs {
       s"input ${input.queryAlias}: dataPaths and offsetInterval must both be present or both absent",
     )
 
-    input.offsetInterval match {
+    val df = input.offsetInterval match {
       case Some(iv) =>
         spark.read.parquet(input.dataPaths: _*)
           .filter(col(input.vocab.offsetColumn).between(lit(iv.start), lit(iv.end)))
@@ -35,6 +35,50 @@ object Inputs {
         // so downstream queries short-circuit (engine.rs:213-221, :263-265).
         spark.read.parquet(input.schemaFile).filter(lit(false))
     }
+    narrowUnsignedOp(spark, df, input)
+  }
+
+  /** The `UInt32 → Int32` leg of the reference's op-column widening
+    * (engine.rs:351-362): Spark surfaces parquet UINT32 as LongType, so the
+    * unsignedness is only visible in the parquet footer. If the footer says
+    * the op column is a 32-bit UNSIGNED int, narrow it to Int32 here (ANSI
+    * cast = loud range check for values above Int32.Max); a LongType op from
+    * any other origin stays Long and is rejected by Validate, matching the
+    * reference's wrong-type error (engine.rs:394-413). UINT8/UINT16 need no
+    * handling: Spark already reads them as Short/Integer, which result-side
+    * normalization widens. */
+  private def narrowUnsignedOp(
+      spark: SparkSession, df: DataFrame, input: TransformRequestInput): DataFrame = {
+    import Normalize.quoted
+    val opName = input.vocab.operationTypeColumn
+    val isLongOp = df.schema.fields.exists(f =>
+      f.name == opName && f.dataType == org.apache.spark.sql.types.LongType)
+    val firstFile = input.dataPaths.headOption.getOrElse(input.schemaFile)
+    if (isLongOp && opColumnIsUnsigned32(spark, firstFile, opName))
+      df.withColumn(opName, col(quoted(opName)).cast(org.apache.spark.sql.types.IntegerType))
+    else df
+  }
+
+  /** Reads one parquet footer and reports whether `opName` is declared as a
+    * 32-bit unsigned int. Footer-only read (no row groups) — the same
+    * metadata Spark itself fetches for schema inference. */
+  private def opColumnIsUnsigned32(spark: SparkSession, path: String, opName: String): Boolean = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation.IntLogicalTypeAnnotation
+    val in = HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(path), spark.sessionState.newHadoopConf())
+    val reader = ParquetFileReader.open(in)
+    try {
+      val schema = reader.getFooter.getFileMetaData.getSchema
+      schema.containsField(opName) && {
+        val t = schema.getType(schema.getFieldIndex(opName))
+        t.isPrimitive && (t.asPrimitiveType().getLogicalTypeAnnotation match {
+          case i: IntLogicalTypeAnnotation => !i.isSigned && i.getBitWidth == 32
+          case _ => false
+        })
+      }
+    } finally reader.close()
   }
 
   /** A4: expose the slice as a bare table reference for the SQL steps. */

@@ -21,6 +21,13 @@ import org.apache.spark.sql.types._
   * is pinned to UTC, so the naive value is reinterpreted as UTC, exactly like
   * DataFusion's cast) and the op-column int widening. The projection is a
   * no-op short-circuit when nothing needs changing, like the reference.
+  *
+  * The `UInt32 → Int32` leg of the reference's widening happens in
+  * [[Inputs]], not here: Spark surfaces parquet UINT32 as LongType, which is
+  * indistinguishable from a genuine Int64 once inside the plan — and a
+  * computed Int64 op column must still be REJECTED (engine.rs:394-413). So
+  * the input scan consults the parquet footer (where unsignedness is still
+  * visible) and narrows there; by result time, LongType op = error.
   */
 object Normalize {
 

@@ -20,20 +20,21 @@ import org.apache.spark.sql.types.LongType
   *     (engine.rs:485-493, :548-557).
   *
   * Scale note (SURVEY.md §7.4): the reference gets a deterministic row order
-  * for free from `target_partitions = 1`. We instead keep the upstream plan
-  * fully parallel and serialize only this final numbering stage:
+  * for free from `target_partitions = 1`. Offset numbering is inherently a
+  * serial decision, but the work feeding it must not be:
   *
-  *   - `windowed` (default, parity path): `coalesce(1)` — which concatenates
-  *     upstream partitions in index order without a shuffle — then
-  *     `row_number()` over a single-partition window ordered by
-  *     `monotonically_increasing_id()` (deterministic: id encodes the
-  *     pre-coalesce partition/row order). Because the child is already one
-  *     partition, no exchange is inserted.
-  *   - `zipWithIndex` (scale path): RDD `zipWithIndex` — one extra count job,
-  *     but offsets are computed per-partition in parallel and the data never
-  *     collapses to one partition until the single-file sink (which is the
-  *     ODF contract's real serial point anyway). Preferable when a transform
-  *     produces tens of millions of rows.
+  *   - `zipWithIndex` (DEFAULT, scale path): RDD `zipWithIndex` numbers rows
+  *     by (partition index, position in partition) — one extra count job, but
+  *     the scan/filter/SQL stages run fully parallel and the data never
+  *     collapses to one partition until the single-file sink (the ODF
+  *     contract's real serial point). This is the plan that survives a
+  *     100 TB input.
+  *   - `windowed` (parity/debug path): `coalesce(1)` then `row_number()` over
+  *     a single-partition window. NOTE `coalesce(1)` inserts no shuffle
+  *     boundary, so it drags the ENTIRE upstream stage — scan, filters, the
+  *     user's map-side SQL — into one task, exactly like the reference's
+  *     `target_partitions = 1`. Kept for bit-parity debugging against the
+  *     reference, not for production use.
   */
 object SystemColumns {
 
@@ -46,7 +47,7 @@ object SystemColumns {
       vocab: DatasetVocabulary,
       systemTime: Instant,
       startOffset: Long,
-      strategy: OffsetStrategy = WindowedOffsets,
+      strategy: OffsetStrategy = ZipWithIndexOffsets,
   ): DataFrame = {
     import Normalize.quoted
 

@@ -41,10 +41,15 @@ object Dedup {
     * id; docs sharing any bucket are near-dup candidates. */
   def lshBuckets(df: DataFrame, id: Column, sig: Column, bands: Int): DataFrame = {
     val rows = posexplode(sig)
+    // The band hash must not depend on physical row order: collect_list gives
+    // no ordering contract after a shuffle, so collect (pos, h) structs and
+    // sort by position before hashing — layout-independent bucket ids.
     df.select(id.as("id"), rows.as(Seq("pos", "h")))
       .withColumn("band", col("pos") % bands)
       .groupBy(col("id"), col("band"))
-      .agg(xxhash64(concat_ws(",", collect_list(col("h").cast("string")))).as("bucket"))
+      .agg(xxhash64(concat_ws(",",
+        transform(sort_array(collect_list(struct(col("pos"), col("h")))),
+          s => s.getField("h").cast("string")))).as("bucket"))
   }
 
   /** Candidate pairs from LSH buckets: self-equi-join on (band, bucket).
@@ -144,22 +149,35 @@ object Dedup {
 
   /** Connected components over near-dup pairs by iterative min-label
     * propagation: every doc ends up labeled with the smallest id reachable
-    * through the pair graph. Converges in O(component diameter) iterations
-    * (near-dup clusters are shallow in practice); each iteration is one
-    * join + one aggregate — all shuffles on the id key. */
-  def connectedComponentsMin(ids: DataFrame, pairs: DataFrame, maxIter: Int = 5): DataFrame = {
+    * through the pair graph. Iterates to a FIXPOINT (labels are monotone
+    * non-increasing, so "no label decreased" is convergence), with `maxIter`
+    * as a safety cap — a component of diameter d converges in ≤ d rounds;
+    * each round is one join + one aggregate, all shuffles on the id key.
+    *
+    * Throws if the cap is hit before the fixpoint: stopping early would
+    * silently leave a long chain split across several representatives, i.e.
+    * keep extra duplicate copies. */
+  def connectedComponentsMin(ids: DataFrame, pairs: DataFrame, maxIter: Int = 100): DataFrame = {
     val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
       .unionAll(pairs.select(col("id2").as("a"), col("id1").as("b")))
-    var labels = ids.select(col("id"), col("id").as("rep"))
+      .localCheckpoint() // reused every round: cut off the pair-gen lineage
+    var labels = ids.select(col("id"), col("id").as("rep")).localCheckpoint()
+    var converged = false
     var i = 0
-    while (i < maxIter) {
+    while (!converged && i < maxIter) {
       val neighborMin = edges.join(labels.withColumnRenamed("id", "b2"), col("b") === col("b2"))
         .groupBy(col("a")).agg(min(col("rep")).as("nrep"))
-      labels = labels.join(neighborMin, col("id") === col("a"), "left")
-        .select(col("id"), least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
+      val next = labels.join(neighborMin, col("id") === col("a"), "left")
+        .select(col("id"), col("rep").as("prev"),
+          least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
         .localCheckpoint() // truncate lineage between iterations
+      converged = next.filter(col("rep") < col("prev")).isEmpty
+      labels = next.select(col("id"), col("rep"))
       i += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsMin did not converge within $maxIter iterations")
     labels
   }
 
@@ -174,19 +192,25 @@ object Dedup {
 
   // --- Exact n-gram Jaccard ----------------------------------------------
 
-  /** Exact n-gram Jaccard similarity join: pairs sharing ≥1 shingle, scored
-    * |A∩B| / |A∪B|, kept above `threshold`.
+  /** Exact n-gram Jaccard similarity join: pairs sharing ≥1 rare shingle,
+    * scored |A∩B| / |A∪B| over the df-capped shingle sets, kept above
+    * `threshold`.
     *
-    * The shingle explode + equi-join is the classic inverted-index join: at
-    * scale, frequency-cap hot shingles before joining (a shingle appearing
-    * in k docs contributes k² candidate pairs). */
+    * The shingle explode + equi-join is the classic inverted-index join.
+    * `maxShingleDf` frequency-caps hot shingles BEFORE the join (standard
+    * inverted-index practice): a shingle appearing in k docs contributes k²
+    * candidate rows, so one boilerplate phrase across the corpus turns the
+    * join quadratic. Near-dup pairs still share plenty of rarer shingles;
+    * dropping hot postings makes the score a slight underestimate for pairs
+    * dominated by boilerplate — the price of staying linear at 100 TB. */
   def ngramJaccardPairs(
       df: DataFrame, id: Column, text: Column,
-      threshold: Double, shingleSize: Int = 3): DataFrame = {
+      threshold: Double, shingleSize: Int = 3, maxShingleDf: Int = 128): DataFrame = {
     val toks = df.select(id.as("id"),
       array_distinct(TextOps.shingles(text, shingleSize)).as("shs"))
-    val sizes = toks.select(col("id"), size(col("shs")).as("n_sh"))
-    val sh = toks.select(col("id"), explode(col("shs")).as("sh"))
+    val sh = capBuckets(
+      toks.select(col("id"), explode(col("shs")).as("sh")), Seq("sh"), maxShingleDf)
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val common = sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))

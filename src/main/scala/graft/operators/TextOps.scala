@@ -58,13 +58,14 @@ object TextOps {
 
   /** Composite [0,1] quality score: length saturation + stopword presence +
     * punctuation sanity. Same formula as common web-corpus quality filters
-    * (length/punct/stopword ratios). */
+    * (length/punct/stopword ratios). Truncated (floor) rather than rounded
+    * at the 6th decimal: HALF_UP rounding of a value that lands exactly on
+    * a .5 tie at 1e-6 is engine-dependent, floor of the same double is not. */
   def qualityScore(text: Column): Column =
-    round(
-      least(length(text).cast("double") / 500.0, lit(1.0)) * 0.4 +
+    floor(
+      (least(length(text).cast("double") / 500.0, lit(1.0)) * 0.4 +
         least(stopwordRatio(text) * 5.0, lit(1.0)) * 0.3 +
-        (lit(1.0) - least(punctRatio(text) * 10.0, lit(1.0))) * 0.3,
-      6)
+        (lit(1.0) - least(punctRatio(text) * 10.0, lit(1.0))) * 0.3) * 1e6) / 1e6
 
   /** Whole-document fingerprint: md5 of whitespace-normalized text. */
   def fingerprint(text: Column): Column =

@@ -99,40 +99,89 @@ object VectorOps {
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
+  /** Spherical k-means (cosine metric) over a driver-side sample: assign to
+    * the max-cosine centroid, recompute centroids as the normalized mean of
+    * assigned unit vectors. Deterministic — seeds are the first k sample
+    * vectors, the sample itself is hash-ordered. O(sampleN · k · dims · iters)
+    * driver flops: microseconds next to any cluster job. Empty cells keep
+    * their previous centroid. */
+  private def kmeansCentroids(
+      sample: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    val xs = sample.map(unit)
+    var cents = xs.take(k).map(_.clone())
+    for (_ <- 0 until iters) {
+      val dims = cents(0).length
+      val sums = Array.fill(cents.length)(new Array[Double](dims))
+      val counts = new Array[Int](cents.length)
+      xs.foreach { x =>
+        var best = 0; var bestDot = Double.MinValue
+        var c = 0
+        while (c < cents.length) {
+          var d = 0.0; var i = 0
+          while (i < dims) { d += x(i) * cents(c)(i); i += 1 }
+          if (d > bestDot) { bestDot = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dims) { sums(best)(i) += x(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = cents.indices.map { c =>
+        if (counts(c) > 0) unit(sums(c)) else cents(c)
+      }.toArray
+    }
+    cents
+  }
+
   /** IVF (inverted-file) ANN: partition the corpus into `nCells` Voronoi
     * cells around centroid vectors, then answer queries by probing only the
     * `nProbe` nearest cells.
     *
-    * Centroid seeding is deterministic (the first `nCells` corpus vectors by
-    * id) — a real deployment would k-means them, which only changes the
-    * centroid literals, not the plan shape. Centroids are driver-side
-    * literals, so cell assignment is a pure map stage; the probe is an
-    * equi-join on cell id. Recall/cost knob: nProbe of nCells cells scanned.
-    */
+    * Centroids come from spherical k-means over a deterministic hash-ordered
+    * sample (`sampleN` vectors, `kmeansIters` Lloyd rounds) — driver-side
+    * work, so the centroids become plan literals: cell assignment stays a
+    * pure map stage and the probe an equi-join on cell id.
+    *
+    * Recall knobs: `nProbe` of `nCells` cells scanned per query, and
+    * `assignN`-way corpus multi-assignment (each corpus vector indexed in
+    * its `assignN` best cells — closure assignment, the standard answer to
+    * boundary vectors whose best cell isn't the query's; costs assignN×
+    * index size, not query time). A pair reachable through several probed
+    * cells is deduplicated before ranking. */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
-      nCells: Int = 16, nProbe: Int = 4,
+      nCells: Int = 16, nProbe: Int = 4, assignN: Int = 4,
+      kmeansIters: Int = 5, sampleN: Int = 2048,
       corpusId: String = "vec_id", corpusVec: String = "embedding",
       queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
     graft.functions.NativeHashes.register(corpus.sparkSession)
-    val centroids: Array[Seq[Float]] = corpus
-      .orderBy(col(corpusId)).limit(nCells)
+    val sample: Array[Array[Double]] = corpus
+      .orderBy(xxhash64(col(corpusId)), col(corpusId)).limit(sampleN)
       .select(col(corpusVec)).collect()
-      .map(_.getSeq[Float](0))
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val centroids: Array[Seq[Float]] =
+      kmeansCentroids(sample, math.min(nCells, sample.length), kmeansIters)
+        .map(_.map(_.toFloat).toSeq)
 
     def cellScores(vec: Column): Column = array(
       centroids.zipWithIndex.map { case (c, i) =>
         struct(cosine(vec, typedLit(c)).as("cos"), lit(i).as("cell"))
       }: _*)
 
-    val bucketedCorpus = corpus.withColumn("cell",
-      array_max(cellScores(col(corpusVec))).getField("cell"))
-    // each query probes its nProbe best cells
-    val probes = queries.withColumn("cell",
+    def bestCells(vec: Column, n: Int): Column =
       explode(transform(
-        slice(reverse(array_sort(cellScores(col(queryVec)))), 1, nProbe),
-        s => s.getField("cell"))))
+        slice(reverse(array_sort(cellScores(vec))), 1, n),
+        s => s.getField("cell")))
+
+    val bucketedCorpus = corpus.withColumn("cell", bestCells(col(corpusVec), assignN))
+    // each query probes its nProbe best cells
+    val probes = queries.withColumn("cell", bestCells(col(queryVec), nProbe))
     val scored = bucketedCorpus.join(broadcast(probes), "cell")
+      .dropDuplicates(queryId, corpusId)
       .select(
         col(queryId), col(corpusId),
         round(cosine(col(queryVec), col(corpusVec)), 6).as("cos"))

@@ -76,7 +76,7 @@ object Complex {
           .orderBy(col("n_nationkey"))
       },
       Some("""SELECT n_nationkey, n_name AS name, n_regionkey AS rk,
-             |  MAP([0,1,2,3,4], ['africa','america','asia','europe','mideast'])[n_regionkey] AS region_tag
+             |  MAP([0,1,2,3,4], ['africa','america','asia','europe','mideast'])[n_regionkey][1] AS region_tag
              |FROM nation ORDER BY n_nationkey""".stripMargin),
     ),
 

@@ -88,8 +88,9 @@ object DedupQueries {
 
     QueryDef(
       "q_dedup_ngram",
-      // Exact 3-gram Jaccard similarity join (inverted-index explode+join),
-      // threshold 0.3 — catches the planted near-copies exactly.
+      // Exact 3-gram Jaccard similarity join (inverted-index explode+join)
+      // with the df-128 hot-shingle cap, threshold 0.3 — catches the planted
+      // near-copies exactly. The oracle applies the identical cap.
       (s, dir) => {
         Dedup.ngramJaccardPairs(plantedCorpus(s, dir), col("doc_id"), col("text"), threshold = 0.3)
           .orderBy(col("id1"), col("id2"))
@@ -101,12 +102,14 @@ object DedupQueries {
               |      range(1, greatest(len(string_split_regex(trim(lower(text)), '\\s+')) - 2, 1) + 1),
               |      i -> array_to_string((string_split_regex(trim(lower(text)), '\\s+'))[i:i+2], ' '))) AS shs
               |  FROM corpus),
-              |sh AS (SELECT doc_id, unnest(shs) AS sh FROM toks),
+              |sh0 AS (SELECT doc_id, unnest(shs) AS sh FROM toks),
+              |sh AS (SELECT sh0.doc_id, sh0.sh FROM sh0
+              |       JOIN (SELECT sh FROM sh0 GROUP BY sh HAVING COUNT(*) <= 128) rare USING (sh)),
               |common AS (
               |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_common
               |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
               |  GROUP BY 1, 2),
-              |sizes AS (SELECT doc_id, len(shs) AS n_sh FROM toks)
+              |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id)
               |SELECT id1, id2, n_common,
               |  round(CAST(n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - n_common), 6) AS jaccard
               |FROM common

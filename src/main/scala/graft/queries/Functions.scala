@@ -134,7 +134,7 @@ object Functions {
              |  CAST(dayofweek(o_orderdate) AS INT) AS dow,
              |  CAST(quarter(o_orderdate) AS INT) AS qtr,
              |  CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS month_start,
-             |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS VARCHAR) AS plus30,
+             |  CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS VARCHAR) AS plus30,
              |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since,
              |  CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end
              |FROM orders WHERE o_custkey < 300 ORDER BY o_orderkey""".stripMargin),

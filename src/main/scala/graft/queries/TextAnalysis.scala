@@ -67,12 +67,12 @@ object TextAnalysis {
               |  round(CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"()-]', '', 'g')) AS DOUBLE)
               |        / greatest(length(text), 1), 6) AS punct_ratio,
               |  round(CAST($dkEn AS DOUBLE) / greatest(len($dkTokens), 1), 6) AS stopword_ratio,
-              |  round(
-              |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4 +
+              |  floor(
+              |    (least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4 +
               |    least((CAST($dkEn AS DOUBLE) / greatest(len($dkTokens), 1)) * 5.0, 1.0) * 0.3 +
               |    (1.0 - least((CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"()-]', '', 'g')) AS DOUBLE)
-              |                  / greatest(length(text), 1)) * 10.0, 1.0)) * 0.3,
-              |    6) AS quality
+              |                  / greatest(length(text), 1)) * 10.0, 1.0)) * 0.3)
+              |    * 1e6) / 1e6 AS quality
               |FROM documents ORDER BY doc_id""".stripMargin),
     ),
 

@@ -26,6 +26,30 @@ class GraftExtensionsSpec extends AnyFunSuite {
       // determinism across calls
       val again = spark.sql("SELECT minhash_signature(array('a','b','c'), 4) AS mh").collect()(0)
       assert(again.getSeq[Long](0) == row.getSeq[Long](2))
+
+      // typed getters are TRY-cast: a type-mismatched value yields NULL even
+      // under ANSI mode (Spark 4 default), matching datafusion-functions-json
+      val tryRow = spark.sql(
+        """SELECT json_get_int('{"a": "not-a-number"}', 'a') AS i,
+          |       json_get_float('{"a": "x"}', 'a') AS f,
+          |       json_get_bool('{"a": 17}', 'a') AS b""".stripMargin).collect()(0)
+      assert(tryRow.isNullAt(0) && tryRow.isNullAt(1) && tryRow.isNullAt(2))
+
+      // json_contains is key EXISTENCE: a key holding JSON null still exists;
+      // a missing key (or missing parent) does not; array indices are bounds
+      val cRow = spark.sql(
+        """SELECT json_contains('{"a": null}', 'a') AS has_null_val,
+          |       json_contains('{"a": 1}', 'b') AS missing_key,
+          |       json_contains('{"a": {"b": 2}}', 'a', 'b') AS nested_hit,
+          |       json_contains('{"a": 1}', 'x', 'b') AS missing_parent,
+          |       json_contains('[10, 20]', 1) AS idx_in,
+          |       json_contains('[10, 20]', 2) AS idx_out""".stripMargin).collect()(0)
+      assert(cRow.getBoolean(0), "key with JSON null value must exist")
+      assert(!cRow.getBoolean(1))
+      assert(cRow.getBoolean(2))
+      assert(!cRow.getBoolean(3))
+      assert(cRow.getBoolean(4))
+      assert(!cRow.getBoolean(5))
     } finally spark.stop()
   }
 }

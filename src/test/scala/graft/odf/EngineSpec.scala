@@ -260,6 +260,52 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.schema("op").dataType == IntegerType)
   }
 
+  test("unsigned UINT32 op column is narrowed to Int32 (A8, engine.rs:351-362)") {
+    // Spark reads parquet UINT32 as LongType, so the unsignedness is only
+    // visible in the footer; the input scan must narrow it (a computed
+    // bigint op stays rejected — previous test). Fixture written with raw
+    // parquet-mr so the op column is genuinely INT(32, unsigned).
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.hadoop.util.HadoopOutputFile
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+
+    val dir = tempDir()
+    val file = dir.resolve("input.parquet")
+    val schema = Types.buildMessage()
+      .required(INT64).named("offset")
+      .required(INT32).as(LogicalTypeAnnotation.intType(32, false)).named("op")
+      .required(INT64)
+      .as(LogicalTypeAnnotation.timestampType(true, LogicalTypeAnnotation.TimeUnit.MILLIS))
+      .named("system_time")
+      .required(INT64)
+      .as(LogicalTypeAnnotation.timestampType(true, LogicalTypeAnnotation.TimeUnit.MILLIS))
+      .named("event_time")
+      .required(BINARY).as(LogicalTypeAnnotation.stringType()).named("city")
+      .named("spark_schema")
+    val writer = ExampleParquetWriter.builder(HadoopOutputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.toUri), new org.apache.hadoop.conf.Configuration()))
+      .withType(schema).build()
+    val f = new SimpleGroupFactory(schema)
+    val stMs = ts("2023-02-01T00:00:00Z").getTime
+    val etMs = ts("2023-01-01T00:00:00Z").getTime
+    try Seq((0L, 0, "vancouver"), (1L, 2, "seattle"), (2L, 3, "seattle")).foreach {
+      case (off, op, city) =>
+        writer.write(f.newGroup()
+          .append("offset", off).append("op", op)
+          .append("system_time", stMs).append("event_time", etMs)
+          .append("city", city))
+    } finally writer.close()
+
+    val res = engine.executeTransform(mkRequest(
+      dir, Seq(SqlQueryStep.output("select event_time, op, city from foo"))))
+    assert(res.isRight, res)
+    val df = spark.read.parquet(dir.resolve("output.parquet").toString)
+    assert(df.schema("op").dataType == IntegerType)
+    assert(df.orderBy("offset").collect().map(_.getAs[Int]("op")).toSeq == Seq(0, 2, 3))
+  }
+
   test("missing event-time → InvalidQuery (engine.rs:459-473)") {
     val dir = tempDir()
     val res = engine.executeTransform(mkRequest(dir, Seq(SqlQueryStep.output(

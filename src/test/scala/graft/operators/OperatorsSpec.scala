@@ -163,7 +163,10 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     for (q <- 0L until 5L) assert(ivf.contains((q, q)), s"query $q lost its own vector")
     val recall = brute.intersect(ivf).size.toDouble / brute.size
     info(f"IVF recall@10 vs brute force (4/16 cells probed): $recall%.2f")
-    assert(recall > 0.0)
+    // k-means centroids + 4-way closure assignment; uniform random vectors
+    // are the worst case for IVF, so this bound is conservative for real
+    // (clustered) embedding corpora
+    assert(recall >= 0.95, f"IVF recall@10 regressed: $recall%.2f < 0.95")
   }
 
   test("multimodal decode stub: features are a normalized 16-bin histogram") {
@@ -188,6 +191,31 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       val len = r.getAs[Int]("len")
       assert(r.getAs[Int]("n_frames") == math.max((len + 3) / 4, 1))
       assert(r.getAs[Int]("resized_len") == 64)
+    }
+  }
+
+  test("approx sketches: HLL within 5% and t-digest median within 1% of exact (sf0.01)") {
+    // Same shapes as q_approx_distinct / q_approx_percentile, checked
+    // against the exact values so "approx" isn't "unchecked".
+    val li = Tables.table(spark, "/root/testdata/sf0.01", "lineitem")
+    val exact = li.groupBy(col("l_returnflag")).agg(
+      countDistinct(col("l_partkey")).as("nd"),
+      expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.5)").as("p50"))
+    val approx = li.groupBy(col("l_returnflag")).agg(
+      approx_count_distinct(col("l_partkey")).as("a_nd"),
+      percentile_approx(col("l_extendedprice").cast("double"), lit(0.5), lit(1000)).as("a_p50"))
+    val rows = exact.join(approx, "l_returnflag").collect()
+    assert(rows.length == 3)
+    for (r <- rows) {
+      val flag = r.getAs[String]("l_returnflag")
+      val nd = r.getAs[Long]("nd").toDouble
+      val aNd = r.getAs[Long]("a_nd").toDouble
+      assert(math.abs(aNd - nd) / nd <= 0.05,
+        f"$flag: HLL ${aNd}%.0f vs exact ${nd}%.0f — error ${math.abs(aNd - nd) / nd}%.3f > 5%%")
+      val p50 = r.getAs[Double]("p50")
+      val aP50 = r.getAs[Double]("a_p50")
+      assert(math.abs(aP50 - p50) / p50 <= 0.01,
+        f"$flag: approx median $aP50%.2f vs exact $p50%.2f — error ${math.abs(aP50 - p50) / p50}%.4f > 1%%")
     }
   }
 }
