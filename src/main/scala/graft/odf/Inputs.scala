@@ -27,7 +27,13 @@ object Inputs {
 
     val df = input.offsetInterval match {
       case Some(iv) =>
-        spark.read.parquet(input.dataPaths: _*)
+        // Schema evolution across slices is a CHOSEN behavior, not an
+        // accident of file listing order (the reference left it open —
+        // `TODO: Schema evolution`, engine.rs:235): mergeSchema unions the
+        // footers, so a column added in a later slice exists everywhere and
+        // reads as NULL from older slices. Cost is one footer per file
+        // (a parallel metadata job), not data.
+        spark.read.option("mergeSchema", "true").parquet(input.dataPaths: _*)
           .filter(col(input.vocab.offsetColumn).between(lit(iv.start), lit(iv.end)))
       case None =>
         // A2: empty input — schema file gives the shape, filter(false) the

@@ -70,12 +70,15 @@ object Dedup {
       .distinct()
   }
 
-  /** Drop groups larger than `cap` (skew guard for candidate generation). */
+  /** Drop groups larger than `cap` (skew guard for candidate generation).
+    * Window-count formulation: one shuffle on the group keys, versus the
+    * aggregate-then-self-join version which shuffles twice AND recomputes
+    * the (expensive) upstream signature subtree for both sides. */
   private def capBuckets(df: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
-    val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__bucket_n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+    df.withColumn("__bucket_n", count(lit(1)).over(w))
       .filter(col("__bucket_n") <= cap)
       .drop("__bucket_n")
-    df.join(counts, keys)
   }
 
   /** End-to-end MinHash+LSH near-dup candidates over a text column. */

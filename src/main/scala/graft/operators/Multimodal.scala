@@ -34,24 +34,64 @@ object Multimodal {
         length(col("text")).as("n_bytes"),
         col("lang").as("lang")).as("meta"))
 
-  /** STUB decode: real implementation would run an image/audio codec here
-    * (e.g. JPEG → pixels). Deterministic fake: 16-bin byte histogram,
-    * L1-normalized to a feature vector. Runs per-partition (batch-shaped),
-    * schema declared up front — exactly the plumbing a real decoder needs. */
-  def decodeFeatures(mm: DataFrame): DataFrame = {
+  /** L1-normalized 16-bin byte histogram — the deterministic stand-in for
+    * payloads with no decodable codec. */
+  private[operators] def byteHistogram(bytes: Array[Byte]): Array[Float] = {
+    val hist = new Array[Float](FeatureBins)
+    var i = 0
+    while (i < bytes.length) { hist((bytes(i) & 0xff) / (256 / FeatureBins)) += 1f; i += 1 }
+    val total = math.max(bytes.length, 1).toFloat
+    var b = 0
+    while (b < FeatureBins) { hist(b) /= total; b += 1 }
+    hist
+  }
+
+  /** L1-normalized 16-bin LUMINANCE histogram of a decoded image — a real
+    * pixel-level feature (Rec.601 luma per pixel, binned). */
+  private[operators] def luminanceHistogram(img: java.awt.image.BufferedImage): Array[Float] = {
+    val hist = new Array[Float](FeatureBins)
+    val (w, h) = (img.getWidth, img.getHeight)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = (0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+          0.114 * (rgb & 0xff)).toInt
+        hist(math.min(lum, 255) / (256 / FeatureBins)) += 1f
+        x += 1
+      }
+      y += 1
+    }
+    val total = math.max(w * h, 1).toFloat
+    var b = 0
+    while (b < FeatureBins) { hist(b) /= total; b += 1 }
+    hist
+  }
+
+  /** Decode stage: payload bytes → 16-bin feature vector, per-partition
+    * (batch-shaped), schema declared up front.
+    *
+    * When `tryImageCodec` is set, payloads are first decoded with
+    * `javax.imageio` (JDK built-in codecs: PNG/BMP/GIF/JPEG — no external
+    * native libs needed) and featurized as a pixel luminance histogram; any
+    * payload ImageIO can't parse falls back to the deterministic byte
+    * histogram STUB (media codecs beyond the JDK's are not available in this
+    * environment). The plumbing — opaque binary column in, fixed-length
+    * float vector out, one partition = one batch — is identical either way,
+    * which is the part that matters at 100 TB. */
+  def decodeFeatures(mm: DataFrame, tryImageCodec: Boolean = false): DataFrame = {
     val outSchema = StructType(mm.schema.fields :+
       StructField("features", ArrayType(FloatType, containsNull = false), nullable = false))
     val payloadIdx = mm.schema.fieldIndex("payload")
     mm.mapPartitions { rows =>
       rows.map { row =>
         val bytes = row.getAs[Array[Byte]](payloadIdx)
-        // ??? <- real codec call goes here; deterministic stand-in below
-        val hist = new Array[Float](FeatureBins)
-        var i = 0
-        while (i < bytes.length) { hist((bytes(i) & 0xff) / (256 / FeatureBins)) += 1f; i += 1 }
-        val total = math.max(bytes.length, 1).toFloat
-        var b = 0
-        while (b < FeatureBins) { hist(b) /= total; b += 1 }
+        val img =
+          if (!tryImageCodec) null
+          else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case _: java.io.IOException => null }
+        val hist = if (img != null) luminanceHistogram(img) else byteHistogram(bytes)
         Row.fromSeq(row.toSeq :+ hist.toSeq)
       }
     }(RowEncoder.encoderFor(outSchema))

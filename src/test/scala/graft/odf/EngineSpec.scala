@@ -306,6 +306,50 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.orderBy("offset").collect().map(_.getAs[Int]("op")).toSeq == Seq(0, 2, 3))
   }
 
+  test("schema evolution: column added in a later slice reads as NULL from older slices") {
+    // The reference leaves this open (`TODO: Schema evolution`,
+    // engine.rs:235); our chosen behavior is footer-merge: the input schema
+    // is the union of slice schemas, old slices yield NULL for new columns.
+    val dir = tempDir()
+    val st = ts("2023-02-01T00:00:00Z")
+    val et = ts("2023-01-01T00:00:00Z")
+    val oldSchema = StructType(Seq(
+      StructField("offset", LongType, nullable = false),
+      StructField("op", IntegerType, nullable = false),
+      StructField("system_time", TimestampType, nullable = false),
+      StructField("event_time", TimestampType, nullable = false),
+      StructField("city", StringType, nullable = false),
+    ))
+    val newSchema = oldSchema.add(StructField("population", LongType, nullable = false))
+    writeOneFile(oldSchema, Seq(
+      Row(0L, 0, st, et, "vancouver"),
+      Row(1L, 0, st, et, "seattle")), dir.resolve("slice0.parquet"))
+    writeOneFile(newSchema, Seq(
+      Row(2L, 0, st, et, "kyiv", 2884000L),
+      Row(3L, 0, st, et, "odesa", 1015000L)), dir.resolve("slice1.parquet"))
+
+    val req = mkRequest(
+      dir, Seq(SqlQueryStep.output("select event_time, city, population from foo")),
+      offsetInterval = Some(OffsetInterval(0, 3)))
+      .copy(queryInputs = Seq(TransformRequestInput(
+        datasetId = "did:odf:foo", datasetAlias = "foo", queryAlias = "foo",
+        vocab = DatasetVocabulary(),
+        offsetInterval = Some(OffsetInterval(0, 3)),
+        dataPaths = Seq(dir.resolve("slice0.parquet").toString, dir.resolve("slice1.parquet").toString),
+        schemaFile = dir.resolve("slice1.parquet").toString,
+        explicitWatermarks = Nil)))
+    val res = engine.executeTransform(req)
+    assert(res.isRight, res)
+    val rows = spark.read.parquet(dir.resolve("output.parquet").toString)
+      .orderBy("event_time", "city").collect()
+    assert(rows.length == 4)
+    val byCity = rows.map(r => r.getAs[String]("city") ->
+      (if (r.isNullAt(r.fieldIndex("population"))) None else Some(r.getAs[Long]("population")))).toMap
+    assert(byCity("vancouver").isEmpty && byCity("seattle").isEmpty,
+      "old-slice rows must read the new column as NULL")
+    assert(byCity("kyiv").contains(2884000L) && byCity("odesa").contains(1015000L))
+  }
+
   test("missing event-time → InvalidQuery (engine.rs:459-473)") {
     val dir = tempDir()
     val res = engine.executeTransform(mkRequest(dir, Seq(SqlQueryStep.output(

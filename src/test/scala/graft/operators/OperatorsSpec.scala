@@ -194,6 +194,31 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("multimodal decode: real PNG decoded via javax.imageio; non-image falls back to stub") {
+    import java.awt.image.BufferedImage
+    // 8×8 checkerboard: half the pixels pure white (luma bin 15), half pure
+    // black (bin 0) — an exactly predictable luminance histogram
+    val img = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 8; y <- 0 until 8)
+      img.setRGB(x, y, if ((x + y) % 2 == 0) 0xFFFFFF else 0x000000)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+
+    import spark.implicits._
+    val mm = Seq((1L, png), (2L, "not an image".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val out = Multimodal.decodeFeatures(mm, tryImageCodec = true)
+      .select(col("doc_id"), col("features")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val f1 = out(1L)
+    assert(math.abs(f1(0) - 0.5f) < 1e-3, s"black bin: ${f1(0)}")
+    assert(math.abs(f1(15) - 0.5f) < 1e-3, s"white bin: ${f1(15)}")
+    assert(math.abs(f1.sum - 1.0f) < 1e-3)
+    val f2 = out(2L)
+    assert(f2.toArray.sameElements(Multimodal.byteHistogram("not an image".getBytes("UTF-8"))),
+      "non-image payload must fall back to the byte-histogram stub")
+  }
+
   test("approx sketches: HLL within 5% and t-digest median within 1% of exact (sf0.01)") {
     // Same shapes as q_approx_distinct / q_approx_percentile, checked
     // against the exact values so "approx" isn't "unchecked".
