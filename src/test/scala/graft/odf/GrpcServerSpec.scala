@@ -1,0 +1,219 @@
+package graft.odf
+
+import java.nio.file.Files
+import java.util.concurrent.{CompletableFuture, TimeUnit}
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.datatype.jsr310.JavaTimeModule
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+import io.netty.bootstrap.Bootstrap
+import io.netty.buffer.Unpooled
+import io.netty.channel._
+import io.netty.channel.nio.NioIoHandler
+import io.netty.channel.socket.nio.NioSocketChannel
+import io.netty.handler.codec.http2._
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.odf.server.{GrpcWire, OdfGrpcServer}
+
+/** Wire round-trip for the gRPC transport: a hand-rolled netty HTTP/2
+  * (h2c prior-knowledge) client calls both methods against the reference's
+  * request shapes — raw-query ingest and ledger transform — plus the
+  * structured-error and transport-error paths, and unit checks of the
+  * gRPC/protobuf byte layer. */
+class GrpcServerSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  // --- byte-layer unit tests (no I/O) ---
+
+  test("gRPC frame round-trip, including multi-message bodies") {
+    val a = Array[Byte](1, 2, 3)
+    val b = Array.fill[Byte](300)(7) // length needs two bytes
+    val body = GrpcWire.frame(a) ++ GrpcWire.frame(b)
+    val out = GrpcWire.unframe(body)
+    assert(out.length == 2)
+    assert(out(0).sameElements(a) && out(1).sameElements(b))
+    assert(GrpcWire.unframe(Array.emptyByteArray).isEmpty)
+  }
+
+  test("protobuf envelope round-trip; unknown fields are skipped") {
+    val payload = Array.tabulate[Byte](200)(_.toByte) // varint length > 0x7f
+    val enc = GrpcWire.encodeEnvelope(payload)
+    assert(GrpcWire.decodeEnvelope(enc).sameElements(payload))
+    // prepend unknown field 2 (varint 5) and field 3 (LEN "xy")
+    val withUnknown = Array[Byte](0x10, 5, 0x1a, 2, 'x', 'y') ++ enc
+    assert(GrpcWire.decodeEnvelope(withUnknown).sameElements(payload))
+    assert(GrpcWire.decodeEnvelope(Array.emptyByteArray).isEmpty)
+  }
+
+  // --- end-to-end over a real socket ---
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-grpc-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  lazy val server: OdfGrpcServer = {
+    val s = new OdfGrpcServer(new Engine(spark), port = 0)
+    s.start()
+    s
+  }
+
+  override def afterAll(): Unit = {
+    server.stop()
+    spark.stop()
+  }
+
+  private val mapper = new ObjectMapper()
+    .registerModule(DefaultScalaModule)
+    .registerModule(new JavaTimeModule())
+
+  /** One gRPC call over a fresh h2c connection; returns (grpc-status,
+    * decoded response payloads). */
+  private def call(method: String, payload: Array[Byte]): (Int, Seq[Array[Byte]]) = {
+    val group = new MultiThreadIoEventLoopGroup(NioIoHandler.newFactory())
+    try {
+      val done = new CompletableFuture[(Int, Array[Byte])]()
+      val ch = new Bootstrap().group(group).channel(classOf[NioSocketChannel])
+        .handler(new ChannelInitializer[Channel] {
+          override def initChannel(c: Channel): Unit = {
+            c.pipeline().addLast(Http2FrameCodecBuilder.forClient().build())
+            c.pipeline().addLast(new Http2MultiplexHandler(new ChannelInboundHandlerAdapter()))
+          }
+        })
+        .connect("127.0.0.1", server.boundPort).sync().channel()
+
+      val streamHandler = new ChannelInboundHandlerAdapter {
+        private val buf = Unpooled.compositeBuffer()
+        private var status = -1
+        override def channelRead(ctx: ChannelHandlerContext, msg: Any): Unit = msg match {
+          case h: Http2HeadersFrame =>
+            val s = h.headers.get("grpc-status")
+            if (s != null) status = String.valueOf(s).toInt
+            if (h.isEndStream) finish()
+          case d: Http2DataFrame =>
+            buf.addComponent(true, d.content.retain())
+            d.release()
+            if (d.isEndStream) finish()
+          case other => io.netty.util.ReferenceCountUtil.release(other)
+        }
+        private def finish(): Unit = {
+          val bytes = new Array[Byte](buf.readableBytes())
+          buf.readBytes(bytes)
+          buf.release()
+          done.complete((status, bytes))
+          ()
+        }
+      }
+
+      val stream = new Http2StreamChannelBootstrap(ch).handler(streamHandler).open().sync().getNow
+      val headers = new DefaultHttp2Headers()
+        .method("POST").scheme("http").path(method)
+        .authority(s"127.0.0.1:${server.boundPort}")
+        .set("content-type", "application/grpc")
+        .set("te", "trailers")
+      stream.write(new DefaultHttp2HeadersFrame(headers))
+      stream.writeAndFlush(new DefaultHttp2DataFrame(
+        Unpooled.wrappedBuffer(GrpcWire.frame(GrpcWire.encodeEnvelope(payload))), true))
+
+      val (status, body) = done.get(180, TimeUnit.SECONDS)
+      ch.close().sync()
+      (status, GrpcWire.unframe(body).map(GrpcWire.decodeEnvelope))
+    } finally { group.shutdownGracefully(); () }
+  }
+
+  private def jsonCall(method: String, request: AnyRef): (Int, String) = {
+    val (status, msgs) = call(method, mapper.writeValueAsBytes(request))
+    (status, msgs.headOption.map(new String(_, "UTF-8")).getOrElse(""))
+  }
+
+  test("ExecuteRawQuery round-trip: ingest query over a parquet input (grpc.rs:80-134)") {
+    val dir = Files.createTempDirectory("graft-grpc-raw")
+    val schema = StructType(Seq(
+      StructField("city", StringType, nullable = false),
+      StructField("population", LongType, nullable = false)))
+    val rows = Seq(Row("vancouver", 675000L), Row("seattle", 733000L), Row("kyiv", 2884000L))
+    ParquetSink.writeSingleFile(
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema),
+      dir.resolve("input.parquet").toString)
+
+    val req = RawQueryRequest(
+      inputDataPaths = Seq(dir.resolve("input.parquet").toString),
+      queries = Seq(SqlQueryStep.output("select city, population from input where population > 700000")),
+      outputDataPath = dir.resolve("out.parquet").toString)
+    val (status, body) = jsonCall("/engine.Engine/ExecuteRawQuery", req)
+    assert(status == 0, s"grpc-status $status, body: $body")
+    assert(body == """{"success":{"numRecords":2}}""", body)
+    assert(spark.read.parquet(dir.resolve("out.parquet").toString).count() == 2)
+  }
+
+  test("ExecuteTransform round-trip: ledger transform with system columns (grpc.rs:137-178)") {
+    val dir = Files.createTempDirectory("graft-grpc-tx")
+    val schema = StructType(Seq(
+      StructField("offset", LongType, nullable = false),
+      StructField("op", IntegerType, nullable = false),
+      StructField("system_time", TimestampType, nullable = false),
+      StructField("event_time", TimestampType, nullable = false),
+      StructField("city", StringType, nullable = false),
+      StructField("population", LongType, nullable = false)))
+    val st = java.sql.Timestamp.from(java.time.Instant.parse("2023-02-01T00:00:00Z"))
+    val et = java.sql.Timestamp.from(java.time.Instant.parse("2023-01-01T00:00:00Z"))
+    val rows = Seq(
+      Row(0L, 0, st, et, "vancouver", 675000L),
+      Row(1L, 0, st, et, "seattle", 733000L))
+    ParquetSink.writeSingleFile(
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema),
+      dir.resolve("input.parquet").toString)
+
+    val req = TransformRequest(
+      datasetId = "did:odf:test",
+      datasetAlias = "test",
+      systemTime = java.time.Instant.parse("2023-03-01T00:00:00Z"),
+      vocab = DatasetVocabulary(),
+      queries = Seq(SqlQueryStep.output(
+        "select event_time, city, population + 100 as population from foo")),
+      queryInputs = Seq(TransformRequestInput(
+        datasetId = "did:odf:foo", datasetAlias = "foo", queryAlias = "foo",
+        vocab = DatasetVocabulary(),
+        offsetInterval = Some(OffsetInterval(0, 1)),
+        dataPaths = Seq(dir.resolve("input.parquet").toString),
+        schemaFile = dir.resolve("input.parquet").toString,
+        explicitWatermarks = Nil)),
+      nextOffset = 10,
+      newDataPath = dir.resolve("out.parquet").toString)
+    val (status, body) = jsonCall("/engine.Engine/ExecuteTransform", req)
+    assert(status == 0, s"grpc-status $status, body: $body")
+    assert(body == """{"success":{"newOffsetInterval":{"start":10,"end":11},"newWatermark":null}}""", body)
+    val out = spark.read.parquet(dir.resolve("out.parquet").toString).orderBy("offset").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(10L, 11L))
+    assert(out.map(_.getAs[Long]("population")).toSeq == Seq(675100L, 733100L))
+  }
+
+  test("structured engine error rides inside the response message, grpc-status stays 0") {
+    val dir = Files.createTempDirectory("graft-grpc-err")
+    val schema = StructType(Seq(StructField("city", StringType, nullable = false)))
+    ParquetSink.writeSingleFile(
+      spark.createDataFrame(spark.sparkContext.parallelize(Seq(Row("kyiv")), 1), schema),
+      dir.resolve("input.parquet").toString)
+    val req = RawQueryRequest(
+      inputDataPaths = Seq(dir.resolve("input.parquet").toString),
+      queries = Seq(SqlQueryStep.output("select nope from input")),
+      outputDataPath = dir.resolve("out.parquet").toString)
+    val (status, body) = jsonCall("/engine.Engine/ExecuteRawQuery", req)
+    assert(status == 0)
+    assert(body.startsWith("""{"invalidQuery":"""), body)
+  }
+
+  test("transport errors: unknown method is UNIMPLEMENTED(12), undecodable payload is UNKNOWN(2)") {
+    val (s1, _) = call("/engine.Engine/NoSuchMethod", Array[Byte](1))
+    assert(s1 == 12)
+    // framing/envelope decode fine but the payload isn't a valid request
+    val (s2, _) = call("/engine.Engine/ExecuteRawQuery", Array[Byte]('n', 'o', 'p', 'e'))
+    assert(s2 == 2)
+  }
+}
