@@ -55,6 +55,23 @@ class PropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("A10 plan: default strategy keeps the upstream scan parallel (no stage collapse)") {
+    // Round-1 verdict: coalesce(1) in the windowed path dragged the whole
+    // upstream stage into one task. The default (zipWithIndex) must number
+    // rows while leaving the scan/filter stages at their native parallelism.
+    val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          (0 until 1000).map(i => org.apache.spark.sql.Row(i.toLong)), 8),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("payload", org.apache.spark.sql.types.LongType, false))))
+      .withColumn("event_time", lit(java.sql.Timestamp.from(t0)))
+    val stamped = SystemColumns.withSystemColumns(df, vocab, t0, 0L)
+    assert(stamped.rdd.getNumPartitions == 8,
+      s"default offset strategy collapsed parallelism: ${stamped.rdd.getNumPartitions} partition(s)")
+    val windowed = SystemColumns.withSystemColumns(df, vocab, t0, 0L, SystemColumns.WindowedOffsets)
+    assert(windowed.rdd.getNumPartitions == 1, "parity path is intentionally single-partition")
+  }
+
   test("A15 property: watermark is min over inputs of max per input; empties skipped; monotone") {
     for (_ <- 1 to 100) {
       val inputsWms = List.fill(1 + rnd.nextInt(4))(
