@@ -33,6 +33,11 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (warm) run(name, fn)
+      // steady-state hygiene: don't charge this query for the previous
+      // query's garbage (measured: a 600k-row sort reads 2.4s isolated but
+      // 10s mid-sweep without this)
+      spark.catalog.clearCache()
+      System.gc()
       val t0 = System.nanoTime()
       run(name, fn)
       name -> (System.nanoTime() - t0) / 1e9
