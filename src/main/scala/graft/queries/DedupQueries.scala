@@ -118,5 +118,63 @@ object DedupQueries {
               |WHERE CAST(n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - n_common) >= 0.3
               |ORDER BY id1, id2""".stripMargin),
     ),
+
+    QueryDef(
+      "q_dedup_clean",
+      // End-to-end corpus cleaning: exact-fingerprint pairs ∪ df-capped
+      // ngram-Jaccard pairs → connected components → keep the min-id
+      // representative per cluster. The planted graph is multi-hop (id ↔
+      // id+100000 via identical fingerprint, id ↔ id+200000 only via
+      // Jaccard), so transitive closure is genuinely exercised; the DuckDB
+      // oracle computes the same closure with a recursive CTE.
+      (s, dir) => {
+        val corpus = plantedCorpus(s, dir)
+        val fp = corpus.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        val fpPairs = fp.as("a").join(fp.as("b"),
+            col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        val nearPairs = Dedup
+          .ngramJaccardPairs(corpus, col("doc_id"), col("text"), threshold = 0.3)
+          .select(col("id1"), col("id2"))
+        Dedup.removeDuplicates(corpus, col("doc_id"), fpPairs.unionAll(nearPairs).distinct())
+          .select(col("doc_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE corpus AS ($dkCorpus),
+              |toks AS (
+              |  SELECT doc_id,
+              |    list_distinct(list_transform(
+              |      range(1, greatest(len(string_split_regex(trim(lower(text)), '\\s+')) - 2, 1) + 1),
+              |      i -> array_to_string((string_split_regex(trim(lower(text)), '\\s+'))[i:i+2], ' '))) AS shs
+              |  FROM corpus),
+              |sh0 AS (SELECT doc_id, unnest(shs) AS sh FROM toks),
+              |sh AS (SELECT sh0.doc_id, sh0.sh FROM sh0
+              |       JOIN (SELECT sh FROM sh0 GROUP BY sh HAVING COUNT(*) <= 128) rare USING (sh)),
+              |common AS (
+              |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_common
+              |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+              |near AS (
+              |  SELECT id1, id2 FROM common
+              |  JOIN sizes s1 ON id1 = s1.doc_id
+              |  JOIN sizes s2 ON id2 = s2.doc_id
+              |  WHERE CAST(n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - n_common) >= 0.3),
+              |fps AS (SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+              |        FROM corpus),
+              |fpp AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+              |        FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+              |pairs AS (SELECT id1, id2 FROM fpp UNION SELECT id1, id2 FROM near),
+              |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+              |          UNION SELECT id2, id1 FROM pairs),
+              |reach AS (
+              |  SELECT a, b FROM edges
+              |  UNION
+              |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a),
+              |rep AS (
+              |  SELECT c.doc_id, least(c.doc_id, coalesce(min(r.b), c.doc_id)) AS rep
+              |  FROM corpus c LEFT JOIN reach r ON r.a = c.doc_id GROUP BY c.doc_id)
+              |SELECT doc_id FROM rep WHERE doc_id = rep ORDER BY doc_id""".stripMargin),
+    ),
   )
 }

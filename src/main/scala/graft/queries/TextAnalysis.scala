@@ -136,6 +136,37 @@ object TextAnalysis {
     ),
 
     QueryDef(
+      "q_text_redact",
+      // PII redaction: plant a deterministic email + phone per doc, strip
+      // both with the same regexes on both sides (RE2-compatible subset so
+      // Java regex and DuckDB RE2 agree).
+      (s, dir) => {
+        docs(s, dir)
+          .select(col("doc_id"),
+            concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com or 555-123-4567 now")).as("dirty"))
+          .select(
+            col("doc_id"),
+            length(col("dirty")).as("n_dirty"),
+            regexp_replace(
+              regexp_replace(col("dirty"),
+                "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "[EMAIL]"),
+              "\\b\\d{3}-\\d{3}-\\d{4}\\b", "[PHONE]").as("clean"))
+          .withColumn("n_clean", length(col("clean")))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, n_dirty, clean, CAST(length(clean) AS INT) AS n_clean FROM (
+             |  SELECT doc_id, CAST(length(dirty) AS INT) AS n_dirty,
+             |    regexp_replace(
+             |      regexp_replace(dirty, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '[EMAIL]', 'g'),
+             |      '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g') AS clean
+             |  FROM (SELECT doc_id,
+             |          text || ' contact user' || doc_id || '@example.com or 555-123-4567 now' AS dirty
+             |        FROM documents))
+             |ORDER BY doc_id""".stripMargin),
+    ),
+
+    QueryDef(
       "q_text_lang_stats",
       // Aggregate shape: predicted-language distribution vs labeled lang.
       (s, dir) => {
