@@ -16,7 +16,7 @@ import org.apache.spark.sql.SparkSession
   * the normalization casts, and the system-column projections all fuse into
   * one optimized plan with pushdown reaching the parquet scans.
   */
-class Engine(base: SparkSession, offsetStrategy: SystemColumns.OffsetStrategy = SystemColumns.ZipWithIndexOffsets) {
+class Engine(base: SparkSession, offsetStrategy: SystemColumns.OffsetStrategy = SystemColumns.PrefixSumOffsets) {
 
   OdfSessions.configureBase(base)
 

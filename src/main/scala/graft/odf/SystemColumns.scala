@@ -23,31 +23,42 @@ import org.apache.spark.sql.types.LongType
   * for free from `target_partitions = 1`. Offset numbering is inherently a
   * serial decision, but the work feeding it must not be:
   *
-  *   - `zipWithIndex` (DEFAULT, scale path): RDD `zipWithIndex` numbers rows
-  *     by (partition index, position in partition) — one extra count job, but
-  *     the scan/filter/SQL stages run fully parallel and the data never
-  *     collapses to one partition until the single-file sink (the ODF
-  *     contract's real serial point). This is the plan that survives a
-  *     100 TB input.
+  *   - `prefixSum` (DEFAULT, scale path): per-partition row counts (one tiny
+  *     extra job) → driver-side prefix sums → offset computed map-side as
+  *     `prefix(partition) + intra-partition index`, where the intra index is
+  *     recovered from `monotonically_increasing_id()`'s documented layout
+  *     (partition id in the upper bits, per-partition counter in the lower
+  *     33). No shuffle, no RDD round-trip, stays columnar inside whole-stage
+  *     codegen; scan/filter/SQL stages keep native parallelism. This is the
+  *     plan that survives a 100 TB input.
+  *   - `zipWithIndex` (scale path, RDD formulation): same numbering via RDD
+  *     `zipWithIndex` — also one extra count job, but forces a
+  *     row-serialization round-trip out of Tungsten. Kept as a second,
+  *     independently-derived implementation for property cross-checks.
   *   - `windowed` (parity/debug path): `coalesce(1)` then `row_number()` over
   *     a single-partition window. NOTE `coalesce(1)` inserts no shuffle
   *     boundary, so it drags the ENTIRE upstream stage — scan, filters, the
   *     user's map-side SQL — into one task, exactly like the reference's
   *     `target_partitions = 1`. Kept for bit-parity debugging against the
   *     reference, not for production use.
+  *
+  * Both parallel strategies assume partition contents are identical between
+  * the count job and the numbering job — true for deterministic plans (file
+  * scans + narrow ops, which is the ODF transform shape).
   */
 object SystemColumns {
 
   sealed trait OffsetStrategy
   case object WindowedOffsets extends OffsetStrategy
   case object ZipWithIndexOffsets extends OffsetStrategy
+  case object PrefixSumOffsets extends OffsetStrategy
 
   def withSystemColumns(
       df: DataFrame,
       vocab: DatasetVocabulary,
       systemTime: Instant,
       startOffset: Long,
-      strategy: OffsetStrategy = ZipWithIndexOffsets,
+      strategy: OffsetStrategy = PrefixSumOffsets,
   ): DataFrame = {
     import Normalize.quoted
 
@@ -64,6 +75,8 @@ object SystemColumns {
           row_number().over(w).cast(LongType) + lit(startOffset - 1L))
       case ZipWithIndexOffsets =>
         zipWithIndexOffsets(df, vocab.offsetColumn, startOffset)
+      case PrefixSumOffsets =>
+        prefixSumOffsets(df, vocab.offsetColumn, startOffset)
     }
 
     val withOp =
@@ -82,6 +95,42 @@ object SystemColumns {
     ) ++ dataColumns
 
     withSystemTime.select(ordered.map(n => col(quoted(n))): _*)
+  }
+
+  /** Distributed, order-stable, codegen-preserving offset assignment:
+    * count rows per partition (tiny job), prefix-sum on the driver, then
+    * compute `offset = prefix(pid) + intraPartitionIndex + startOffset`
+    * entirely map-side. The intra-partition index comes from
+    * `monotonically_increasing_id() - (spark_partition_id() << 33)` — the
+    * id's documented layout. The prefix array rides along as an array
+    * literal indexed by partition id (O(1) `GetArrayItem`). */
+  private def prefixSumOffsets(df: DataFrame, offsetColumn: String, startOffset: Long): DataFrame = {
+    import Normalize.quoted
+    val pid = "__graft_pid"
+    val mid = "__graft_mid"
+    val withIds = df
+      .withColumn(pid, spark_partition_id())
+      .withColumn(mid, monotonically_increasing_id())
+    val counts: Map[Int, Long] = withIds
+      .groupBy(col(pid)).count()
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+      .toMap
+    val nParts = if (counts.isEmpty) 1 else counts.keys.max + 1
+    val prefix = new Array[Long](nParts)
+    var acc = 0L
+    for (p <- 0 until nParts) {
+      prefix(p) = acc
+      acc += counts.getOrElse(p, 0L)
+    }
+    withIds
+      .withColumn(
+        offsetColumn,
+        element_at(typedLit(prefix.toSeq), col(pid) + 1) +
+          (col(mid) - shiftleft(col(pid).cast(LongType), 33)) +
+          lit(startOffset))
+      .drop(pid, mid)
+      .select(df.schema.fieldNames.map(n => col(quoted(n))) :+ col(quoted(offsetColumn)): _*)
   }
 
   /** Distributed, order-stable offset assignment: `zipWithIndex` numbers rows

@@ -41,7 +41,9 @@ class PropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("A10 property: offsets dense from nextOffset, order-preserving (both strategies)") {
-    val strategies = Seq(SystemColumns.WindowedOffsets, SystemColumns.ZipWithIndexOffsets)
+    val strategies = Seq(
+      SystemColumns.WindowedOffsets, SystemColumns.ZipWithIndexOffsets,
+      SystemColumns.PrefixSumOffsets)
     for (_ <- 1 to 6) {
       val n = rnd.nextInt(201)
       val parts = 1 + rnd.nextInt(6)
