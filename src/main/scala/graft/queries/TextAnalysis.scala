@@ -136,6 +136,72 @@ object TextAnalysis {
     ),
 
     QueryDef(
+      "q_text_chunk",
+      // Context-window chunking: 50-token windows, stride 40 (10-token
+      // overlap) — the standard LLM-pretraining document splitter. Pure
+      // codegen'd array ops; chunk grid is data-independent so the stage is
+      // map-only at any scale.
+      (s, dir) => {
+        docs(s, dir)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+          .select(col("doc_id"),
+            posexplode(transform(
+              sequence(lit(1), greatest(size(col("toks")) - 49, lit(1)), lit(40)),
+              i => concat_ws(" ", slice(col("toks"), i, lit(50))))).as(Seq("chunk_idx", "chunk")))
+          .withColumn("n_chunk_tokens", size(split(col("chunk"), " ")))
+          .orderBy(col("doc_id"), col("chunk_idx"))
+      },
+      Some(s"""SELECT doc_id, CAST((i - 1) / 40 AS INT) AS chunk_idx,
+              |  array_to_string(($dkTokens)[i:i+49], ' ') AS chunk,
+              |  CAST(len(string_split(array_to_string(($dkTokens)[i:i+49], ' '), ' ')) AS INT) AS n_chunk_tokens
+              |FROM documents,
+              |  UNNEST(range(1, greatest(len($dkTokens) - 49, 1) + 1, 40)) AS t(i)
+              |ORDER BY doc_id, chunk_idx""".stripMargin),
+    ),
+
+    QueryDef(
+      "q_split_hash",
+      // Deterministic train/val/test assignment: md5-hash the doc id into
+      // 256 buckets, 80/10/10 split. Hash-based splits are reproducible
+      // across engines, runs, and partitionings — the property a training
+      // pipeline needs (random() is none of those).
+      (s, dir) => {
+        docs(s, dir)
+          .select(col("doc_id"),
+            conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2), 16, 10)
+              .cast("int").as("bucket"))
+          .withColumn("split",
+            when(col("bucket") < 205, "train").when(col("bucket") < 230, "val").otherwise("test"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, bucket,
+             |  CASE WHEN bucket < 205 THEN 'train' WHEN bucket < 230 THEN 'val' ELSE 'test' END AS split
+             |FROM (SELECT doc_id,
+             |        CAST((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+             |           + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS INT) AS bucket
+             |      FROM documents)
+             |ORDER BY doc_id""".stripMargin),
+    ),
+
+    QueryDef(
+      "q_vocab_topk",
+      // Corpus vocabulary extraction: top-100 tokens by document frequency.
+      // Distinct-per-doc explode → hash-aggregate (map-side combine) →
+      // TakeOrderedAndProject: the df counting pattern that feeds stopword
+      // lists and tokenizer vocabularies.
+      (s, dir) => {
+        docs(s, dir)
+          .select(col("doc_id"), explode(array_distinct(TextOps.tokens(col("text")))).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+          .orderBy(col("df").desc, col("tok"))
+          .limit(100)
+      },
+      Some(s"""SELECT tok, COUNT(*) AS df FROM (
+              |  SELECT doc_id, unnest(list_distinct($dkTokens)) AS tok FROM documents)
+              |GROUP BY tok ORDER BY df DESC, tok LIMIT 100""".stripMargin),
+    ),
+
+    QueryDef(
       "q_text_redact",
       // PII redaction: plant a deterministic email + phone per doc, strip
       // both with the same regexes on both sides (RE2-compatible subset so

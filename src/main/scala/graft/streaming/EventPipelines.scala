@@ -112,4 +112,15 @@ object EventPipelines {
     val schema = spark.read.parquet(path).schema
     spark.readStream.schema(schema).parquet(path)
   }
+
+  /** Streaming exact dedup: first occurrence of each key wins; duplicate
+    * arrivals within the watermark horizon are dropped. State holds one row
+    * per key seen and is evicted once the watermark passes the key's event
+    * time — bounded state, the streaming twin of `Dedup.exact`. Works on
+    * batch frames too (plain dropDuplicates semantics). */
+  def dedupStream(events: DataFrame, key: String, tsCol: String = "ts",
+      horizon: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark(key)
 }

@@ -118,6 +118,34 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       Set(("view", 2L), ("click", 1L)))
   }
 
+  test("dedupStream: duplicate keys within the watermark horizon are dropped, first wins") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val events = input.toDF().toDF("event_id", "ts", "payload")
+
+    val query = EventPipelines.dedupStream(events, "event_id")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+
+    input.addData(
+      (1L, ts("2024-01-01T10:00:00Z"), "first"),
+      (2L, ts("2024-01-01T10:05:00Z"), "first"),
+      (1L, ts("2024-01-01T10:10:00Z"), "dup-same-batch"))
+    query.processAllAvailable()
+    input.addData((2L, ts("2024-01-01T10:20:00Z"), "dup-next-batch"))
+    query.processAllAvailable()
+    input.addData((3L, ts("2024-01-01T10:30:00Z"), "first"))
+    query.processAllAvailable()
+    query.stop()
+
+    val out = spark.table("dedup").collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(out == Set((1L, "first"), (2L, "first"), (3L, "first")),
+      s"streaming dedup emitted: $out")
+  }
+
   test("unified API: the same hourlyStats runs on a batch frame") {
     val batch = spark.createDataFrame(Seq(
       (ts("2024-01-01T10:05:00Z"), "view", 1L, 1.0),
