@@ -240,6 +240,73 @@ object NativeHashes {
       copy(left = newLeft, right = newRight)
   }
 
+  /** L2 norm of a float vector, accumulated in double in index order. */
+  case class L2Norm(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = DoubleType
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"l2_norm expects array<float>, got ${other.simpleString}")
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val x = input.asInstanceOf[ArrayData]
+      var acc = 0.0
+      var i = 0
+      while (i < x.numElements()) {
+        val v = x.getFloat(i).toDouble
+        acc += v * v
+        i += 1
+      }
+      math.sqrt(acc)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): L2Norm =
+      copy(child = newChild)
+  }
+
+  /** Max-abs int8 quantization of a float vector:
+    * `q_i = floor(x_i * 127 / maxAbs + 0.5)` (explicit floor(+0.5) so the
+    * tie rule is engine-independent, unlike HALF_UP/half-away rounding).
+    * Zero vectors quantize to zeros. The storage-shrink op of an embedding
+    * pipeline — 4× smaller at ~0.4% max error. */
+  case class QuantizeInt8(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"quantize_int8 expects array<float>, got ${other.simpleString}")
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val x = input.asInstanceOf[ArrayData]
+      val n = x.numElements()
+      var maxAbs = 0.0
+      var i = 0
+      while (i < n) {
+        val a = math.abs(x.getFloat(i).toDouble)
+        if (a > maxAbs) maxAbs = a
+        i += 1
+      }
+      val scale = if (maxAbs == 0.0) 0.0 else 127.0 / maxAbs
+      val out = new Array[Byte](n)
+      i = 0
+      while (i < n) {
+        val q = math.floor(x.getFloat(i).toDouble * scale + 0.5)
+        out(i) = math.max(-127.0, math.min(127.0, q)).toByte
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): QuantizeInt8 =
+      copy(child = newChild)
+  }
+
   private def intLit(e: Expression, fn: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
     case other => throw new IllegalArgumentException(
@@ -259,5 +326,9 @@ object NativeHashes {
       args => CosineSimilarity(args.head, args(1)), "built-in")
     registry.createOrReplaceTempFunction("rabin_fingerprint",
       args => RabinFingerprint(args.head), "built-in")
+    registry.createOrReplaceTempFunction("l2_norm",
+      args => L2Norm(args.head), "built-in")
+    registry.createOrReplaceTempFunction("quantize_int8",
+      args => QuantizeInt8(args.head), "built-in")
   }
 }

@@ -109,5 +109,34 @@ object SimilarityQueries {
              |SELECT id1, id2, cos FROM pairs WHERE cos >= 0.999
              |ORDER BY id1, id2""".stripMargin),
     ),
+
+    QueryDef(
+      "q_embedding_quantize",
+      // Embedding storage pipeline: L2 norm + max-abs int8 quantization
+      // (native expressions — one primitive pass per vector, no interpreted
+      // HOFs in the per-element math). The quantized vector is emitted as a
+      // comma-joined string: scalar output columns keep the driver's
+      // row-sort/hash compare happy (array cells are unhashable in pandas).
+      (s, dir) => {
+        graft.functions.NativeHashes.register(s)
+        emb(s, dir)
+          .select(
+            col("vec_id"),
+            round(call_function("l2_norm", col("embedding")), 6).as("l2norm"),
+            concat_ws(",",
+              transform(call_function("quantize_int8", col("embedding")),
+                q => q.cast("string"))).as("qvec"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""SELECT vec_id,
+             |  round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS l2norm,
+             |  array_to_string(list_transform(embedding::DOUBLE[],
+             |    x -> CAST(CAST(floor(x * CASE WHEN m = 0 THEN 0.0 ELSE 127.0 / m END + 0.5) AS TINYINT) AS VARCHAR)),
+             |    ',') AS qvec
+             |FROM (SELECT vec_id, embedding,
+             |        list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS m
+             |      FROM embeddings)
+             |ORDER BY vec_id""".stripMargin),
+    ),
   )
 }
