@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators for event streams.
+  *
+  * The reference engine has no as-of support (it parses and ignores the
+  * request's `temporal_tables` field — engine.rs:139); these are part of
+  * the beyond-parity operator set for event/training-data pipelines.
+  *
+  * Scale design: the naive formulation is an inequality join
+  * (`l.k = r.k AND r.t <= l.t` + keep latest), which Spark plans as a
+  * per-key cross product — quadratic in events-per-key. The union-tag
+  * implementation here is the scalable shape: tag both sides, union, ONE
+  * shuffle on the key, and a single ordered window scan per key carries
+  * the latest right-side payload forward. Cost is sort-based, linear in
+  * rows, and skew behaves like any window (one hot key = one fat
+  * partition task, no pair explosion).
+  */
+object TemporalJoins {
+
+  /** Backward (most common) as-of join: for every left row, attach the
+    * right row with the largest `rightTime <= leftTime` for the same key;
+    * left rows with no prior right row keep NULLs (left-outer semantics,
+    * matching DuckDB's `ASOF LEFT JOIN ... ON l.k = r.k AND l.t >= r.t`).
+    *
+    * Right rows must be unique per (key, rightTime) — pre-aggregate
+    * duplicates first, otherwise "the" match at a tied timestamp is
+    * undefined in any engine.
+    *
+    * Returns left columns followed by `rightTime` and the right payload
+    * columns (caller guarantees no name clashes). */
+  def asofBackward(
+      left: DataFrame, right: DataFrame,
+      key: String, leftTime: String, rightTime: String): DataFrame = {
+    val rPayload = right.columns.filterNot(c => c == key || c == rightTime).toSeq
+    val lStruct = struct(left.columns.toSeq.map(col): _*)
+    val rStruct = struct((rightTime +: rPayload).map(col): _*)
+    val lType = left.select(lStruct.as("s")).schema("s").dataType
+    val rType = right.select(rStruct.as("s")).schema("s").dataType
+
+    // side 0 (right) sorts before side 1 (left) at equal timestamps, making
+    // the match inclusive: rightTime == leftTime counts.
+    val lTagged = left.select(
+      col(key).as("__k"), col(leftTime).as("__t"), lit(1).as("__side"),
+      lStruct.as("__l"), lit(null).cast(rType).as("__r"))
+    val rTagged = right.select(
+      col(key).as("__k"), col(rightTime).as("__t"), lit(0).as("__side"),
+      lit(null).cast(lType).as("__l"), rStruct.as("__r"))
+
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    lTagged.unionByName(rTagged)
+      .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(
+        left.columns.toSeq.map(c => col(s"__l.`$c`").as(c)) ++
+          (rightTime +: rPayload).map(f => col(s"__match.`$f`").as(f)): _*)
+  }
+
+  /** Interval (range-overlap) join: pairs (l, r) where
+    * `[l.start, l.end] ∩ [r.start, r.end] ≠ ∅`, both sides keyed.
+    *
+    * Scalable shape: intervals are exploded onto a fixed-width bucket grid
+    * (`binWidth` in the time column's units), candidate pairs come from an
+    * equi-join on (key, bucket), and the exact overlap predicate filters —
+    * the standard binning decomposition of a range join. A pair spanning
+    * several shared buckets is deduplicated before the filter. */
+  def rangeOverlapJoin(
+      left: DataFrame, right: DataFrame, key: String,
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      binWidth: Long): DataFrame = {
+    def binned(df: DataFrame, s: String, e: String) = df.withColumn(
+      "__bin",
+      explode(sequence(
+        (col(s).cast("long") / binWidth).cast("long"),
+        (col(e).cast("long") / binWidth).cast("long"))))
+    val l = binned(left, lStart, lEnd)
+    val r = binned(right, rStart, rEnd)
+    l.join(r, Seq(key, "__bin"))
+      .drop("__bin")
+      .dropDuplicates()
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+  }
+}

@@ -207,5 +207,67 @@ object Joins {
              |WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
              |ORDER BY p_partkey""".stripMargin),
     ),
+
+    QueryDef(
+      "q_asof_join",
+      // Backward as-of join: each view/click event picks up the user's
+      // latest purchase value at-or-before it. Implemented as union-tag +
+      // one window scan per key (graft.operators.TemporalJoins) — not an
+      // inequality join; oracle is DuckDB's native ASOF LEFT JOIN.
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val left = ev.filter(col("event_type").isin("view", "click"))
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val right = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts").as("pts"))
+          .agg(max(col("value")).as("pvalue"))
+        graft.operators.TemporalJoins.asofBackward(left, right, "user_id", "ts", "pts")
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"),
+            unix_micros(col("pts")).as("pts_us"),
+            round(col("pvalue"), 6).as("pvalue"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT l.event_id, l.user_id,
+             |  epoch_us(CAST(l.ts AS TIMESTAMP)) AS ts_us,
+             |  epoch_us(CAST(r.pts AS TIMESTAMP)) AS pts_us,
+             |  round(r.pvalue, 6) AS pvalue
+             |FROM (SELECT event_id, user_id, ts FROM events
+             |      WHERE event_type IN ('view', 'click')) l
+             |ASOF LEFT JOIN (SELECT user_id, ts AS pts, max(value) AS pvalue
+             |                FROM events WHERE event_type = 'purchase'
+             |                GROUP BY 1, 2) r
+             |  ON l.user_id = r.user_id AND l.ts >= r.pts
+             |ORDER BY event_id""".stripMargin),
+    ),
+
+    QueryDef(
+      "q_range_join",
+      // Interval-overlap self-join: orders of the same customer whose
+      // 30-day windows overlap. Binned decomposition (equi-join on
+      // (key, 16-day bucket) + exact filter) — no per-key cross product.
+      (s, dir) => {
+        val w = t(s, dir, "orders").filter(col("o_custkey") < 200)
+          .select(col("o_orderkey"), col("o_custkey"),
+            unix_date(col("o_orderdate").cast("date")).as("start_d"))
+          .withColumn("end_d", col("start_d") + 30)
+        val w2 = w.select(col("o_custkey"), col("o_orderkey").as("o_orderkey2"),
+          col("start_d").as("start2_d"), col("end_d").as("end2_d"))
+        graft.operators.TemporalJoins
+          .rangeOverlapJoin(w, w2, "o_custkey", "start_d", "end_d", "start2_d", "end2_d", 16L)
+          .filter(col("o_orderkey") < col("o_orderkey2"))
+          .select(col("o_custkey"), col("o_orderkey").as("k1"), col("o_orderkey2").as("k2"))
+          .orderBy(col("o_custkey"), col("k1"), col("k2"))
+      },
+      Some("""WITH w AS (
+             |  SELECT o_orderkey, o_custkey,
+             |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS start_d,
+             |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) + 30 AS end_d
+             |  FROM orders WHERE o_custkey < 200)
+             |SELECT a.o_custkey AS o_custkey, a.o_orderkey AS k1, b.o_orderkey AS k2
+             |FROM w a JOIN w b ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+             |  AND a.start_d <= b.end_d AND b.start_d <= a.end_d
+             |ORDER BY a.o_custkey, k1, k2""".stripMargin),
+    ),
   )
 }

@@ -219,6 +219,25 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "non-image payload must fall back to the byte-histogram stub")
   }
 
+  test("asofBackward: latest at-or-before match per key, left-outer, tie-inclusive") {
+    import spark.implicits._
+    val left = Seq((1L, 1L, "a"), (1L, 5L, "b"), (1L, 10L, "c"), (2L, 3L, "d"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 2L, 100.0), (1L, 5L, 200.0), (1L, 7L, 300.0), (3L, 1L, 999.0))
+      .toDF("k", "rt", "price")
+    val out = TemporalJoins.asofBackward(left, right, "k", "t", "rt")
+      .orderBy("k", "t")
+      .collect()
+      .map(r => (r.getAs[String]("tag"),
+        if (r.isNullAt(r.fieldIndex("price"))) None else Some(r.getAs[Double]("price"))))
+      .toSeq
+    assert(out == Seq(
+      ("a", None),         // t=1: no right row yet
+      ("b", Some(200.0)),  // t=5: tie with rt=5 is inclusive
+      ("c", Some(300.0)),  // t=10: rt=7 is latest
+      ("d", None)))        // k=2: key has no right rows at all
+  }
+
   test("approx sketches: HLL within 5% and t-digest median within 1% of exact (sf0.01)") {
     // Same shapes as q_approx_distinct / q_approx_percentile, checked
     // against the exact values so "approx" isn't "unchecked".
