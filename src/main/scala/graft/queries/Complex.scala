@@ -98,5 +98,49 @@ object Complex {
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
     ),
+
+    QueryDef(
+      "q_recursive_cte",
+      // Recursive CTE (Spark 4 WITH RECURSIVE): a 90-day date spine LEFT
+      // JOINed to orders — the gap-filling calendar pattern; zero-order
+      // days survive with n_orders = 0.
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("orders")
+        s.sql("""WITH RECURSIVE spine(d) AS (
+                  SELECT 0 UNION ALL SELECT d + 1 FROM spine WHERE d < 89)
+                SELECT d, count(o_orderkey) AS n_orders
+                FROM spine LEFT JOIN orders
+                  ON CAST(o_orderdate AS DATE) = date_add(DATE '1995-01-01', d)
+                GROUP BY d ORDER BY d""")
+      },
+      Some("""WITH RECURSIVE spine(d) AS (
+             |  SELECT 0 UNION ALL SELECT d + 1 FROM spine WHERE d < 89)
+             |SELECT d, count(o_orderkey) AS n_orders
+             |FROM spine LEFT JOIN orders
+             |  ON CAST(o_orderdate AS DATE) = DATE '1995-01-01' + d
+             |GROUP BY d ORDER BY d""".stripMargin),
+    ),
+
+    QueryDef(
+      "q_lateral_join",
+      // Correlated LATERAL subquery with per-row ORDER BY + LIMIT: first
+      // two nations per region — the top-k-per-group SQL surface.
+      (s, dir) => {
+        t(s, dir, "region").createOrReplaceTempView("region")
+        t(s, dir, "nation").createOrReplaceTempView("nation")
+        s.sql("""SELECT r.r_name, t.n_name
+                FROM region r,
+                LATERAL (SELECT n_name FROM nation
+                         WHERE n_regionkey = r.r_regionkey
+                         ORDER BY n_name LIMIT 2) t
+                ORDER BY r_name, n_name""")
+      },
+      Some("""SELECT r.r_name, t.n_name
+             |FROM region r,
+             |LATERAL (SELECT n_name FROM nation
+             |         WHERE n_regionkey = r.r_regionkey
+             |         ORDER BY n_name LIMIT 2) t
+             |ORDER BY r_name, n_name""".stripMargin),
+    ),
   )
 }
