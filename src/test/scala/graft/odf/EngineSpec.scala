@@ -306,6 +306,45 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.orderBy("offset").collect().map(_.getAs[Int]("op")).toSeq == Seq(0, 2, 3))
   }
 
+  test("concurrent requests are session-isolated: same alias `foo`, different data") {
+    // A server engine runs transforms concurrently on one SparkSession;
+    // per-request child sessions must keep same-named temp views apart, or
+    // one request's input leaks into another's query.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val st = ts("2023-02-01T00:00:00Z")
+    val et = ts("2023-01-01T00:00:00Z")
+    val schema = StructType(Seq(
+      StructField("offset", LongType, nullable = false),
+      StructField("op", IntegerType, nullable = false),
+      StructField("system_time", TimestampType, nullable = false),
+      StructField("event_time", TimestampType, nullable = false),
+      StructField("city", StringType, nullable = false),
+      StructField("population", LongType, nullable = false)))
+    val dirs = (0 until 4).map { i =>
+      val dir = tempDir()
+      writeOneFile(schema, Seq(
+        Row(0L, 0, st, et, "vancouver", 1000000L * i + 1),
+        Row(1L, 0, st, et, "seattle", 1000000L * i + 2)), dir.resolve("input.parquet"))
+      dir
+    }
+    val futures = dirs.zipWithIndex.map { case (dir, i) =>
+      Future {
+        i -> engine.executeTransform(mkRequest(
+          dir, Seq(SqlQueryStep.output("select event_time, city, population from foo")),
+          offsetInterval = Some(OffsetInterval(0, 1))))
+      }
+    }
+    val results = Await.result(Future.sequence(futures), 300.seconds)
+    for ((i, res) <- results) assert(res.isRight, s"request $i: $res")
+    for ((dir, i) <- dirs.zipWithIndex) {
+      val pops = readOutput(dir).map(_.getAs[Long]("population")).toSeq
+      assert(pops == Seq(1000000L * i + 1, 1000000L * i + 2),
+        s"request $i read another request's input: $pops")
+    }
+  }
+
   test("schema evolution: column added in a later slice reads as NULL from older slices") {
     // The reference leaves this open (`TODO: Schema evolution`,
     // engine.rs:235); our chosen behavior is footer-merge: the input schema
