@@ -238,6 +238,46 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("d", None)))        // k=2: key has no right rows at all
   }
 
+  test("temporal joins match their naive formulations on random data (seeded)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // --- range join vs naive inequality join ---
+    val li = Seq.fill(200) {
+      val s = rnd.nextInt(100); (rnd.nextInt(5).toLong, s, s + rnd.nextInt(20), rnd.nextInt(1000))
+    }.toDF("k", "ls", "le", "lid")
+    val ri = Seq.fill(200) {
+      val s = rnd.nextInt(100); (rnd.nextInt(5).toLong, s, s + rnd.nextInt(20), rnd.nextInt(1000))
+    }.toDF("k", "rs", "re", "rid")
+    val naive = li.join(ri, li("k") === ri("k") &&
+        col("ls") <= col("re") && col("rs") <= col("le"))
+      .select(li("k"), col("lid"), col("rid")).distinct()
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val binned = TemporalJoins.rangeOverlapJoin(li, ri, "k", "ls", "le", "rs", "re", binWidth = 7)
+      .select(col("k"), col("lid"), col("rid")).distinct()
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(binned == naive,
+      s"missing=${(naive -- binned).take(5)} extra=${(binned -- naive).take(5)}")
+
+    // --- as-of join vs naive latest-at-or-before aggregation ---
+    val la = Seq.fill(150)((rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, rnd.nextInt(1000)))
+      .toDF("k", "t", "lid").distinct()
+    val ra = Seq.fill(80)((rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, rnd.nextDouble()))
+      .toDF("k", "rt", "price")
+      .groupBy("k", "rt").agg(max("price").as("price")) // unique per (k, rt)
+    val naiveAsof = la.as("l").join(ra.as("r"),
+        col("l.k") === col("r.k") && col("r.rt") <= col("l.t"), "left")
+      .groupBy(col("l.k").as("k"), col("l.t").as("t"), col("l.lid").as("lid"))
+      .agg(max_by(struct(col("r.rt"), col("r.price")), col("r.rt")).as("m"))
+      .select(col("k"), col("t"), col("lid"), col("m.rt"), col("m.price"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        Option(r.get(3)), Option(r.get(4)))).toSet
+    val fast = TemporalJoins.asofBackward(la, ra, "k", "t", "rt")
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("t"), r.getAs[Int]("lid"),
+        Option(r.get(r.fieldIndex("rt"))), Option(r.get(r.fieldIndex("price"))))).toSet
+    assert(fast == naiveAsof,
+      s"missing=${(naiveAsof -- fast).take(5)} extra=${(fast -- naiveAsof).take(5)}")
+  }
+
   test("approx sketches: HLL within 5% and t-digest median within 1% of exact (sf0.01)") {
     // Same shapes as q_approx_distinct / q_approx_percentile, checked
     // against the exact values so "approx" isn't "unchecked".
