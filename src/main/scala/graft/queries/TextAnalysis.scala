@@ -202,6 +202,45 @@ object TextAnalysis {
     ),
 
     QueryDef(
+      "q_text_tfidf",
+      // TF-IDF top-3 terms per document: tf from a per-doc hash-aggregate,
+      // document frequency from a second aggregate over the distinct
+      // (doc, term) pairs, score = tf·ln(N/df) (floor-truncated at 1e-6 —
+      // engine-independent tie rule), per-doc top-3 via a totally-ordered
+      // window. Two shuffles (doc-term, then term) + one window — the
+      // at-scale feature-extraction shape.
+      (s, dir) => {
+        val d = docs(s, dir)
+        val n = d.count()
+        val tf = d
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+          .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("tok"))
+        tf.join(dfreq, "tok")
+          .withColumn("tfidf",
+            floor(col("tf") * log(lit(n.toDouble) / col("df")) * 1e6) / 1e6)
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("doc_id"), col("tok"), col("tf"), col("tfidf"), col("rnk"))
+          .orderBy(col("doc_id"), col("rnk"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($dkTokens) AS tok FROM documents),
+              |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+              |dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+              |n AS (SELECT COUNT(*) AS n FROM documents),
+              |scored AS (
+              |  SELECT doc_id, tok, tf,
+              |    floor(tf * ln(CAST(n AS DOUBLE) / df) * 1e6) / 1e6 AS tfidf
+              |  FROM tf JOIN dfreq USING (tok) CROSS JOIN n),
+              |ranked AS (SELECT *, row_number() OVER (
+              |    PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rnk FROM scored)
+              |SELECT doc_id, tok, tf, tfidf, CAST(rnk AS INT) AS rnk
+              |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin),
+    ),
+
+    QueryDef(
       "q_text_redact",
       // PII redaction: plant a deterministic email + phone per doc, strip
       // both with the same regexes on both sides (RE2-compatible subset so
