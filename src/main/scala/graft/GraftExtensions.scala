@@ -43,5 +43,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other => throw new IllegalArgumentException(
           s"word_shingles n must be an int literal, got $other")
       }))
+    ext.injectFunction((FunctionIdentifier("l2_norm"), info("l2_norm"),
+      (args: Seq[Expression]) => NativeHashes.L2Norm(args.head)))
+    ext.injectFunction((FunctionIdentifier("quantize_int8"), info("quantize_int8"),
+      (args: Seq[Expression]) => NativeHashes.QuantizeInt8(args.head)))
   }
 }

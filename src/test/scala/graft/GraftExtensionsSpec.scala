@@ -27,6 +27,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val again = spark.sql("SELECT minhash_signature(array('a','b','c'), 4) AS mh").collect()(0)
       assert(again.getSeq[Long](0) == row.getSeq[Long](2))
 
+      // vector math expressions resolve through the extension too
+      val vec = spark.sql(
+        "SELECT l2_norm(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS n, " +
+          "quantize_int8(array(CAST(0.5 AS FLOAT), CAST(-1.0 AS FLOAT))) AS q").collect()(0)
+      assert(math.abs(vec.getDouble(0) - 5.0) < 1e-12)
+      assert(vec.getSeq[Byte](1) == Seq[Byte](64, -127))
+
       // typed getters are TRY-cast: a type-mismatched value yields NULL even
       // under ANSI mode (Spark 4 default), matching datafusion-functions-json
       val tryRow = spark.sql(
