@@ -23,14 +23,21 @@ import org.apache.spark.sql.types.LongType
   * for free from `target_partitions = 1`. Offset numbering is inherently a
   * serial decision, but the work feeding it must not be:
   *
-  *   - `prefixSum` (DEFAULT, scale path): per-partition row counts (one tiny
-  *     extra job) → driver-side prefix sums → offset computed map-side as
+  *   - `prefixSum` (DEFAULT, scale path): per-partition row counts →
+  *     driver-side prefix sums → offset computed map-side as
   *     `prefix(partition) + intra-partition index`, where the intra index is
   *     recovered from `monotonically_increasing_id()`'s documented layout
   *     (partition id in the upper bits, per-partition counter in the lower
   *     33). No shuffle, no RDD round-trip, stays columnar inside whole-stage
-  *     codegen; scan/filter/SQL stages keep native parallelism. This is the
-  *     plan that survives a 100 TB input.
+  *     codegen; scan/filter/SQL stages keep native parallelism. Honest cost
+  *     accounting: any distributed dense numbering needs a counting pass, so
+  *     the plan executes twice — but the counting pass only aggregates the
+  *     partition id, so Catalyst prunes every payload column out of it (the
+  *     scan skeleton + filters run; wide projections don't), while
+  *     `zipWithIndex`'s equivalent count job drags full rows through an RDD
+  *     conversion. The `collect()` of the per-partition counts runs eagerly
+  *     at plan-construction time. This is the plan that survives a 100 TB
+  *     input.
   *   - `zipWithIndex` (scale path, RDD formulation): same numbering via RDD
   *     `zipWithIndex` — also one extra count job, but forces a
   *     row-serialization round-trip out of Tungsten. Kept as a second,

@@ -95,26 +95,34 @@ class OdfGrpcServer(
     private def dispatch(ctx: ChannelHandlerContext): Unit = {
       val bytes = new Array[Byte](body.readableBytes())
       body.readBytes(bytes)
-      val run: Option[Array[Byte] => Array[Byte]] = path match {
-        case "/engine.Engine/ExecuteTransform" => Some(payload =>
-          codec.writeTransformResponse(engine.executeTransform(codec.readTransformRequest(payload))))
-        case "/engine.Engine/ExecuteRawQuery" => Some(payload =>
-          codec.writeRawQueryResponse(engine.executeRawQuery(codec.readRawQueryRequest(payload))))
+      // Decoding (framing + envelope + request payload) happens here on the
+      // event loop and maps to INVALID_ARGUMENT — a malformed request is
+      // permanently bad and a client must not retry it. Only the deferred
+      // engine execution goes to the worker pool, where a crash is UNKNOWN.
+      val prepare: Option[Array[Byte] => () => Array[Byte]] = path match {
+        case "/engine.Engine/ExecuteTransform" => Some { payload =>
+          val req = codec.readTransformRequest(payload)
+          () => codec.writeTransformResponse(engine.executeTransform(req))
+        }
+        case "/engine.Engine/ExecuteRawQuery" => Some { payload =>
+          val req = codec.readRawQueryRequest(payload)
+          () => codec.writeRawQueryResponse(engine.executeRawQuery(req))
+        }
         case _ => None
       }
-      run match {
+      prepare match {
         case None => respondStatus(ctx, 12, s"unknown method: $path")
-        case Some(f) =>
-          val payload =
-            try Right(GrpcWire.decodeEnvelope(GrpcWire.unframe(bytes).headOption
-              .getOrElse(throw new IllegalArgumentException("empty gRPC body"))))
+        case Some(p) =>
+          val job =
+            try Right(p(GrpcWire.decodeEnvelope(GrpcWire.unframe(bytes).headOption
+              .getOrElse(throw new IllegalArgumentException("empty gRPC body")))))
             catch { case e: Exception => Left(e) }
-          payload match {
-            case Left(e) => respondStatus(ctx, 3, s"bad request framing: ${e.getMessage}")
-            case Right(req) =>
+          job match {
+            case Left(e) => respondStatus(ctx, 3, s"bad request: ${e.getMessage}")
+            case Right(run) =>
               workers.execute(() => {
                 val out =
-                  try Right(f(req))
+                  try Right(run())
                   catch { case e: Exception => Left(e) }
                 ctx.channel.eventLoop.execute(() => out match {
                   case Right(msg) => respondMessage(ctx, msg)

@@ -89,8 +89,11 @@ object Multimodal {
         val bytes = row.getAs[Array[Byte]](payloadIdx)
         val img =
           if (!tryImageCodec) null
+          // NonFatal, not just IOException: JDK image readers throw unchecked
+          // exceptions (AIOOBE, CMMException, …) on malformed-but-header-valid
+          // payloads, and one such row must not kill a 100 TB job
           else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-          catch { case _: java.io.IOException => null }
+          catch { case scala.util.control.NonFatal(_) => null }
         val hist = if (img != null) luminanceHistogram(img) else byteHistogram(bytes)
         Row.fromSeq(row.toSeq :+ hist.toSeq)
       }

@@ -69,21 +69,23 @@ object TemporalJoins {
     * (`binWidth` in the time column's units), candidate pairs come from an
     * equi-join on (key, bucket), and the exact overlap predicate filters —
     * the standard binning decomposition of a range join. A pair spanning
-    * several shared buckets is deduplicated before the filter. */
+    * several shared buckets is kept only in its CANONICAL bin (the first
+    * bin both intervals share, = the max of the two start bins) — a pure
+    * filter, so join multiplicity is preserved exactly (duplicate input
+    * rows yield duplicate output rows, like a real join) and no dedup
+    * shuffle is needed. */
   def rangeOverlapJoin(
       left: DataFrame, right: DataFrame, key: String,
       lStart: String, lEnd: String, rStart: String, rEnd: String,
       binWidth: Long): DataFrame = {
+    def binOf(c: String) = (col(c).cast("long") / binWidth).cast("long")
     def binned(df: DataFrame, s: String, e: String) = df.withColumn(
-      "__bin",
-      explode(sequence(
-        (col(s).cast("long") / binWidth).cast("long"),
-        (col(e).cast("long") / binWidth).cast("long"))))
+      "__bin", explode(sequence(binOf(s), binOf(e))))
     val l = binned(left, lStart, lEnd)
     val r = binned(right, rStart, rEnd)
     l.join(r, Seq(key, "__bin"))
+      .filter(col("__bin") === greatest(binOf(lStart), binOf(rStart)))
       .drop("__bin")
-      .dropDuplicates()
       .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
   }
 }

@@ -163,6 +163,12 @@ object VectorOps {
       .orderBy(xxhash64(col(corpusId)), col(corpusId)).limit(sampleN)
       .select(col(corpusVec)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    if (sample.isEmpty) {
+      // empty corpus: no centroids to train and no neighbors to return —
+      // an empty frame with the output schema, not an AIOOBE from k-means
+      return bruteForceTopK(corpus, queries.limit(0), k,
+        corpusId, corpusVec, queryId, queryVec)
+    }
     val centroids: Array[Seq[Float]] =
       kmeansCentroids(sample, math.min(nCells, sample.length), kmeansIters)
         .map(_.map(_.toFloat).toSeq)

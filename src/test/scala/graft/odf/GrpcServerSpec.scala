@@ -209,11 +209,12 @@ class GrpcServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(body.startsWith("""{"invalidQuery":"""), body)
   }
 
-  test("transport errors: unknown method is UNIMPLEMENTED(12), undecodable payload is UNKNOWN(2)") {
+  test("transport errors: unknown method is UNIMPLEMENTED(12), undecodable request is INVALID_ARGUMENT(3)") {
     val (s1, _) = call("/engine.Engine/NoSuchMethod", Array[Byte](1))
     assert(s1 == 12)
-    // framing/envelope decode fine but the payload isn't a valid request
+    // framing/envelope decode fine but the payload isn't a valid request —
+    // permanently bad, must NOT be reported as a retryable UNKNOWN
     val (s2, _) = call("/engine.Engine/ExecuteRawQuery", Array[Byte]('n', 'o', 'p', 'e'))
-    assert(s2 == 2)
+    assert(s2 == 3)
   }
 }

@@ -59,8 +59,8 @@ class PropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("A10 plan: default strategy keeps the upstream scan parallel (no stage collapse)") {
     // Round-1 verdict: coalesce(1) in the windowed path dragged the whole
-    // upstream stage into one task. The default (zipWithIndex) must number
-    // rows while leaving the scan/filter stages at their native parallelism.
+    // upstream stage into one task. The default (PrefixSumOffsets) must
+    // number rows while leaving scan/filter stages at native parallelism.
     val df = spark.createDataFrame(
         spark.sparkContext.parallelize(
           (0 until 1000).map(i => org.apache.spark.sql.Row(i.toLong)), 8),

@@ -248,15 +248,18 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ri = Seq.fill(200) {
       val s = rnd.nextInt(100); (rnd.nextInt(5).toLong, s, s + rnd.nextInt(20), rnd.nextInt(1000))
     }.toDF("k", "rs", "re", "rid")
-    val naive = li.join(ri, li("k") === ri("k") &&
+    // multiset compare — duplicate input rows must yield duplicate join rows
+    def multiset(rows: Array[org.apache.spark.sql.Row]): Map[(Long, Int, Int), Int] =
+      rows.map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+        .groupBy(identity).view.mapValues(_.length).toMap
+    val naive = multiset(li.join(ri, li("k") === ri("k") &&
         col("ls") <= col("re") && col("rs") <= col("le"))
-      .select(li("k"), col("lid"), col("rid")).distinct()
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
-    val binned = TemporalJoins.rangeOverlapJoin(li, ri, "k", "ls", "le", "rs", "re", binWidth = 7)
-      .select(col("k"), col("lid"), col("rid")).distinct()
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+      .select(li("k"), col("lid"), col("rid")).collect())
+    val binned = multiset(
+      TemporalJoins.rangeOverlapJoin(li, ri, "k", "ls", "le", "rs", "re", binWidth = 7)
+        .select(col("k"), col("lid"), col("rid")).collect())
     assert(binned == naive,
-      s"missing=${(naive -- binned).take(5)} extra=${(binned -- naive).take(5)}")
+      s"missing=${(naive.toSet -- binned.toSet).take(5)} extra=${(binned.toSet -- naive.toSet).take(5)}")
 
     // --- as-of join vs naive latest-at-or-before aggregation ---
     val la = Seq.fill(150)((rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, rnd.nextInt(1000)))
