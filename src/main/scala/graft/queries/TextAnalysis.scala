@@ -202,6 +202,33 @@ object TextAnalysis {
     ),
 
     QueryDef(
+      "q_text_repetition",
+      // Repetition-ratio quality signal (the repetitive-text filter from
+      // web-corpus pipelines): fraction of all word bigrams taken by the
+      // single most frequent bigram. Two hash-aggregates, no window.
+      (s, dir) => {
+        docs(s, dir)
+          .select(col("doc_id"), explode(TextOps.shingles(col("text"), 2)).as("bg"))
+          .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("n"))
+          .groupBy(col("doc_id"))
+          .agg(max(col("n")).as("max_bg"), sum(col("n")).as("n_bg"))
+          .select(col("doc_id"), col("max_bg"), col("n_bg"),
+            (floor(col("max_bg").cast("double") / col("n_bg") * 1e6) / 1e6).as("rep_ratio"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH bg AS (
+              |  SELECT doc_id,
+              |    unnest(list_transform(
+              |      range(1, greatest(len($dkTokens) - 1, 1) + 1),
+              |      i -> array_to_string(($dkTokens)[i:i+1], ' '))) AS bg
+              |  FROM documents),
+              |c AS (SELECT doc_id, bg, COUNT(*) AS n FROM bg GROUP BY 1, 2)
+              |SELECT doc_id, max(n) AS max_bg, CAST(sum(n) AS BIGINT) AS n_bg,
+              |  floor(CAST(max(n) AS DOUBLE) / CAST(sum(n) AS BIGINT) * 1e6) / 1e6 AS rep_ratio
+              |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    ),
+
+    QueryDef(
       "q_text_tfidf",
       // TF-IDF top-3 terms per document: tf from a per-doc hash-aggregate,
       // document frequency from a second aggregate over the distinct
