@@ -146,6 +146,31 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"streaming dedup emitted: $out")
   }
 
+  test("stream-static join: streaming events enrich against a static dimension") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val events = input.toDF().toDF("user_id", "ts", "value")
+
+    val query = events.join(dim, Seq("user_id"), "left")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+
+    input.addData(
+      (1L, ts("2024-01-01T10:00:00Z"), 5.0),
+      (3L, ts("2024-01-01T10:01:00Z"), 7.0))
+    query.processAllAvailable()
+    input.addData((2L, ts("2024-01-01T10:02:00Z"), 9.0))
+    query.processAllAvailable()
+    query.stop()
+
+    val out = spark.table("enriched").collect()
+      .map(r => (r.getLong(0), Option(r.getString(3)))).toSet
+    assert(out == Set((1L, Some("gold")), (3L, None), (2L, Some("silver"))))
+  }
+
   test("unified API: the same hourlyStats runs on a batch frame") {
     val batch = spark.createDataFrame(Seq(
       (ts("2024-01-01T10:05:00Z"), "view", 1L, 1.0),
