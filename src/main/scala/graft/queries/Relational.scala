@@ -39,6 +39,39 @@ object Relational {
     ),
 
     QueryDef(
+      "q_null_semantics",
+      // NULL behavior — the classic cross-engine divergence zone: NULL as
+      // its own GROUP BY key, COUNT(*) vs COUNT(col), null-skipping AVG
+      // (exact DECIMAL accumulation so the value is partition-order-free),
+      // null-safe equality, and explicit NULLS FIRST ordering (Spark
+      // defaults NULLS FIRST, DuckDB NULLS LAST — never leave it implicit).
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .select(
+            nullif(col("l_returnflag"), lit("N")).as("rf"),
+            when(col("l_quantity") > 25, lit(null)).otherwise(col("l_quantity")).as("q"))
+          .groupBy(col("rf"))
+          .agg(
+            count(lit(1)).as("n_all"),
+            count(col("q")).as("n_q"),
+            (sum(col("q").cast("decimal(18,4)")) /
+              greatest(count(col("q")), lit(1L))).cast("double").as("avg_q"),
+            count(when(col("rf") <=> lit(null), 1)).as("n_nullsafe_eq"))
+          .orderBy(col("rf").asc_nulls_first)
+      },
+      Some("""SELECT NULLIF(l_returnflag, 'N') AS rf,
+             |  COUNT(*) AS n_all,
+             |  COUNT(q) AS n_q,
+             |  CAST(sum(CAST(q AS DECIMAL(18,4))) / greatest(COUNT(q), 1) AS DOUBLE) AS avg_q,
+             |  COUNT(CASE WHEN NULLIF(l_returnflag, 'N') IS NOT DISTINCT FROM NULL
+             |             THEN 1 END) AS n_nullsafe_eq
+             |FROM (SELECT l_returnflag,
+             |        CASE WHEN l_quantity > 25 THEN NULL ELSE l_quantity END AS q
+             |      FROM lineitem)
+             |GROUP BY 1 ORDER BY rf ASC NULLS FIRST""".stripMargin),
+    ),
+
+    QueryDef(
       "q_filter",
       (s, dir) => {
         t(s, dir, "lineitem")
