@@ -100,6 +100,73 @@ object Multimodal {
     }(RowEncoder.encoderFor(outSchema))
   }
 
+  /** Real audio decode for PCM WAV payloads: RIFF/WAVE is a plain
+    * little-endian container, so parsing needs no codec library at all —
+    * fmt chunk (channels, sample rate, bit depth) + data chunk (int16
+    * samples). Emits a typed feature struct per row:
+    * (sample_rate, channels, n_frames, duration_sec, rms) with NULL for
+    * payloads that aren't PCM WAV — same batch-shaped mapPartitions
+    * plumbing as the image path. RMS is normalized to [0, 1]. */
+  def wavFeatures(mm: DataFrame): DataFrame = {
+    val featType = StructType(Seq(
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("channels", IntegerType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false),
+      StructField("duration_sec", DoubleType, nullable = false),
+      StructField("rms", DoubleType, nullable = false)))
+    val outSchema = StructType(mm.schema.fields :+
+      StructField("audio", featType, nullable = true))
+    val payloadIdx = mm.schema.fieldIndex("payload")
+    mm.mapPartitions { rows =>
+      rows.map { row =>
+        val feat = parseWav(row.getAs[Array[Byte]](payloadIdx)).map {
+          case (rate, ch, frames, rms) =>
+            Row(rate, ch, frames, frames.toDouble / rate, rms)
+        }.orNull
+        Row.fromSeq(row.toSeq :+ feat)
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** (sampleRate, channels, frames, rms) for 16-bit PCM WAV; None otherwise. */
+  private[operators] def parseWav(b: Array[Byte]): Option[(Int, Int, Int, Double)] = {
+    def u16(i: Int) = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    def u32(i: Int) = (b(i) & 0xff).toLong | ((b(i + 1) & 0xff).toLong << 8) |
+      ((b(i + 2) & 0xff).toLong << 16) | ((b(i + 3) & 0xff).toLong << 24)
+    def tag(i: Int) = new String(b, i, 4, "US-ASCII")
+    if (b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var pos = 12
+    var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
+    var result: Option[(Int, Int, Int, Double)] = None
+    while (pos + 8 <= b.length && result.isEmpty) {
+      val id = tag(pos)
+      val size = u32(pos + 4).toInt
+      if (id == "fmt " && pos + 16 <= b.length) {
+        if (u16(pos + 8) != 1) return None // PCM only
+        fmt = Some((u16(pos + 10), u32(pos + 12).toInt, u16(pos + 22)))
+      } else if (id == "data") {
+        fmt match {
+          case Some((ch, rate, bits)) if bits == 16 && ch > 0 && rate > 0 =>
+            val start = pos + 8
+            val end = math.min(start + size, b.length)
+            val nSamples = (end - start) / 2
+            var acc = 0.0
+            var i = start
+            while (i + 1 < end) {
+              val s = ((b(i) & 0xff) | (b(i + 1) << 8)).toShort / 32768.0
+              acc += s * s
+              i += 2
+            }
+            val rms = if (nSamples == 0) 0.0 else math.sqrt(acc / nSamples)
+            result = Some((rate, ch, nSamples / ch, rms))
+          case _ => return None
+        }
+      }
+      pos += 8 + size + (size & 1) // chunks are 2-byte aligned
+    }
+    result
+  }
+
   /** Frame-sample: every `stride`-th byte of the payload (video-frame
     * subsampling shape). Pure expression — stays in codegen. */
   def frameSample(payload: org.apache.spark.sql.Column, stride: Int): org.apache.spark.sql.Column = {

@@ -281,6 +281,34 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"missing=${(naiveAsof -- fast).take(5)} extra=${(fast -- naiveAsof).take(5)}")
   }
 
+  test("multimodal audio: real PCM WAV decoded (rate/frames/duration/RMS); non-WAV is NULL") {
+    // Synthesize a 0.5 s, 8 kHz mono 16-bit sine WAV in-memory: a full-swing
+    // sine has RMS = 1/sqrt(2), exactly predictable.
+    val rate = 8000
+    val n = rate / 2
+    val bb = java.nio.ByteBuffer.allocate(44 + n * 2).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * 2).put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(n * 2)
+    for (i <- 0 until n)
+      bb.putShort((math.sin(2 * math.Pi * 440 * i / rate) * 32767).toShort)
+    val wav = bb.array()
+
+    import spark.implicits._
+    val mm = Seq((1L, wav), (2L, "not audio".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val out = Multimodal.wavFeatures(mm).select(col("doc_id"), col("audio")).collect()
+      .map(r => r.getLong(0) -> Option(r.getStruct(1))).toMap
+    val a = out(1L).get
+    assert(a.getAs[Int]("sample_rate") == rate)
+    assert(a.getAs[Int]("channels") == 1)
+    assert(a.getAs[Int]("n_frames") == n)
+    assert(math.abs(a.getAs[Double]("duration_sec") - 0.5) < 1e-9)
+    assert(math.abs(a.getAs[Double]("rms") - 1.0 / math.sqrt(2)) < 0.01,
+      s"sine RMS should be ~0.707, got ${a.getAs[Double]("rms")}")
+    assert(out(2L).isEmpty, "non-WAV payload must decode to NULL")
+  }
+
   test("approx sketches: HLL within 5% and t-digest median within 1% of exact (sf0.01)") {
     // Same shapes as q_approx_distinct / q_approx_percentile, checked
     // against the exact values so "approx" isn't "unchecked".
