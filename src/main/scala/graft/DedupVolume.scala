@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TextOps}
+import graft.sources.Tables
+
+/** Volume smoke for the dedup pipeline: ~500k documents (sf0.1 corpus
+  * replicated 100× with per-replica id offsets; every 10th replica keeps
+  * its text verbatim — planted exact-duplicate clusters of 10 — and the
+  * other 90% get fully rewritten synthetic text unique to (doc, replica),
+  * NOT a one-token mutation: a light mutation would make all 100 replicas
+  * of a doc a genuine near-dup clique, and 5000 × C(100,2) ≈ 25M pairs is
+  * the corpus being pathological, not the operator).
+  *
+  * Exercises the full path at 100× the bench corpus: native MinHash
+  * signatures → banded LSH buckets (capped) → candidate pairs →
+  * connected components (fixpoint) → removeDuplicates, and prints
+  * per-stage wall times + row counts. The success criterion is shape, not
+  * a golden value: candidates stay near the planted-duplicate count
+  * (bucket join, no quadratic blowup) and the job finishes in minutes on
+  * local[32] — the plan that survives the next 100×. */
+object DedupVolume {
+  def time[T](label: String)(f: => T): T = {
+    val t0 = System.nanoTime(); val r = f
+    println(f"[dedup-vol] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s"); r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val d = Tables.table(spark, "/root/testdata/sf0.1", "documents")
+      .select(col("doc_id"), col("text"))
+    val replicas = spark.range(100).select(col("id").as("rep"))
+    val corpus = d.crossJoin(replicas)
+      .select(
+        (col("doc_id") + col("rep") * 1000000L).as("doc_id"),
+        when(col("rep") % 10 === 0, col("text"))
+          .otherwise(concat_ws(" ", transform(sequence(lit(1), lit(40)),
+            i => concat(lit("w"), col("rep"), lit("_"), col("doc_id"), lit("_"), i))))
+          .as("text"))
+    val n = time("build 500k corpus")(corpus.count())
+    println(s"[dedup-vol] corpus rows: $n")
+
+    val cands = Dedup.minhashCandidates(corpus, col("doc_id"), col("text"))
+    val nCands = time("minhash+LSH candidates")(cands.count())
+    println(s"[dedup-vol] candidate pairs: $nCands")
+
+    val kept = time("connected components + removeDuplicates")(
+      Dedup.removeDuplicates(corpus, col("doc_id"), cands).count())
+    println(s"[dedup-vol] kept after dedup: $kept of $n")
+    spark.stop()
+  }
+}
