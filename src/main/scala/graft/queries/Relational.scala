@@ -39,6 +39,61 @@ object Relational {
     ),
 
     QueryDef(
+      "q_not_in_null",
+      // The NOT IN + NULL trap: a NULL in the subquery set makes
+      // `x NOT IN (...)` unknown for every non-member x, so the with_null
+      // leg returns 0 — standard three-valued logic, pinned on both
+      // engines with the same SQL text.
+      (s, dir) => {
+        t(s, dir, "customer").createOrReplaceTempView("customer")
+        t(s, dir, "orders").createOrReplaceTempView("orders")
+        s.sql("""SELECT 'with_null' AS leg, COUNT(*) AS n FROM customer
+                 WHERE c_custkey NOT IN
+                   (SELECT CASE WHEN o_custkey % 97 = 0 THEN NULL ELSE o_custkey END FROM orders)
+                 UNION ALL
+                 SELECT 'no_null' AS leg, COUNT(*) AS n FROM customer
+                 WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+                 ORDER BY leg""")
+      },
+      Some("""SELECT 'with_null' AS leg, COUNT(*) AS n FROM customer
+             |WHERE c_custkey NOT IN
+             |  (SELECT CASE WHEN o_custkey % 97 = 0 THEN NULL ELSE o_custkey END FROM orders)
+             |UNION ALL
+             |SELECT 'no_null' AS leg, COUNT(*) AS n FROM customer
+             |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+             |ORDER BY leg""".stripMargin),
+    ),
+
+    QueryDef(
+      "q_setop_all",
+      // Multiset set operations: INTERSECT ALL / EXCEPT ALL preserve
+      // duplicate multiplicity (min / difference of counts), unlike their
+      // DISTINCT cousins; multiplicities surfaced via GROUP BY for a
+      // stable comparison.
+      (s, dir) => {
+        t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+        s.sql("""WITH a AS (SELECT l_suppkey AS k FROM lineitem WHERE l_orderkey < 200),
+                      b AS (SELECT l_suppkey AS k FROM lineitem
+                            WHERE l_orderkey >= 100 AND l_orderkey < 300)
+                 SELECT 'intersect_all' AS op, k, COUNT(*) AS n
+                 FROM ((SELECT k FROM a) INTERSECT ALL (SELECT k FROM b)) GROUP BY k
+                 UNION ALL
+                 SELECT 'except_all' AS op, k, COUNT(*) AS n
+                 FROM ((SELECT k FROM a) EXCEPT ALL (SELECT k FROM b)) GROUP BY k
+                 ORDER BY op, k""")
+      },
+      Some("""WITH a AS (SELECT l_suppkey AS k FROM lineitem WHERE l_orderkey < 200),
+             |     b AS (SELECT l_suppkey AS k FROM lineitem
+             |           WHERE l_orderkey >= 100 AND l_orderkey < 300)
+             |SELECT 'intersect_all' AS op, k, COUNT(*) AS n
+             |FROM ((SELECT k FROM a) INTERSECT ALL (SELECT k FROM b)) GROUP BY k
+             |UNION ALL
+             |SELECT 'except_all' AS op, k, COUNT(*) AS n
+             |FROM ((SELECT k FROM a) EXCEPT ALL (SELECT k FROM b)) GROUP BY k
+             |ORDER BY op, k""".stripMargin),
+    ),
+
+    QueryDef(
       "q_null_semantics",
       // NULL behavior — the classic cross-engine divergence zone: NULL as
       // its own GROUP BY key, COUNT(*) vs COUNT(col), null-skipping AVG
