@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses Bench's ONE-line JSON from the tail of sbt's stdout;
+// sbt's "[success] Total time: …" epilogue printed after it broke that
+// parse in rounds 1-2 (BENCH_r0{1,2}.json: parsed=null). Suppress it so
+// the JSON line is the last thing on stdout.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
+// Forked `run` output normally passes through sbt's logger, which prefixes
+// every line with "[info] " — also fatal to a json.loads of the line.
+// StdoutOutput forwards the child's stdout verbatim.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

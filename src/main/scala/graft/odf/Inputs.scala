@@ -59,16 +59,22 @@ object Inputs {
     val opName = input.vocab.operationTypeColumn
     val isLongOp = df.schema.fields.exists(f =>
       f.name == opName && f.dataType == org.apache.spark.sql.types.LongType)
-    val firstFile = input.dataPaths.headOption.getOrElse(input.schemaFile)
-    if (isLongOp && opColumnIsUnsigned32(spark, firstFile, opName))
+    // With mergeSchema the op column may be absent (or signed) in earlier
+    // slices and UINT32 only in a later one, so consult footers across ALL
+    // paths and trust the first footer that actually declares the column —
+    // not just dataPaths.head.
+    val files = if (input.dataPaths.nonEmpty) input.dataPaths else Seq(input.schemaFile)
+    if (isLongOp &&
+      files.iterator.flatMap(f => opColumnUnsigned32(spark, f, opName)).nextOption().contains(true))
       df.withColumn(opName, col(quoted(opName)).cast(org.apache.spark.sql.types.IntegerType))
     else df
   }
 
-  /** Reads one parquet footer and reports whether `opName` is declared as a
-    * 32-bit unsigned int. Footer-only read (no row groups) — the same
-    * metadata Spark itself fetches for schema inference. */
-  private def opColumnIsUnsigned32(spark: SparkSession, path: String, opName: String): Boolean = {
+  /** Reads one parquet footer: Some(isUnsigned32) if it declares `opName`,
+    * None if the column is absent from this file. Footer-only read (no row
+    * groups) — the same metadata Spark itself fetches for schema inference. */
+  private def opColumnUnsigned32(
+      spark: SparkSession, path: String, opName: String): Option[Boolean] = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.schema.LogicalTypeAnnotation.IntLogicalTypeAnnotation
@@ -77,7 +83,8 @@ object Inputs {
     val reader = ParquetFileReader.open(in)
     try {
       val schema = reader.getFooter.getFileMetaData.getSchema
-      schema.containsField(opName) && {
+      if (!schema.containsField(opName)) None
+      else Some {
         val t = schema.getType(schema.getFieldIndex(opName))
         t.isPrimitive && (t.asPrimitiveType().getLogicalTypeAnnotation match {
           case i: IntLogicalTypeAnnotation => !i.isSigned && i.getBitWidth == 32

@@ -42,6 +42,20 @@ object GrpcWire {
     msgs.result()
   }
 
+  /** Percent-encode a `grpc-message` header value per the gRPC HTTP/2 spec:
+    * UTF-8 bytes in 0x20-0x24 / 0x26-0x7E travel literally (space stays a
+    * space — never '+', which is form-urlencoding, not gRPC); '%' itself and
+    * everything outside that range become %XX. */
+  def percentEncodeMessage(message: String): String = {
+    val sb = new StringBuilder(message.length)
+    for (byte <- message.getBytes("UTF-8")) {
+      val c = byte & 0xff
+      if (c >= 0x20 && c <= 0x7e && c != '%') sb.append(c.toChar)
+      else sb.append(f"%%$c%02X")
+    }
+    sb.toString
+  }
+
   /** Encode the ODF engine-proto envelope: `bytes flatbuffer = 1`. */
   def encodeEnvelope(payload: Array[Byte]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(payload.length + 6)

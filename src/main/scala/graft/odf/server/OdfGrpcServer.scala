@@ -114,8 +114,14 @@ class OdfGrpcServer(
         case None => respondStatus(ctx, 12, s"unknown method: $path")
         case Some(p) =>
           val job =
-            try Right(p(GrpcWire.decodeEnvelope(GrpcWire.unframe(bytes).headOption
-              .getOrElse(throw new IllegalArgumentException("empty gRPC body")))))
+            try Right(p(GrpcWire.decodeEnvelope(GrpcWire.unframe(bytes) match {
+              case Seq(one) => one
+              case Seq() => throw new IllegalArgumentException("empty gRPC body")
+              // unary-request methods: >1 frame is a client framing bug and
+              // must fail loudly (tonic rejects it), not silently drop frames
+              case many => throw new IllegalArgumentException(
+                s"expected exactly 1 message frame for unary request, got ${many.size}")
+            })))
             catch { case e: Exception => Left(e) }
           job match {
             case Left(e) => respondStatus(ctx, 3, s"bad request: ${e.getMessage}")
@@ -150,7 +156,7 @@ class OdfGrpcServer(
     private def respondStatus(ctx: ChannelHandlerContext, status: Int, message: String): Unit = {
       val headers = grpcHeaders()
         .set("grpc-status", status.toString)
-        .set("grpc-message", java.net.URLEncoder.encode(message, "UTF-8"))
+        .set("grpc-message", GrpcWire.percentEncodeMessage(message))
       ctx.writeAndFlush(new DefaultHttp2HeadersFrame(headers, true))
       ()
     }

@@ -119,7 +119,12 @@ object Multimodal {
     val payloadIdx = mm.schema.fieldIndex("payload")
     mm.mapPartitions { rows =>
       rows.map { row =>
-        val feat = parseWav(row.getAs[Array[Byte]](payloadIdx)).map {
+        // NonFatal guard mirrors decodeFeatures: one malformed payload must
+        // not kill a 100 TB job
+        val parsed =
+          try parseWav(row.getAs[Array[Byte]](payloadIdx))
+          catch { case scala.util.control.NonFatal(_) => None }
+        val feat = parsed.map {
           case (rate, ch, frames, rms) =>
             Row(rate, ch, frames, frames.toDouble / rate, rms)
         }.orNull
@@ -135,20 +140,28 @@ object Multimodal {
       ((b(i + 2) & 0xff).toLong << 16) | ((b(i + 3) & 0xff).toLong << 24)
     def tag(i: Int) = new String(b, i, 4, "US-ASCII")
     if (b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
-    var pos = 12
+    // pos and size stay Long: a chunk size is an unsigned u32, so an
+    // adversarial size with the high bit set must not become a negative Int
+    // (which would move pos backwards — an infinite loop inside a task)
+    var pos = 12L
     var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
     var result: Option[(Int, Int, Int, Double)] = None
     while (pos + 8 <= b.length && result.isEmpty) {
-      val id = tag(pos)
-      val size = u32(pos + 4).toInt
-      if (id == "fmt " && pos + 16 <= b.length) {
-        if (u16(pos + 8) != 1) return None // PCM only
-        fmt = Some((u16(pos + 10), u32(pos + 12).toInt, u16(pos + 22)))
+      val p = pos.toInt
+      val id = tag(p)
+      val size = u32(p + 4) // unsigned: 0 .. 2^32-1, never negative
+      if (size > b.length.toLong) return None // bogus header — chunk can't fit the payload
+      if (id == "fmt ") {
+        // reads up to p+23 (bits-per-sample), so require the full 16-byte
+        // PCM fmt body to be present — not just the 8-byte chunk header
+        if (size < 16 || p + 24 > b.length) return None
+        if (u16(p + 8) != 1) return None // PCM only
+        fmt = Some((u16(p + 10), u32(p + 12).toInt, u16(p + 22)))
       } else if (id == "data") {
         fmt match {
           case Some((ch, rate, bits)) if bits == 16 && ch > 0 && rate > 0 =>
-            val start = pos + 8
-            val end = math.min(start + size, b.length)
+            val start = p + 8
+            val end = math.min(start.toLong + size, b.length.toLong).toInt
             val nSamples = (end - start) / 2
             var acc = 0.0
             var i = start
@@ -162,7 +175,7 @@ object Multimodal {
           case _ => return None
         }
       }
-      pos += 8 + size + (size & 1) // chunks are 2-byte aligned
+      pos += 8L + size + (size & 1L) // chunks are 2-byte aligned; advance always >= 8
     }
     result
   }

@@ -75,7 +75,12 @@ class GrpcServerSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   /** One gRPC call over a fresh h2c connection; returns (grpc-status,
     * decoded response payloads). */
-  private def call(method: String, payload: Array[Byte]): (Int, Seq[Array[Byte]]) = {
+  private def call(method: String, payload: Array[Byte]): (Int, Seq[Array[Byte]]) =
+    callFrames(method, Seq(payload))
+
+  /** Same, with explicit control over how many message frames the request
+    * body carries (unary methods must reject more than one). */
+  private def callFrames(method: String, payloads: Seq[Array[Byte]]): (Int, Seq[Array[Byte]]) = {
     val group = new MultiThreadIoEventLoopGroup(NioIoHandler.newFactory())
     try {
       val done = new CompletableFuture[(Int, Array[Byte])]()
@@ -118,8 +123,9 @@ class GrpcServerSpec extends AnyFunSuite with BeforeAndAfterAll {
         .set("content-type", "application/grpc")
         .set("te", "trailers")
       stream.write(new DefaultHttp2HeadersFrame(headers))
-      stream.writeAndFlush(new DefaultHttp2DataFrame(
-        Unpooled.wrappedBuffer(GrpcWire.frame(GrpcWire.encodeEnvelope(payload))), true))
+      val reqBody = payloads.map(p => GrpcWire.frame(GrpcWire.encodeEnvelope(p)))
+        .foldLeft(Array.emptyByteArray)(_ ++ _)
+      stream.writeAndFlush(new DefaultHttp2DataFrame(Unpooled.wrappedBuffer(reqBody), true))
 
       val (status, body) = done.get(180, TimeUnit.SECONDS)
       ch.close().sync()
@@ -216,5 +222,18 @@ class GrpcServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     // permanently bad, must NOT be reported as a retryable UNKNOWN
     val (s2, _) = call("/engine.Engine/ExecuteRawQuery", Array[Byte]('n', 'o', 'p', 'e'))
     assert(s2 == 3)
+  }
+
+  test("unary request with >1 message frame is rejected INVALID_ARGUMENT(3), not silently truncated") {
+    val req = mapper.writeValueAsBytes(RawQueryRequest(
+      inputDataPaths = Nil, queries = Nil, outputDataPath = "/tmp/never-written.parquet"))
+    val (status, _) = callFrames("/engine.Engine/ExecuteRawQuery", Seq(req, req))
+    assert(status == 3, s"two-frame unary body must be INVALID_ARGUMENT, got $status")
+  }
+
+  test("grpc-message is percent-encoded per the gRPC spec (space stays space, never '+')") {
+    assert(GrpcWire.percentEncodeMessage("bad request: no such column") ==
+      "bad request: no such column")
+    assert(GrpcWire.percentEncodeMessage("100% broken\né") == "100%25 broken%0A%C3%A9")
   }
 }

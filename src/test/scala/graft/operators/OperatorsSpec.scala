@@ -309,6 +309,34 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2L).isEmpty, "non-WAV payload must decode to NULL")
   }
 
+  test("multimodal audio: malformed WAV payloads decode to NULL, never hang or crash") {
+    import spark.implicits._
+    def riffWave(len: Int): java.nio.ByteBuffer = {
+      val bb = java.nio.ByteBuffer.allocate(len).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(len - 8).put("WAVE".getBytes("US-ASCII"))
+    }
+    // chunk size with the high bit set: as a signed Int it is -8, which once
+    // made `pos += 8 + size + (size & 1)` advance by 0 — an infinite loop
+    val highBit = riffWave(60)
+    highBit.put("JUNK".getBytes("US-ASCII")).putInt(0xfffffff8)
+    // fmt chunk declared but its 16-byte body runs past the payload end
+    // (old code read bits-per-sample at pos+22 → AIOOBE)
+    val truncatedFmt = riffWave(44)
+    truncatedFmt.put("JUNK".getBytes("US-ASCII")).putInt(4).putInt(0)
+    truncatedFmt.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    // chunk size larger than the whole payload
+    val oversize = riffWave(48)
+    oversize.put("data".getBytes("US-ASCII")).putInt(1 << 30)
+
+    for ((name, bytes) <- Seq("highBit" -> highBit, "truncatedFmt" -> truncatedFmt,
+        "oversize" -> oversize).map { case (n, bb) => (n, bb.array()) }) {
+      assert(Multimodal.parseWav(bytes).isEmpty, s"$name must parse to None")
+      val out = Multimodal.wavFeatures(Seq((1L, bytes)).toDF("doc_id", "payload"))
+        .select(col("audio")).collect()
+      assert(out.length == 1 && out(0).isNullAt(0), s"$name must reach NULL through wavFeatures")
+    }
+  }
+
   test("approx sketches: HLL within 5% and t-digest median within 1% of exact (sf0.01)") {
     // Same shapes as q_approx_distinct / q_approx_percentile, checked
     // against the exact values so "approx" isn't "unchecked".
