@@ -15,7 +15,7 @@ object SparkEntry {
     Relational.defs ++ Aggregates.defs ++ Joins.defs ++ Windows.defs ++
       Functions.defs ++ TextAnalysis.defs ++ DedupQueries.defs ++
       SimilarityQueries.defs ++ MultimodalQueries.defs ++ Complex.defs ++
-      OdfQueries.defs ++ SkewQueries.defs
+      OdfQueries.defs ++ SkewQueries.defs ++ PipelineQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -307,6 +307,58 @@ object NativeHashes {
       copy(child = newChild)
   }
 
+  /** Bloom-filter membership probe: `key` is a LONG, `bloomBytes` a foldable
+    * BINARY literal holding a serialized `org.apache.spark.util.sketch
+    * .BloomFilter` (the sketch `df.stat.bloomFilter` builds). Unlike the
+    * loop-heavy expressions above this one does REAL `doGenCode`: the probe
+    * sits in the scan-side filter of a join's big input — the hottest row
+    * path there is — so it must stay inside whole-stage codegen, one virtual
+    * call per row against a shared deserialized filter
+    * (`ctx.addReferenceObj`, the same mechanism Spark's injected runtime
+    * filters use). */
+  case class BloomMightContainLong(key: Expression, bloomBytes: Expression)
+      extends Expression {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+
+    override def children: Seq[Expression] = Seq(key, bloomBytes)
+    override def nullable: Boolean = key.nullable
+    override def dataType: DataType = BooleanType
+
+    override def checkInputDataTypes(): TypeCheckResult = (key.dataType, bloomBytes.dataType) match {
+      case (LongType, BinaryType) if bloomBytes.foldable => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "bloom_might_contain expects (bigint, foldable binary)")
+    }
+
+    @transient private lazy val bloom: org.apache.spark.util.sketch.BloomFilter =
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bloomBytes.eval(null).asInstanceOf[Array[Byte]]))
+
+    override def eval(input: InternalRow): Any = {
+      val k = key.eval(input)
+      if (k == null) null else bloom.mightContainLong(k.asInstanceOf[Long])
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val bloomRef = ctx.addReferenceObj(
+        "bloomFilter", bloom, classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+      val k = key.genCode(ctx)
+      ev.copy(code = code"""
+        ${k.code}
+        boolean ${ev.isNull} = ${k.isNull};
+        boolean ${ev.value} = false;
+        if (!${ev.isNull}) {
+          ${ev.value} = $bloomRef.mightContainLong(${k.value});
+        }""")
+    }
+
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): BloomMightContainLong =
+      copy(key = newChildren(0), bloomBytes = newChildren(1))
+  }
+
   private def intLit(e: Expression, fn: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
     case other => throw new IllegalArgumentException(
@@ -330,5 +382,7 @@ object NativeHashes {
       args => L2Norm(args.head), "built-in")
     registry.createOrReplaceTempFunction("quantize_int8",
       args => QuantizeInt8(args.head), "built-in")
+    registry.createOrReplaceTempFunction("bloom_might_contain",
+      args => BloomMightContainLong(args.head, args(1)), "built-in")
   }
 }

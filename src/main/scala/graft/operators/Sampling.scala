@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-independent sampling for training-data pipelines.
+  *
+  * `df.sample()` is seed × partitioning dependent — rerun the pipeline with
+  * a different file split and the sample changes, which poisons train/eval
+  * hygiene. Every operator here derives membership from a content hash of a
+  * stable key, so the same row lands in the same sample on any engine, any
+  * cluster size, any run — the same property as q_split_hash's
+  * train/val/test assignment (and the same md5-bucket arithmetic).
+  *
+  * Scale shapes: fraction/stratified sampling are pure codegen'd filters —
+  * no shuffle, no state, they ride the scan. Fixed-size sampling is a top-k
+  * by hash (TakeOrderedAndProject: per-partition heaps + driver merge of k
+  * rows — never a global sort).
+  */
+object Sampling {
+
+  /** Uniform bucket in [0, 256) from the first two hex chars of md5(key). */
+  def hashBucket256(key: Column): Column =
+    conv(substring(md5(key.cast("string").cast("binary")), 1, 2), 16, 10).cast("int")
+
+  /** Keep rows with bucket < threshold: threshold/256 of the data,
+    * deterministically. */
+  def fractionSample(df: DataFrame, key: Column, threshold: Int): DataFrame =
+    df.filter(hashBucket256(key) < threshold)
+
+  /** Per-stratum thresholds (of 256): downsample dominant strata, keep the
+    * rare ones — the standard rebalancing step for multilingual corpora.
+    * `thresholds` maps stratum value → bucket threshold; `defaultThreshold`
+    * applies to unlisted strata. */
+  def stratifiedSample(
+      df: DataFrame,
+      key: Column,
+      stratum: Column,
+      thresholds: Map[String, Int],
+      defaultThreshold: Int): DataFrame = {
+    val cut = thresholds.toSeq.sortBy(_._1).foldLeft(lit(defaultThreshold)) {
+      case (acc, (value, t)) => when(stratum === value, lit(t)).otherwise(acc)
+    }
+    df.filter(hashBucket256(key) < cut)
+  }
+
+  /** Exactly-n uniform sample without replacement: the n smallest md5
+    * hashes. A deterministic reservoir — growing the corpus only evicts
+    * rows with the largest hashes, it never reshuffles the survivors. */
+  def fixedSizeSample(df: DataFrame, key: Column, n: Int): DataFrame =
+    df.withColumn("_h", md5(key.cast("string").cast("binary")))
+      .orderBy(col("_h"))
+      .limit(n)
+      .drop("_h")
+}

@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.operators.{BloomJoin, Changelog, Layout, Sampling}
+import graft.sources.Tables
+
+/** Pipeline-infrastructure operators under the oracle gate: changelog
+  * compaction, bloom-join reduction, deterministic sampling, Z-order layout.
+  *
+  * Two of these (bloom join, sampling thresholds) are *result-neutral
+  * optimizations*: the oracle is the plain, unoptimized SQL, so the hash
+  * check proves the optimization changes the plan but not one output value —
+  * the same property q_salted_* pins for salting.
+  */
+object PipelineQueries {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.table(s, dir, n)
+
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast("double")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q_changelog_snapshot",
+      // ODF ledger → current state: latest record per key via one
+      // max_by hash-aggregate (map-side combine keeps one candidate per key
+      // per task — no window sort over full per-key history), then dead keys
+      // (latest op = retract/correct-from) dropped. The op column is
+      // synthesized deterministically from the unique event_id so DuckDB
+      // sees the identical ledger.
+      (s, dir) => {
+        val ledger = t(s, dir, "events").select(
+          col("user_id"),
+          col("event_id"),
+          col("value"),
+          Changelog.syntheticOp(col("event_id")).as("op"))
+        Changelog.snapshot(ledger, Seq("user_id"), versionCol = "event_id", opCol = "op")
+          .select(
+            col("user_id"),
+            col("event_id").as("last_event_id"),
+            col("op"),
+            col("value"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH led AS (
+             |  SELECT user_id, event_id, value,
+             |    CASE WHEN event_id % 10 = 0 THEN 1
+             |         WHEN event_id % 7 = 0 THEN 3
+             |         ELSE 0 END AS op
+             |  FROM events),
+             |last AS (
+             |  SELECT user_id,
+             |    arg_max(event_id, event_id) AS last_event_id,
+             |    arg_max(op, event_id) AS op,
+             |    arg_max(value, event_id) AS value
+             |  FROM led GROUP BY user_id)
+             |SELECT user_id, last_event_id, op, value FROM last
+             |WHERE op IN (0, 3) ORDER BY user_id""".stripMargin),
+    ),
+
+    QueryDef(
+      "q_bloom_join",
+      // Bloom semi-join reduction: sketch the filtered orders keys, drop
+      // non-joining lineitem rows at the scan (codegen'd probe, before the
+      // shuffle), then the real join removes bloom false positives. The
+      // oracle is the PLAIN join — proving the reduction is result-neutral.
+      (s, dir) => {
+        val urgent = t(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"), col("o_orderstatus"))
+        BloomJoin.bloomReducedJoin(
+          t(s, dir, "lineitem"), urgent, bigKey = "l_orderkey", smallKey = "o_orderkey")
+          .groupBy(col("o_orderstatus"))
+          .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+             |  COUNT(*) AS n
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE o_orderpriority = '1-URGENT'
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+    ),
+
+    QueryDef(
+      "q_sample_stratified",
+      // Corpus rebalancing: keep 64/256 of dominant English, 192/256 of
+      // everything else, membership decided by md5(doc_id) — deterministic
+      // across engines/partitionings (df.sample is neither). Pure codegen'd
+      // filter: no shuffle, rides the scan.
+      (s, dir) => {
+        Sampling.stratifiedSample(
+          t(s, dir, "documents").select(col("doc_id"), col("lang")),
+          key = col("doc_id"), stratum = col("lang"),
+          thresholds = Map("en" -> 64), defaultThreshold = 192)
+          .withColumn("bucket", Sampling.hashBucket256(col("doc_id")))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH b AS (
+             |  SELECT doc_id, lang,
+             |    CAST((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+             |       + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS INT) AS bucket
+             |  FROM documents)
+             |SELECT doc_id, lang, bucket FROM b
+             |WHERE bucket < CASE WHEN lang = 'en' THEN 64 ELSE 192 END
+             |ORDER BY doc_id""".stripMargin),
+    ),
+
+    QueryDef(
+      "q_sample_topn",
+      // Exactly-100 deterministic uniform sample: the 100 smallest
+      // md5(doc_id) values. Plans as TakeOrderedAndProject (per-partition
+      // top-k heaps + driver merge of 100 rows), never a global sort —
+      // the fixed-size sample shape that works at any corpus size.
+      (s, dir) => {
+        Sampling.fixedSizeSample(
+          t(s, dir, "documents").select(col("doc_id"), col("lang"), col("source")),
+          key = col("doc_id"), n = 100)
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, lang, source FROM (
+             |  SELECT doc_id, lang, source FROM documents
+             |  ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT 100)
+             |ORDER BY doc_id""".stripMargin),
+    ),
+
+    QueryDef(
+      "q_zorder",
+      // Morton (Z-curve) codes for two-dimensional layout clustering —
+      // pure built-in bitwise arithmetic (magic-number bit spread), fully
+      // codegen'd, value-checked bit-for-bit against DuckDB running the
+      // identical integer arithmetic. Layout.zorderRepartition uses this
+      // code to range-partition; the locality effect is asserted in
+      // OperatorsSpec (bounded per-partition rectangles in BOTH dims).
+      (s, dir) => {
+        t(s, dir, "orders")
+          .select(
+            col("o_orderkey"),
+            Layout.zValue16(col("o_custkey"), col("o_orderkey")).as("zvalue"))
+          .orderBy(col("zvalue"), col("o_orderkey"))
+          .limit(1000)
+      },
+      Some("""WITH m0 AS (SELECT o_orderkey, (o_custkey & 65535) AS a, (o_orderkey & 65535) AS b FROM orders),
+             |m1 AS (SELECT o_orderkey, ((a | (a << 8)) & 16711935) AS a, ((b | (b << 8)) & 16711935) AS b FROM m0),
+             |m2 AS (SELECT o_orderkey, ((a | (a << 4)) & 252645135) AS a, ((b | (b << 4)) & 252645135) AS b FROM m1),
+             |m3 AS (SELECT o_orderkey, ((a | (a << 2)) & 858993459) AS a, ((b | (b << 2)) & 858993459) AS b FROM m2),
+             |m4 AS (SELECT o_orderkey, ((a | (a << 1)) & 1431655765) AS a, ((b | (b << 1)) & 1431655765) AS b FROM m3)
+             |SELECT o_orderkey, (a | (b << 1)) AS zvalue FROM m4
+             |ORDER BY zvalue, o_orderkey LIMIT 1000""".stripMargin),
+    ),
+  )
+}

@@ -337,6 +337,96 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("changelog snapshot: latest-per-key, retractions and correct-from kill the key") {
+    import spark.implicits._
+    // key A: append→correct pair → live with corrected value
+    // key B: append→retract → gone
+    // key C: append only → live
+    // key D: retract→append (out-of-order op history; latest wins) → live
+    val ledger = Seq(
+      (1L, "A", 10.0, 0), (2L, "A", 11.0, 2), (3L, "A", 12.0, 3),
+      (4L, "B", 20.0, 0), (5L, "B", 20.0, 1),
+      (6L, "C", 30.0, 0),
+      (7L, "D", 40.0, 1), (8L, "D", 41.0, 0),
+    ).toDF("offset", "k", "v", "op")
+    val snap = Changelog.snapshot(ledger, Seq("k"), versionCol = "offset", opCol = "op")
+      .collect().map(r => r.getAs[String]("k") -> r.getAs[Double]("v")).toMap
+    assert(snap == Map("A" -> 12.0, "C" -> 30.0, "D" -> 41.0))
+
+    val stats = Changelog.historyStats(ledger, Seq("k"), "offset", "op")
+      .collect().map(r => r.getAs[String]("k") ->
+        ((r.getAs[Long]("n_versions"), r.getAs[Boolean]("is_live")))).toMap
+    assert(stats == Map("A" -> ((3L, true)), "B" -> ((2L, false)),
+      "C" -> ((1L, true)), "D" -> ((2L, true))))
+  }
+
+  test("bloom semi-reduce: no false negatives, real pruning, join result unchanged") {
+    import spark.implicits._
+    val big = spark.range(0, 100000).select(col("id").as("k"), (col("id") * 2).as("payload"))
+      .repartition(4)
+    val small = spark.range(0, 100000, 97).select(col("id").as("sk")) // ~1031 keys
+    val bloom = BloomJoin.keyBloom(small, "sk", fpp = 0.01)
+
+    val kept = BloomJoin.semiReduce(big, col("k"), bloom)
+    // no false negatives: every true join key survives the probe
+    assert(kept.filter(col("k") % 97 === 0).count() == small.count())
+    // real pruning: ~1% fpp over ~99k non-keys ⇒ kept well under 5% of big
+    val keptN = kept.count()
+    assert(keptN < 5000, s"bloom kept $keptN of 100000 — not pruning")
+    // end-to-end result identical to the plain join (fp rows die in the join)
+    val viaBloom = BloomJoin.bloomReducedJoin(big, small, "k", "sk")
+      .select(col("k"), col("payload")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain = big.join(small, col("k") === col("sk"))
+      .select(col("k"), col("payload")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaBloom == plain)
+  }
+
+  test("z-order layout bounds BOTH dimensions per partition; single-column sort does not") {
+    import spark.implicits._
+    // uniform 2-d grid: 256 × 256 points
+    val grid = spark.range(0, 65536)
+      .select((col("id") % 256).as("x"), (col("id") / 256).cast("long").as("y"))
+    // Pruning metric: with file-level min/max stats, a filter reads only the
+    // partitions whose range overlaps it. Count partitions touched by a
+    // small range filter on each dimension.
+    def touched(df: org.apache.spark.sql.DataFrame, dim: String): Int =
+      df.mapPartitions { it =>
+        val vals = it.map(r => if (dim == "x") r.getLong(0) else r.getLong(1)).toSeq
+        Iterator.single(if (vals.nonEmpty && vals.min < 32) 1 else 0)
+      }.collect().sum
+    val zLayout = Layout.zorderRepartition(grid, "x", "y", 8).select(col("x"), col("y"))
+    val xLayout = grid.repartitionByRange(8, col("x")).select(col("x"), col("y"))
+    // single-column layout: perfect on its own column, useless on the other
+    assert(touched(xLayout, "x") <= 2)
+    assert(touched(xLayout, "y") == 8, "x-sorted layout cannot prune y filters")
+    // z-order: a y<32 (or x<32) slab overlaps only the z-ranges whose
+    // interleaved high bits match — a strict subset of partitions on BOTH dims
+    val zx = touched(zLayout, "x"); val zy = touched(zLayout, "y")
+    assert(zx <= 5 && zy <= 5, s"z-order should prune both dims: x=$zx y=$zy of 8")
+  }
+
+  test("deterministic sampling: exact size, partitioning-independent membership") {
+    val d = Tables.table(spark, dir, "documents").select(col("doc_id"), col("lang"))
+    val s1 = Sampling.fixedSizeSample(d.repartition(7), col("doc_id"), 100)
+      .collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.fixedSizeSample(d.repartition(3), col("doc_id"), 100)
+      .collect().map(_.getLong(0)).toSet
+    assert(s1.size == 100 && s1 == s2, "fixed-size sample must not depend on partitioning")
+
+    val strat = Sampling.stratifiedSample(d, col("doc_id"), col("lang"),
+      thresholds = Map("en" -> 64), defaultThreshold = 192)
+    val rates = strat.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = d.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val enRate = rates("en").toDouble / totals("en")
+    assert(enRate > 0.10 && enRate < 0.40, s"en keep-rate $enRate far from 64/256")
+    for ((l, n) <- totals if l != "en") {
+      val r = rates.getOrElse(l, 0L).toDouble / n
+      assert(r > 0.55 && r < 0.95, s"$l keep-rate $r far from 192/256")
+    }
+  }
+
   test("approx sketches: HLL within 5% and t-digest median within 1% of exact (sf0.01)") {
     // Same shapes as q_approx_distinct / q_approx_percentile, checked
     // against the exact values so "approx" isn't "unchecked".
