@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.operators.{BloomJoin, Changelog, Layout, Sampling}
+import graft.operators.{BloomJoin, Changelog, Layout, Sampling, SearchIndex, Sketches, TextOps}
 import graft.sources.Tables
 
 /** Pipeline-infrastructure operators under the oracle gate: changelog
@@ -125,6 +125,50 @@ object PipelineQueries {
              |  SELECT doc_id, lang, source FROM documents
              |  ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT 100)
              |ORDER BY doc_id""".stripMargin),
+    ),
+
+    QueryDef(
+      "q_inverted_index",
+      // Retrieval-index build: token → (document frequency, first-20
+      // postings). One shuffle on the token key; posting lists are capped
+      // by window row_number BEFORE collect_list, so hot tokens cost `cap`
+      // entries, not one per matching document. Postings travel as a
+      // comma-joined string (array columns break the driver's row sort).
+      (s, dir) => {
+        SearchIndex.invertedIndex(
+          t(s, dir, "documents"), col("doc_id"), col("text"), cap = 20)
+          .filter(col("df") >= 20)
+          .orderBy(col("token"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT DISTINCT doc_id,
+             |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+             |  FROM documents),
+             |ranked AS (
+             |  SELECT token, doc_id,
+             |    count(*) OVER (PARTITION BY token) AS df,
+             |    row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+             |  FROM tok)
+             |SELECT token, df,
+             |  array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY doc_id), ',') AS postings
+             |FROM ranked WHERE rn <= 20 AND df >= 20
+             |GROUP BY token, df ORDER BY token""".stripMargin),
+    ),
+
+    QueryDef(
+      "q_heavy_hitters",
+      // Count-min-sketch frequency estimation: top-50 tokens by estimated
+      // count. No oracle by design — the estimates are sketch outputs, not
+      // SQL-reproducible; OperatorsSpec pins the CMS guarantee instead
+      // (exact <= estimate <= exact + eps*N) and that the estimated top-k
+      // contains the exact top-k.
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .select(explode(TextOps.tokens(col("text"))).as("token"))
+        Sketches.heavyHitters(toks, "token", k = 50)
+          .orderBy(col("est_count").desc, col("token"))
+      },
+      None,
     ),
 
     QueryDef(

@@ -427,6 +427,33 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("count-min heavy hitters: one-sided eps-bounded estimates, planted hot tokens recovered") {
+    import spark.implicits._
+    // The synthetic corpus vocabulary is near-uniform (no true heavy
+    // hitters), so plant an unambiguous zipf head on top of it.
+    val base = Tables.table(spark, dir, "documents")
+      .select(explode(TextOps.tokens(col("text"))).as("token"))
+    // counts all above the base corpus's own most frequent token (~1000)
+    val hot = Seq.tabulate(5)(i => (s"hot$i", 3000 - 300 * i))
+    val planted = hot.flatMap { case (t, n) => Seq.fill(n)(t) }.toDF("token").repartition(4)
+    val toks = base.unionAll(planted)
+    val total = toks.count()
+    val exact = toks.groupBy("token").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val eps = 1e-4
+    val est = Sketches.heavyHitters(toks, "token", k = 20, eps = eps)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    // CMS guarantee: never under, over by at most eps*N (w.h.p.)
+    for ((t, n) <- est) {
+      assert(n >= exact(t), s"CMS underestimated '$t': $n < ${exact(t)}")
+      assert(n <= exact(t) + (eps * total).ceil.toLong + 1,
+        s"CMS overestimated '$t' beyond eps*N: $n vs ${exact(t)} + ${(eps * total).ceil}")
+    }
+    // the planted head must come back as the top 5, in order
+    assert(est.take(5).map(_._1).toSeq == hot.map(_._1),
+      s"planted heavy hitters not recovered in order: ${est.take(5).toSeq}")
+  }
+
   test("approx sketches: HLL within 5% and t-digest median within 1% of exact (sf0.01)") {
     // Same shapes as q_approx_distinct / q_approx_percentile, checked
     // against the exact values so "approx" isn't "unchecked".
