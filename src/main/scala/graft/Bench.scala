@@ -45,7 +45,27 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    System.out.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Full-precision line for humans / logs goes to STDERR: the harness
+    // captures only the last 2000 chars of stdout, and this line outgrew
+    // that window once the suite passed ~70 queries (BENCH_r0{1,2,3}.json:
+    // parsed=null). stdout carries exactly one, bounded, JSON line.
+    System.err.println(s"""{"metric":"total_full","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The LAST stdout line is the machine-readable one: kept under ~1900
+    // chars so it always sits entirely inside the tail window. Per-query
+    // seconds at 3 decimals, slowest queries first, greedily filled until
+    // the budget is hit (the slow ones are the ones worth grading).
+    def fmt(v: Double): String = f"$v%.3f"
+    val preamble = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"sf":"$sfDir","queries":{"""
+    val epilogue = "}}"
+    val budget = 1900 - preamble.length - epilogue.length
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = 0
+    results.sortBy(-_._2).foreach { case (k, v) =>
+      val e = "\"" + k + "\":" + fmt(v)
+      val cost = e.length + (if (entries.isEmpty) 0 else 1)
+      if (used + cost <= budget) { entries += e; used += cost }
+    }
+    System.out.println(preamble + entries.mkString(",") + epilogue)
     System.out.flush()
     spark.stop()
   }

@@ -15,7 +15,8 @@ object SparkEntry {
     Relational.defs ++ Aggregates.defs ++ Joins.defs ++ Windows.defs ++
       Functions.defs ++ TextAnalysis.defs ++ DedupQueries.defs ++
       SimilarityQueries.defs ++ MultimodalQueries.defs ++ Complex.defs ++
-      OdfQueries.defs ++ SkewQueries.defs ++ PipelineQueries.defs
+      OdfQueries.defs ++ SkewQueries.defs ++ PipelineQueries.defs ++
+      CurationQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -44,6 +44,31 @@ object BloomJoin {
     big.filter(call_function("bloom_might_contain", bigKey.cast("long"), lit(bloomBytes)))
   }
 
+  /** Anti-join (NOT EXISTS) with a bloom fast path — the incremental-dedup
+    * shape: `big` is an incoming batch, `small` is the key set of an existing
+    * corpus. Rows whose key the bloom *definitely hasn't seen* (no false
+    * negatives by construction) skip the shuffle entirely; only the
+    * maybe-seen minority pays the real anti-join, which then removes bloom
+    * false positives. Result is bit-identical to a plain anti-join.
+    *
+    * `big` is scanned twice (once per branch) — both scans are parallel
+    * column-pruned parquet reads, which at 100 TB is far cheaper than
+    * shuffling the ~all-new majority of the batch. */
+  def bloomAntiJoin(
+      big: DataFrame,
+      small: DataFrame,
+      bigKey: Column,
+      smallKey: Column,
+      condition: Column,
+      fpp: Double = 0.01): DataFrame = {
+    val bytes = keyBloom(small.select(smallKey.cast("long").as("k")), "k", fpp)
+    NativeHashes.register(big.sparkSession)
+    val probe = call_function("bloom_might_contain", bigKey.cast("long"), lit(bytes))
+    val definitelyNew = big.filter(!probe)
+    val survivors = big.filter(probe).join(small, condition, "left_anti")
+    definitelyNew.unionByName(survivors)
+  }
+
   /** The full pattern: sketch the small side, pre-filter the big side, then
     * run the real equi-join (which eliminates bloom false positives). */
   def bloomReducedJoin(

@@ -381,6 +381,29 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaBloom == plain)
   }
 
+  test("bloom anti-join: bit-identical to plain anti-join, fast path skips the shuffle") {
+    import spark.implicits._
+    // incoming batch: 100k rows; corpus: every-97th key → ~1% of the batch
+    // is "already seen" and must be dropped
+    val batch = spark.range(0, 100000).select(col("id").as("k"), (col("id") * 3).as("payload"))
+      .repartition(4)
+    val corpus = spark.range(0, 100000, 97).select(col("id").as("ck"))
+    val viaBloom = BloomJoin.bloomAntiJoin(
+      batch, corpus,
+      bigKey = col("k"), smallKey = col("ck"),
+      condition = col("k") === col("ck"))
+      .select(col("k"), col("payload")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain = batch.join(corpus, col("k") === col("ck"), "left_anti")
+      .select(col("k"), col("payload")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaBloom == plain)
+    assert(viaBloom.size == 100000 - corpus.count())
+    // the fast path carries the work: only maybe-seen rows (true keys + ~1%
+    // false positives) reach the real anti-join
+    val bloom = BloomJoin.keyBloom(corpus.select(col("ck").as("k")), "k", 0.01)
+    val maybeSeen = BloomJoin.semiReduce(batch, col("k"), bloom).count()
+    assert(maybeSeen < 5000, s"$maybeSeen of 100000 routed to the anti-join — bloom not pruning")
+  }
+
   test("z-order layout bounds BOTH dimensions per partition; single-column sort does not") {
     import spark.implicits._
     // uniform 2-d grid: 256 × 256 points
