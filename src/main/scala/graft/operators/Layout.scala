@@ -45,4 +45,28 @@ object Layout {
       .repartitionByRange(numPartitions, col("_zvalue"))
       .sortWithinPartitions("_zvalue")
       .drop("_zvalue")
+
+  /** Small-file compaction: rewrite a parquet directory into files of
+    * ~`targetBytes` each. Streaming sinks and incremental ingest leave
+    * thousands of KB-sized files per partition; at 100 TB that turns every
+    * scan into a metadata storm (one footer read + task per file) and
+    * starves row-group-level pruning. The target file count comes from the
+    * directory's actual on-disk size (driver-side listing — one NameNode
+    * round-trip, no data read), and the rewrite is one narrow
+    * `repartition` job: scan → shuffle into `n` balanced partitions →
+    * write. Returns the resulting DataFrame's file count. */
+  def compact(
+      spark: org.apache.spark.sql.SparkSession,
+      inDir: String,
+      outDir: String,
+      targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val path = new org.apache.hadoop.fs.Path(inDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(path).getLength
+    val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(inDir).repartition(n)
+      .write.mode("overwrite").parquet(outDir)
+    fs.listStatus(new org.apache.hadoop.fs.Path(outDir))
+      .count(s => s.getPath.getName.endsWith(".parquet"))
+  }
 }

@@ -22,34 +22,35 @@ object Sketches {
   def countMin(df: DataFrame, c: String, eps: Double, confidence: Double): CountMinSketch =
     df.stat.countMinSketch(col(c), eps, confidence, seed = 42)
 
-  /** Misra-Gries summary of one partition: at most `m` counters. Any token
-    * with partition-local count > N_p/(m+1) is guaranteed to survive —
-    * every global heavy hitter is a local one in at least its densest
-    * partitions. Amortized O(1) per element: each O(m) decrement sweep is
-    * paid for by the m increments before it. */
-  private def misraGries(it: Iterator[String], m: Int): Iterator[String] = {
-    val counts = scala.collection.mutable.HashMap.empty[String, Long]
-    it.foreach { t =>
-      if (counts.contains(t)) counts(t) += 1
-      else if (counts.size < m) counts(t) = 1L
-      else {
-        counts.mapValuesInPlace((_, v) => v - 1)
-        counts.filterInPlace((_, v) => v > 0)
-      }
+  /** Mergeable Misra-Gries summary: bounded map of candidate counters.
+    * Merge = counter sum, then the standard decrement-by-(m+1)-th-largest
+    * trim (Agarwal et al., "Mergeable Summaries") — preserves the MG
+    * guarantee that any token with global count > N/(m+1) survives. */
+  private def mgMerge(
+      a: scala.collection.mutable.HashMap[String, Long],
+      b: scala.collection.mutable.HashMap[String, Long],
+      m: Int): scala.collection.mutable.HashMap[String, Long] = {
+    b.foreach { case (t, n) => a.updateWith(t) { c => Some(c.getOrElse(0L) + n) } }
+    if (a.size > m) {
+      val d = a.values.toArray.sorted(Ordering[Long].reverse).apply(m)
+      a.mapValuesInPlace((_, v) => v - d)
+      a.filterInPlace((_, v) => v > 0)
     }
-    counts.keysIterator
+    a
   }
 
   /** Heavy hitters: top-k tokens by estimated frequency.
     *
     * The sketch answers point queries only, so a candidate set is needed.
-    * Scale shape: candidates come from a bounded-memory Misra-Gries pass
-    * per partition (at most `localCap` counters per task, NEVER the
-    * partition's vocabulary); the count-min sketch, built over the FULL
-    * stream in one pass, then re-estimates each surviving candidate's true
-    * frequency — repairing Misra-Gries' undercounting with CMS'
-    * never-undercounting. Candidate volume is ≤ localCap × partitions,
-    * independent of corpus size.
+    * Scale shape: ONE pass over the token stream builds, per task, both a
+    * Misra-Gries candidate summary (at most `localCap` counters, NEVER the
+    * partition's vocabulary) and a count-min sketch; both are mergeable, so
+    * `treeAggregate` combines them up a tree without any shuffle of the
+    * stream. The merged CMS (exact counter sums — merge-order independent)
+    * re-estimates each surviving candidate's frequency, repairing MG's
+    * undercounting with CMS' never-undercounting. Driver-side state is one
+    * CMS (eps × confidence sized) + ≤ localCap candidates, independent of
+    * corpus size.
     *
     * Returns (token, est_count) for the top-k candidates by estimate. */
   def heavyHitters(
@@ -61,12 +62,29 @@ object Sketches {
       localCap: Int = 4096): DataFrame = {
     val spark = tokens.sparkSession
     import spark.implicits._
-    val sketch = countMin(tokens, tokenCol, eps, confidence)
-    val candidates = tokens.select(col(tokenCol)).as[String]
-      .mapPartitions(it => misraGries(it, localCap))
-      .distinct()
-      .collect()
-    candidates.toSeq
+    type Acc = (CountMinSketch, scala.collection.mutable.HashMap[String, Long])
+    def zero: Acc =
+      (CountMinSketch.create(eps, confidence, 42),
+        scala.collection.mutable.HashMap.empty[String, Long])
+    val (sketch, mg) = tokens.select(col(tokenCol)).as[String].rdd
+      .treeAggregate(zero)(
+        seqOp = { case ((cms, counts), t) =>
+          cms.addString(t)
+          // inlined MG step (same semantics as misraGries): count if
+          // present or under cap, else decrement-sweep everyone
+          if (counts.contains(t)) counts(t) += 1
+          else if (counts.size < localCap) counts(t) = 1L
+          else {
+            counts.mapValuesInPlace((_, v) => v - 1)
+            counts.filterInPlace((_, v) => v > 0)
+          }
+          (cms, counts)
+        },
+        combOp = { case ((c1, m1), (c2, m2)) =>
+          c1.mergeInPlace(c2)
+          (c1, mgMerge(m1, m2, localCap))
+        })
+    mg.keysIterator.toSeq
       .map(t => (t, sketch.estimateCount(t)))
       .sortBy { case (t, n) => (-n, t) }
       .take(k)

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.operators.BloomJoin
+import graft.operators.{BloomJoin, Sampling}
 import graft.sources.Tables
 
 /** Corpus-curation operators (round 4): incremental dedup against an
@@ -142,6 +142,70 @@ object CurationQueries {
              |FROM sents JOIN sdf USING (sent)
              |GROUP BY doc_id HAVING SUM(CASE WHEN sent_docs >= 2 THEN 1 ELSE 0 END) > 0
              |ORDER BY doc_id""".stripMargin),
+    ),
+
+    QueryDef(
+      "q_curation_pipeline",
+      // The end-to-end curation chain a training-data run actually executes,
+      // as ONE plan: plant exact dups → language allowlist → global-
+      // percentile length gate → exact dedup (min-doc_id representative per
+      // text) → deterministic train/val/test hash split → per (lang, split)
+      // accounting. Every stage is a narrow map/filter or a map-side-
+      // combined aggregate; the only shuffles are the dedup hash-aggregate
+      // and the final small rollup. Oracle replays the identical chain in
+      // DuckDB CTEs — one hash check covers the whole pipeline's
+      // composition, not just each stage in isolation.
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+        // planted: every 7th doc duplicated at +200000 (dedup must drop these)
+        val ledger = docs.unionByName(
+          docs.filter(col("doc_id") % 7 === 0)
+            .select((col("doc_id") + 200000).as("doc_id"), col("text"),
+              col("lang"), col("n_chars")))
+        val langGated = ledger.filter(col("lang").isin("en", "de", "fr"))
+        val bounds = langGated.agg(
+          percentile(col("n_chars"), lit(0.05)).as("lo"),
+          percentile(col("n_chars"), lit(0.95)).as("hi"))
+        val gated = langGated.crossJoin(broadcast(bounds))
+          .filter(col("n_chars") >= col("lo") && col("n_chars") <= col("hi"))
+        val deduped = gated
+          .groupBy(col("text"))
+          .agg(min(col("doc_id")).as("doc_id"),
+            min(col("lang")).as("lang"), min(col("n_chars")).as("n_chars"))
+        val split = deduped.withColumn("bucket",
+          Sampling.hashBucket256(col("doc_id")))
+          .withColumn("split",
+            when(col("bucket") < 205, "train")
+              .when(col("bucket") < 230, "val")
+              .otherwise("test"))
+        split.groupBy(col("lang"), col("split"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+          .orderBy(col("lang"), col("split"))
+      },
+      Some("""WITH ledger AS (
+             |  SELECT doc_id, text, lang, n_chars FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 200000, text, lang, n_chars FROM documents WHERE doc_id % 7 = 0),
+             |lang_gated AS (
+             |  SELECT * FROM ledger WHERE lang IN ('en','de','fr')),
+             |b AS (SELECT quantile_cont(n_chars, 0.05) AS lo,
+             |             quantile_cont(n_chars, 0.95) AS hi FROM lang_gated),
+             |gated AS (
+             |  SELECT g.* FROM lang_gated g, b WHERE n_chars >= b.lo AND n_chars <= b.hi),
+             |deduped AS (
+             |  SELECT MIN(doc_id) AS doc_id, MIN(lang) AS lang, MIN(n_chars) AS n_chars
+             |  FROM gated GROUP BY text),
+             |split AS (
+             |  SELECT lang, n_chars,
+             |    CAST((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+             |       + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS INT) AS bucket
+             |  FROM deduped)
+             |SELECT lang,
+             |  CASE WHEN bucket < 205 THEN 'train' WHEN bucket < 230 THEN 'val' ELSE 'test' END AS split,
+             |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+             |FROM split
+             |GROUP BY 1, 2 ORDER BY lang, split""".stripMargin),
     ),
 
     QueryDef(

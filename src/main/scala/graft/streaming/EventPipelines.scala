@@ -123,4 +123,29 @@ object EventPipelines {
     events
       .withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark(key)
+
+  /** Stream-stream interval join: each action pairs with the same user's
+    * trigger events from the preceding `lookback`. Both sides carry
+    * watermarks and the join condition bounds event-time distance, so each
+    * side's state store holds only rows inside its watermark horizon —
+    * without the time bound Spark would have to buffer both streams forever
+    * (and rejects the query in Append mode). The non-equi time predicate
+    * rides ON TOP of the user_id equi-join: state lookup is hash-on-key,
+    * then the interval check — not a cross of the buffers. */
+  def correlateStreams(
+      triggers: DataFrame,
+      actions: DataFrame,
+      lookback: String = "30 minutes"): DataFrame = {
+    val t = triggers
+      .selectExpr("user_id AS t_user", "ts AS t_ts", "event_id AS t_event")
+      .withWatermark("t_ts", "1 hour")
+    val a = actions
+      .selectExpr("user_id AS a_user", "ts AS a_ts", "event_id AS a_event", "value")
+      .withWatermark("a_ts", "1 hour")
+    a.join(t,
+      expr(s"""a_user = t_user AND
+              |t_ts BETWEEN a_ts - INTERVAL $lookback AND a_ts""".stripMargin))
+      .select(col("a_user").as("user_id"), col("t_event"), col("a_event"),
+        col("t_ts"), col("a_ts"), col("value"))
+  }
 }

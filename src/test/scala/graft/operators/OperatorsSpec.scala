@@ -404,6 +404,23 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(maybeSeen < 5000, s"$maybeSeen of 100000 routed to the anti-join — bloom not pruning")
   }
 
+  test("compaction: many tiny files become few target-sized files, data unchanged") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val in = s"$tmp/in"; val out = s"$tmp/out"
+    // 64 tiny files (~6 KB each)
+    spark.range(0, 64000).select(col("id"), md5(col("id").cast("string")).as("payload"))
+      .repartition(64).write.parquet(in)
+    val fs = new java.io.File(in).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(fs == 64)
+    val outFiles = Layout.compact(spark, in, out, targetBytes = 256L * 1024)
+    assert(outFiles < 16, s"expected <16 compacted files, got $outFiles")
+    // content survives bit-for-bit
+    val a = spark.read.parquet(in).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val b = spark.read.parquet(out).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a == b)
+  }
+
   test("z-order layout bounds BOTH dimensions per partition; single-column sort does not") {
     import spark.implicits._
     // uniform 2-d grid: 256 × 256 points

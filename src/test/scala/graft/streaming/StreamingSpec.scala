@@ -171,6 +171,42 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Set((1L, Some("gold")), (3L, None), (2L, Some("silver"))))
   }
 
+  test("stream-stream interval join: actions pair with in-window triggers only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val trigIn = MemoryStream[(Long, Timestamp, Long)]
+    val actIn = MemoryStream[(Long, Timestamp, Long, Double)]
+    val triggers = trigIn.toDF().toDF("user_id", "ts", "event_id")
+    val actions = actIn.toDF().toDF("user_id", "ts", "event_id", "value")
+
+    val query = EventPipelines.correlateStreams(triggers, actions, lookback = "30 minutes")
+      .writeStream.format("memory").queryName("correlated")
+      .outputMode("append").start()
+
+    trigIn.addData(
+      (1L, ts("2024-01-01T10:00:00Z"), 100L),  // in window of action 200
+      (1L, ts("2024-01-01T09:00:00Z"), 101L),  // same user, outside 30-min lookback
+      (2L, ts("2024-01-01T10:05:00Z"), 102L))  // other user — no action
+    actIn.addData(
+      (1L, ts("2024-01-01T10:20:00Z"), 200L, 7.0),
+      (3L, ts("2024-01-01T10:20:00Z"), 201L, 8.0)) // user with no trigger
+    query.processAllAvailable()
+    // advance both watermarks so results flush in append mode
+    trigIn.addData((9L, ts("2024-01-01T14:00:00Z"), 999L))
+    actIn.addData((9L, ts("2024-01-01T14:00:00Z"), 998L, 0.0))
+    query.processAllAvailable()
+    query.stop()
+
+    val out = spark.table("correlated").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("t_event"), r.getAs[Long]("a_event")))
+      .toSet
+    // exactly one pair: user 1's in-window trigger with its action; the
+    // out-of-window trigger, the triggerless action, and the unmatched
+    // trigger produce nothing (inner join)
+    assert((out - ((9L, 999L, 998L))) == Set((1L, 100L, 200L)), s"got $out")
+  }
+
   test("unified API: the same hourlyStats runs on a batch frame") {
     val batch = spark.createDataFrame(Seq(
       (ts("2024-01-01T10:05:00Z"), "view", 1L, 1.0),
