@@ -163,6 +163,11 @@ object Dedup {
   def connectedComponentsMin(ids: DataFrame, pairs: DataFrame, maxIter: Int = 100): DataFrame = {
     val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
       .unionAll(pairs.select(col("id2").as("a"), col("id1").as("b")))
+      // hash-partition on the per-round join key BEFORE checkpointing:
+      // LogicalRDD keeps the physical partitioning, so every iteration's
+      // edge⋈label join shuffles only the (smaller) label side — the edge
+      // set, the bulk of the data, is shuffled once for the whole fixpoint
+      .repartition(col("b"))
       .localCheckpoint() // reused every round: cut off the pair-gen lineage
     var labels = ids.select(col("id"), col("id").as("rep")).localCheckpoint()
     var converged = false

@@ -142,5 +142,64 @@ object Complex {
              |         ORDER BY n_name LIMIT 2) t
              |ORDER BY r_name, n_name""".stripMargin),
     ),
+
+    QueryDef(
+      "q_distinct_on",
+      // DISTINCT ON (latest order per customer). Spark-first shape is an
+      // arg-max hash-aggregate — max over a (sort-key..., payload) struct
+      // compares fields left-to-right, so one map-side-combined aggregate
+      // replaces the window-sort-over-every-order formulation (which at
+      // 100 TB sorts the full per-customer history to keep one row).
+      (s, dir) => {
+        t(s, dir, "orders")
+          .filter(col("o_custkey") < 300)
+          .groupBy(col("o_custkey"))
+          .agg(max(struct(col("o_orderdate"), col("o_orderkey"),
+            col("o_totalprice"))).as("m"))
+          .select(
+            col("o_custkey"),
+            col("m.o_orderkey").as("o_orderkey"),
+            col("m.o_orderdate").cast("date").cast("string").as("last_date"),
+            col("m.o_totalprice").as("o_totalprice"))
+          .orderBy(col("o_custkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS last_date,
+             |       o_totalprice
+             |FROM (SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_orderdate, o_totalprice
+             |      FROM orders WHERE o_custkey < 300
+             |      ORDER BY o_custkey, o_orderdate DESC, o_orderkey DESC)
+             |ORDER BY o_custkey""".stripMargin),
+    ),
+
+    QueryDef(
+      "q_hof_lambda",
+      // Higher-order array functions (transform / filter / aggregate
+      // lambdas) over per-order quantity vectors. The arrays are small
+      // (≤7 lineitems/order) so the interpreted-lambda cost stays per-row
+      // negligible; the sort inside the row keeps the fold order — and
+      // therefore the double sum — engine-independent.
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(array_sort(collect_list(col("l_quantity"))).as("qs"))
+          .select(
+            col("l_orderkey"),
+            size(col("qs")).as("n_items"),
+            aggregate(
+              filter(transform(col("qs"), x => x * 2), x => x > lit(50.0)),
+              lit(0.0), (acc, x) => acc + x).as("hot_sum"))
+          .filter(col("n_items") >= 6)
+          .orderBy(col("l_orderkey"))
+      },
+      Some("""SELECT l_orderkey,
+             |  CAST(len(qs) AS INT) AS n_items,
+             |  COALESCE(list_sum(list_filter(list_transform(qs, x -> x * 2),
+             |                                x -> x > 50.0)), 0) AS hot_sum
+             |FROM (SELECT l_orderkey, list_sort(list(l_quantity)) AS qs
+             |      FROM lineitem GROUP BY l_orderkey)
+             |WHERE len(qs) >= 6
+             |ORDER BY l_orderkey""".stripMargin),
+    ),
   )
 }

@@ -1,0 +1,85 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.SparkEntry
+
+/** Physical-plan shape assertions for the headline queries: these pin the
+  * plans that survive a 100× scale-up, not just ones that pass on 60k rows.
+  * A regression that un-broadcasts a dimension, un-pushes a filter, or turns
+  * a top-k into a global sort changes results not at all — and cluster cost
+  * by orders of magnitude — so the shape itself is under test.
+  */
+class QueryPlansSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-plans-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q_join_multi: every dimension rides a broadcast join — no shuffle join anywhere") {
+    val p = plan("q_join_multi")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "a dimension fell out of broadcast:\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_sort_limit: top-k plans as TakeOrderedAndProject, never a global sort") {
+    val p = plan("q_sort_limit")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("q_filter: predicates reach the parquet scan as PushedFilters") {
+    val p = plan("q_filter")
+    assert(p.contains("PushedFilters: ["), p.take(2000))
+    // at least one real pushed predicate, not an empty list
+    assert(!p.matches("(?s).*PushedFilters: \\[\\].*"), p.take(2000))
+  }
+
+  test("q_projection: scan reads only the projected columns") {
+    val p = plan("q_projection")
+    // lineitem has 16 columns; the query projects a handful — the scan's
+    // ReadSchema must not contain a column the query never touches
+    assert(p.contains("ReadSchema"), p.take(2000))
+    assert(!p.contains("l_comment"), "column pruning lost:\n" + p.take(2000))
+  }
+
+  test("q_quality_gate: single-row threshold rides a broadcast nested loop, not a cartesian shuffle") {
+    val p = plan("q_quality_gate")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("q1_agg: aggregation is partial+final (map-side combine) inside codegen") {
+    val df = SparkEntry.queries("q1_agg")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("HashAggregate"), p.take(2000))
+    // partial + final pair: map-side combine before the exchange
+    assert(p.contains("partial_sum"), p.take(2000))
+    // codegen spans only materialize once AQE finalizes the plan — execute,
+    // then inspect the final plan
+    df.collect()
+    val finalP = df.queryExecution.executedPlan.toString
+    // "*(n) " is the WholeStageCodegen span marker in the compact rendering
+    assert(finalP.contains("*("), finalP.take(2000))
+  }
+
+  test("q_dedup_incremental: corpus side broadcasts into the anti-join") {
+    val p = plan("q_dedup_incremental")
+    assert(p.contains("Union"), p.take(2000))
+    assert(p.contains("LeftAnti"), p.take(2000))
+  }
+}
