@@ -52,4 +52,24 @@ object Sampling {
       .orderBy(col("_h"))
       .limit(n)
       .drop("_h")
+
+  /** Deterministic uniform draw in (0, 1]: 24 bits of md5(key). Coarse
+    * enough to rebuild with integer arithmetic in any engine, fine enough
+    * that collisions are ~n²/2²⁵ (none at corpus-shard scale). */
+  def hashUniform(key: Column): Column =
+    (conv(substring(md5(key.cast("string").cast("binary")), 1, 6), 16, 10)
+      .cast("long") + lit(1L)) / lit(16777216.0)
+
+  /** Exactly-k weighted sample without replacement (Efraimidis–Spirakis
+    * A-Res): rank rows by ln(u)/w where u = hashUniform(key) — equivalent
+    * to ranking by u^(1/w) — and keep the k largest. Heavier rows win
+    * proportionally more often, membership is a pure function of
+    * (key, weight), and the plan is the same TakeOrderedAndProject top-k
+    * as fixedSizeSample: per-partition heaps, driver merge of k rows,
+    * never a global sort. */
+  def weightedSample(df: DataFrame, key: Column, weight: Column, k: Int): DataFrame =
+    df.withColumn("_wk", log(hashUniform(key)) / weight.cast("double"))
+      .orderBy(col("_wk").desc, key)
+      .limit(k)
+      .drop("_wk")
 }

@@ -128,6 +128,60 @@ object PipelineQueries {
     ),
 
     QueryDef(
+      "q_sample_weighted",
+      // Exactly-100 weighted sample (Efraimidis–Spirakis A-Res): longer
+      // documents win proportionally more often, membership is a pure
+      // function of (doc_id, n_chars) — partitioning/engine/run
+      // independent — and the plan is TakeOrderedAndProject (per-partition
+      // heaps), never a global sort. The ln-of-24-bit-hash key is rebuilt
+      // with identical arithmetic in DuckDB.
+      (s, dir) => {
+        Sampling.weightedSample(
+          t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          key = col("doc_id"), weight = col("n_chars"), k = 100)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH k AS (
+             |  SELECT doc_id, n_chars,
+             |    ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT + 1)
+             |       / 16777216.0) / n_chars AS wk
+             |  FROM documents)
+             |SELECT doc_id, n_chars FROM (
+             |  SELECT doc_id, n_chars FROM k ORDER BY wk DESC, doc_id LIMIT 100)
+             |ORDER BY doc_id""".stripMargin),
+    ),
+
+    QueryDef(
+      "q_seq_packing",
+      // Sequence packing (concat-and-chunk into 2048-token context
+      // windows), sharded by source: every document gets its token start
+      // offset within its shard's concatenation and the bin (training
+      // window) holding its first token. One window shuffle on the shard
+      // key; shards pack in parallel — never a global single-partition
+      // prefix sum.
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            graft.operators.TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+        graft.operators.Packing.packIntoBins(
+          docs, shardCols = Seq("source"), orderCol = col("doc_id"),
+          sizeCol = col("n_tokens"), capacity = 2048)
+          .select(col("doc_id"), col("source"), col("n_tokens"),
+            col("tok_start"), col("bin"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, source,
+             |  CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens,
+             |  CAST(SUM(CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT))
+             |         OVER (PARTITION BY source ORDER BY doc_id)
+             |       - len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS tok_start,
+             |  CAST(FLOOR((SUM(CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT))
+             |                OVER (PARTITION BY source ORDER BY doc_id)
+             |              - len(string_split_regex(trim(lower(text)), '\s+'))) / 2048) AS BIGINT) AS bin
+             |FROM documents ORDER BY doc_id""".stripMargin),
+    ),
+
+    QueryDef(
       "q_inverted_index",
       // Retrieval-index build: token → (document frequency, first-20
       // postings). One shuffle on the token key; posting lists are capped

@@ -404,6 +404,52 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(maybeSeen < 5000, s"$maybeSeen of 100000 routed to the anti-join — bloom not pruning")
   }
 
+  test("weighted sample: heavy rows dominate, membership is partitioning-independent") {
+    import spark.implicits._
+    // 500 heavy rows (w=1000) + 500 light rows (w=10): a draw lands heavy
+    // with p ≈ 0.99, so 100 draws should contain only a handful of lights
+    val rows = spark.range(0, 1000)
+      .select(col("id"), when(col("id") < 500, 1000.0).otherwise(10.0).as("w"))
+    val sample = Sampling.weightedSample(rows, col("id"), col("w"), k = 100)
+      .collect().map(_.getLong(0)).toSet
+    assert(sample.size == 100)
+    val heavy = sample.count(_ < 500)
+    assert(heavy > 80, s"only $heavy/100 heavy rows sampled — weights not honored")
+    // pure function of (key, weight): any partitioning gives the same set
+    val reparted = Sampling.weightedSample(rows.repartition(7), col("id"), col("w"), k = 100)
+      .collect().map(_.getLong(0)).toSet
+    assert(reparted == sample)
+  }
+
+  test("sequence packing: contiguous per-shard offsets, bins chunk at capacity") {
+    import spark.implicits._
+    val docs = spark.range(0, 300)
+      .select(col("id").as("doc_id"), (col("id") % 3).cast("string").as("source"),
+        (col("id") % 90 + 10).as("n_tokens"))
+    val packed = Packing.packIntoBins(docs, Seq("source"), col("doc_id"),
+      col("n_tokens"), capacity = 512)
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("tok_start"), r.getAs[Long]("bin")))
+    // per shard: offsets are the running sum in doc_id order (concatenation)
+    packed.groupBy(_._1).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._2)
+      var expected = 0L
+      sorted.foreach { case (_, id, n, start, bin) =>
+        assert(start == expected, s"doc $id: tok_start $start != $expected")
+        assert(bin == start / 512, s"doc $id: bin $bin != ${start / 512}")
+        expected += n
+      }
+    }
+    // partitioning independence
+    val reparted = Packing.packIntoBins(docs.repartition(5), Seq("source"),
+      col("doc_id"), col("n_tokens"), capacity = 512)
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("tok_start"), r.getAs[Long]("bin")))
+    assert(reparted.toSet == packed.toSet)
+  }
+
   test("compaction: many tiny files become few target-sized files, data unchanged") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-compact").toString
