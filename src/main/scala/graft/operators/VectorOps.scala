@@ -195,6 +195,67 @@ object VectorOps {
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
+  /** Distributed spherical k-means (Lloyd): cluster a corpus too large to
+    * sample meaningfully. Per iteration: assignment is a pure map stage
+    * (centroids are plan literals — same trick as ivfTopK), and the
+    * centroid update is ONE posexplode + hash-aggregate shuffle of
+    * (cluster, dim) partial sums — k×dims rows to the driver, never the
+    * vectors themselves. Seeding reuses the deterministic hash-ordered
+    * sample so results are run- and partitioning-independent.
+    *
+    * Returns the trained centroids; pair with [[assignClusters]] for the
+    * corpus labeling (topic balancing / cluster-stratified sampling). */
+  def kmeansFit(
+      corpus: DataFrame, vecCol: String, k: Int, iters: Int = 5,
+      idCol: String = "vec_id", sampleN: Int = 2048): Array[Seq[Float]] = {
+    graft.functions.NativeHashes.register(corpus.sparkSession)
+    val sample: Array[Array[Double]] = corpus
+      .orderBy(xxhash64(col(idCol)), col(idCol)).limit(sampleN)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "kmeansFit on an empty corpus")
+    // seed from the driver-side sample (1 Lloyd round), then refine with
+    // distributed rounds over the FULL corpus
+    var cents: Array[Seq[Float]] =
+      kmeansCentroids(sample, math.min(k, sample.length), 1)
+        .map(_.map(_.toFloat).toSeq)
+    for (_ <- 0 until iters) {
+      val assigned = corpus.withColumn("_cl", nearestCentroid(col(vecCol), cents))
+      val stats = assigned
+        .select(col("_cl"), posexplode(col(vecCol)).as(Seq("_pos", "_v")))
+        .groupBy(col("_cl"), col("_pos"))
+        .agg(sum(col("_v").cast("double")).as("_s"))
+        .collect()
+      val dims = cents(0).length
+      val sums = Array.fill(cents.length)(new Array[Double](dims))
+      stats.foreach { r =>
+        sums(r.getAs[Int]("_cl"))(r.getAs[Int]("_pos")) = r.getAs[Double]("_s")
+      }
+      cents = cents.indices.map { c =>
+        val n = math.sqrt(sums(c).map(x => x * x).sum)
+        if (n == 0.0) cents(c) else sums(c).map(x => (x / n).toFloat).toSeq
+      }.toArray
+    }
+    cents
+  }
+
+  /** Nearest-centroid id (0-based) as a pure map expression. */
+  def nearestCentroid(vec: Column, centroids: Array[Seq[Float]]): Column = {
+    val scores = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(cosine(vec, typedLit(c)).as("cos"), lit(i).as("cell"))
+    }: _*)
+    element_at(reverse(array_sort(scores)), 1).getField("cell")
+  }
+
+  /** Label every corpus row with its cluster — a codegen'd map stage, no
+    * shuffle; feed the result to `Sampling.stratifiedSample` for
+    * cluster-balanced corpus construction. */
+  def assignClusters(
+      corpus: DataFrame, centroids: Array[Seq[Float]], vecCol: String): DataFrame = {
+    graft.functions.NativeHashes.register(corpus.sparkSession)
+    corpus.withColumn("cluster", nearestCentroid(col(vecCol), centroids))
+  }
+
   /** Embedding near-duplicate pairs: all pairs above a cosine threshold.
     * Brute-force — O(n²) pairs; only for small corpora or within buckets. */
   def cosineNearDupPairs(corpus: DataFrame, id: String, vec: String, threshold: Double): DataFrame = {

@@ -404,6 +404,31 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(maybeSeen < 5000, s"$maybeSeen of 100000 routed to the anti-join — bloom not pruning")
   }
 
+  test("distributed k-means: planted orthogonal clusters recovered with full purity") {
+    import spark.implicits._
+    // 300 vectors in 3 well-separated clusters: dominant direction d = 2*c,
+    // deterministic jitter on the remaining dims
+    val vecs = spark.range(0, 300).select(
+      col("id").as("vec_id"),
+      (col("id") % 3).cast("int").as("truth"),
+      transform(sequence(lit(0), lit(7)), d =>
+        (when(d === (col("id") % 3).cast("int") * 2, 10.0).otherwise(0.0)
+          + (pmod(xxhash64(col("id"), d), lit(100)).cast("double") / 100.0))
+          .cast("float")).as("embedding"))
+    val cents = VectorOps.kmeansFit(vecs, "embedding", k = 3, iters = 3)
+    assert(cents.length == 3)
+    val labeled = VectorOps.assignClusters(vecs, cents, "embedding")
+      .select(col("truth"), col("cluster")).collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+    // purity: every truth class maps to exactly one cluster and vice versa
+    val byTruth = labeled.groupBy(_._1).map { case (t, rs) =>
+      t -> rs.map(_._2).groupBy(identity).maxBy(_._2.length)._1
+    }
+    assert(byTruth.values.toSet.size == 3, s"clusters collapsed: $byTruth")
+    val pure = labeled.count { case (t, c) => byTruth(t) == c }
+    assert(pure == 300, s"only $pure/300 vectors in their class's cluster")
+  }
+
   test("weighted sample: heavy rows dominate, membership is partitioning-independent") {
     import spark.implicits._
     // 500 heavy rows (w=1000) + 500 light rows (w=10): a draw lands heavy
