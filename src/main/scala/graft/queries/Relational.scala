@@ -275,6 +275,33 @@ object Relational {
     ),
 
     QueryDef(
+      "q_union_evolve",
+      // Schema-evolving union (UNION ALL BY NAME): the new slice carries a
+      // column the old slice lacks; rows from the old slice read it as
+      // NULL — the same chosen semantics as the ODF input schema-evolution
+      // path (Inputs.scala footer-merge), here on the SQL surface.
+      (s, dir) => {
+        val orders = t(s, dir, "orders")
+        val old = orders.filter(year(col("o_orderdate")) < 1995)
+          .select(col("o_orderkey"), col("o_totalprice"))
+        val nw = orders.filter(year(col("o_orderdate")) >= 1995)
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        old.unionByName(nw, allowMissingColumns = true)
+          .agg(
+            count(lit(1)).as("n"),
+            count(col("o_orderpriority")).as("n_with_priority"),
+            sum(col("o_totalprice").cast(DecimalType(18, 4))).cast("double").as("total"))
+      },
+      Some("""WITH u AS (
+             |  SELECT o_orderkey, o_totalprice FROM orders WHERE year(CAST(o_orderdate AS DATE)) < 1995
+             |  UNION ALL BY NAME
+             |  SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders WHERE year(CAST(o_orderdate AS DATE)) >= 1995)
+             |SELECT COUNT(*) AS n, COUNT(o_orderpriority) AS n_with_priority,
+             |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+             |FROM u""".stripMargin),
+    ),
+
+    QueryDef(
       "q_except",
       (s, dir) => {
         val n = t(s, dir, "nation").select(col("n_nationkey").as("nationkey"))

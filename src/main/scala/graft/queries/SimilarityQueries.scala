@@ -138,5 +138,23 @@ object SimilarityQueries {
              |      FROM embeddings)
              |ORDER BY vec_id""".stripMargin),
     ),
+
+    QueryDef(
+      "q_embedding_cluster",
+      // Corpus topic clustering: distributed spherical k-means (Lloyd over
+      // the full corpus, centroids as plan literals) + per-cluster
+      // accounting. Iterative float refinement isn't SQL-reproducible —
+      // rows-only; OperatorsSpec pins full-purity recovery of planted
+      // clusters instead.
+      (s, dir) => {
+        val vecs = emb(s, dir).select(col("vec_id"), col("embedding"))
+        val cents = VectorOps.kmeansFit(vecs, "embedding", k = 8, iters = 3)
+        VectorOps.assignClusters(vecs, cents, "embedding")
+          .groupBy(col("cluster"))
+          .agg(count(lit(1)).as("n_vecs"))
+          .orderBy(col("cluster"))
+      },
+      None,
+    ),
   )
 }
