@@ -224,7 +224,11 @@ object VectorOps {
       val stats = assigned
         .select(col("_cl"), posexplode(col(vecCol)).as(Seq("_pos", "_v")))
         .groupBy(col("_cl"), col("_pos"))
-        .agg(sum(col("_v").cast("double")).as("_s"))
+        // exact DECIMAL accumulation: partial-sum order varies with
+        // partitioning, so a double sum would make the trained centroids
+        // (and boundary assignments) partitioning-dependent
+        .agg(sum(col("_v").cast(org.apache.spark.sql.types.DecimalType(28, 10)))
+          .cast("double").as("_s"))
         .collect()
       val dims = cents(0).length
       val sums = Array.fill(cents.length)(new Array[Double](dims))
