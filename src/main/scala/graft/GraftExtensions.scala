@@ -25,6 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     graft.functions.JsonFunctions.builders.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info(name), builder))
     }
+    graft.functions.DataFusionCompat.builders.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info(name), builder))
+    }
     ext.injectFunction((FunctionIdentifier("simhash_chunks"), info("simhash_chunks"),
       (args: Seq[Expression]) => NativeHashes.SimHashChunks(args.head)))
     ext.injectFunction((FunctionIdentifier("minhash_signature"), info("minhash_signature"),

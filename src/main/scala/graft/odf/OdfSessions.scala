@@ -47,6 +47,7 @@ object OdfSessions {
     // case-sensitive; aliases like `City` survive verbatim.
     s.conf.set("spark.sql.caseSensitive", "true")
     graft.functions.JsonFunctions.register(s)
+    graft.functions.DataFusionCompat.register(s)
     s
   }
 }

@@ -12,6 +12,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .master("local[2]")
       .appName("graft-extensions-test")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -57,6 +58,35 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(!cRow.getBoolean(3))
       assert(cRow.getBoolean(4))
       assert(!cRow.getBoolean(5))
+
+      // DataFusion-dialect compatibility names (DataFusionCompat)
+      val dfc = spark.sql(
+        """SELECT date_bin(INTERVAL '15' MINUTE, TIMESTAMP '2024-01-01 10:37:11') AS bin,
+          |       date_bin(INTERVAL '1' DAY, TIMESTAMP '2024-01-03 07:00:00',
+          |                TIMESTAMP '2024-01-01 12:00:00') AS bin_origin,
+          |       to_timestamp_seconds(86400) AS ts_s,
+          |       to_timestamp_millis(86400000) AS ts_ms,
+          |       to_timestamp_micros(CAST(86400000000 AS BIGINT)) AS ts_us,
+          |       regexp_match('abc123', '[0-9]+') AS m_hit,
+          |       regexp_match('abcdef', '[0-9]+') AS m_miss,
+          |       strpos('hello world', 'world') AS pos_hit,
+          |       strpos('hello world', 'zzz') AS pos_miss,
+          |       to_hex(255) AS hx,
+          |       array_has(array(1, 2, 3), 2) AS has2,
+          |       array_element(array('a', 'b'), 2) AS el2,
+          |       array_to_string(array('x', 'y'), '-') AS joined""".stripMargin).collect()(0)
+      assert(dfc.getTimestamp(0).toInstant.toString == "2024-01-01T10:30:00Z")
+      assert(dfc.getTimestamp(1).toInstant.toString == "2024-01-02T12:00:00Z")
+      assert(dfc.getTimestamp(2).toInstant.toString == "1970-01-02T00:00:00Z")
+      assert(dfc.getTimestamp(3).toInstant.toString == "1970-01-02T00:00:00Z")
+      assert(dfc.getTimestamp(4).toInstant.toString == "1970-01-02T00:00:00Z")
+      assert(dfc.getSeq[String](5) == Seq("123"))
+      assert(dfc.isNullAt(6), "regexp_match with no match must be NULL, not []")
+      assert(dfc.getInt(7) == 7 && dfc.getInt(8) == 0)
+      assert(dfc.getString(9) == "ff")
+      assert(dfc.getBoolean(10))
+      assert(dfc.getString(11) == "b")
+      assert(dfc.getString(12) == "x-y")
     } finally spark.stop()
   }
 }

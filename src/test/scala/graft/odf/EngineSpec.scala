@@ -446,6 +446,23 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.getLong(5)).toSeq == Seq(123L, 123L, 123L))
   }
 
+  test("DataFusion-dialect transform: date_bin/strpos/to_hex run unchanged through the engine") {
+    val dir = tempDir()
+    val res = engine.executeTransform(mkRequest(dir, Seq(SqlQueryStep.output(
+      """select date_bin(INTERVAL '1' DAY, event_time) as event_time,
+        |       city,
+        |       strpos(city, 'a') as a_pos,
+        |       to_hex(population) as pop_hex
+        |from foo""".stripMargin))))
+    assert(res.isRight, res)
+    val rows = readOutput(dir)
+    // event_time floors to its UTC day; strpos is 1-based; to_hex lowercase
+    assert(rows.forall(r => r.getTimestamp(3).toInstant.toString.endsWith("T00:00:00Z")))
+    val byCity = rows.map(r => r.getString(4) -> ((r.getInt(5), r.getString(6)))).toMap
+    assert(byCity("vancouver") == ((2, "a4cb8")))  // 675000 = 0xa4cb8
+    assert(byCity("kyiv")._1 == 0)                 // no 'a' in kyiv
+  }
+
   test("retraction/correction: op pass-through (test_transform.rs:761-818)") {
     val dir = tempDir()
     val schema = StructType(Seq(
