@@ -274,5 +274,26 @@ object Functions {
              |  CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS total_value
              |FROM events GROUP BY 1, 2 ORDER BY bucket_epoch, event_type""".stripMargin),
     ),
+
+    QueryDef(
+      "q_date_bin",
+      // DataFusion-dialect date_bin through the compat layer (the name a
+      // kamu transform would use), 6-hour strides — value-checked against
+      // the identical epoch-microsecond floor arithmetic in DuckDB. Epoch
+      // seconds on the wire, like q_time_bucket (timezone-proof).
+      (s, dir) => {
+        graft.functions.DataFusionCompat.register(s)
+        t(s, dir, "events")
+          .selectExpr("date_bin(INTERVAL '6' HOUR, ts) AS b", "value")
+          .groupBy(unix_timestamp(col("b")).as("bucket_epoch"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+          .orderBy(col("bucket_epoch"))
+      },
+      Some("""SELECT (epoch_us(CAST(ts AS TIMESTAMP))
+             |        - epoch_us(CAST(ts AS TIMESTAMP)) % 21600000000) / 1000000 AS bucket_epoch,
+             |  COUNT(*) AS n,
+             |  CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+             |FROM events GROUP BY 1 ORDER BY bucket_epoch""".stripMargin),
+    ),
   )
 }
