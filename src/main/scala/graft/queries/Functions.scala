@@ -295,5 +295,47 @@ object Functions {
              |  CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS total_value
              |FROM events GROUP BY 1 ORDER BY bucket_epoch""".stripMargin),
     ),
+
+    QueryDef(
+      "q_df_dialect",
+      // The wider DataFusion-dialect surface (crypto digests, Postgres-
+      // lineage log10, numeric trunc, name aliases, arrow_cast) as SQL text
+      // a kamu transform would submit verbatim. Runs in a cloned session so
+      // the dialect OVERRIDES (log/trunc/encode/decode) never leak into the
+      // shared Verify/Bench session. Oracle: DuckDB shares the Postgres
+      // lineage for these (log=log10, strpos, starts_with, trunc).
+      (s, dir) => {
+        val s2 = s.newSession()
+        graft.functions.DataFusionCompat.register(s2)
+        Tables.table(s2, dir, "nation").createOrReplaceTempView("nation")
+        s2.sql(
+          """SELECT n_name,
+            |  lower(hex(sha256(n_name))) AS sha_hex,
+            |  encode(n_name, 'hex') AS name_hex,
+            |  CAST(strpos(n_name, 'A') AS BIGINT) AS pos_a,
+            |  starts_with(n_name, 'A') AS starts_a,
+            |  substr_index(n_name, 'A', 1) AS before_a,
+            |  round(log(CAST(n_nationkey + 10 AS DOUBLE)), 6) AS log10_key,
+            |  trunc(CAST(n_nationkey AS DOUBLE) / 7, 2) AS trunc_div,
+            |  to_unixtime(TIMESTAMP '2024-01-15 06:00:00') AS epoch_s,
+            |  CAST(datepart('month', DATE '2024-03-05') AS BIGINT) AS mth,
+            |  arrow_cast(n_regionkey, 'Int64') AS rk64,
+            |  array_to_string(make_array(n_name, 'x'), '|') AS joined
+            |FROM nation ORDER BY n_name""".stripMargin)
+      },
+      Some("""SELECT n_name,
+             |  sha256(n_name) AS sha_hex,
+             |  lower(hex(n_name)) AS name_hex,
+             |  CAST(strpos(n_name, 'A') AS BIGINT) AS pos_a,
+             |  starts_with(n_name, 'A') AS starts_a,
+             |  split_part(n_name, 'A', 1) AS before_a,
+             |  round(log(CAST(n_nationkey + 10 AS DOUBLE)), 6) AS log10_key,
+             |  trunc(CAST(n_nationkey AS DOUBLE) / 7 * 100) / 100 AS trunc_div,
+             |  CAST(epoch(TIMESTAMP '2024-01-15 06:00:00') AS BIGINT) AS epoch_s,
+             |  CAST(datepart('month', DATE '2024-03-05') AS BIGINT) AS mth,
+             |  CAST(n_regionkey AS BIGINT) AS rk64,
+             |  array_to_string([n_name, 'x'], '|') AS joined
+             |FROM nation ORDER BY n_name""".stripMargin),
+    ),
   )
 }
