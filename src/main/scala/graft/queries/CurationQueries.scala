@@ -138,7 +138,7 @@ object CurationQueries {
              |  WHERE length(s) > 0),
              |sdf AS (SELECT sent, COUNT(*) AS sent_docs FROM sents GROUP BY sent)
              |SELECT doc_id, COUNT(*) AS n_sents,
-             |       SUM(CASE WHEN sent_docs >= 2 THEN 1 ELSE 0 END) AS dup_sents
+             |       CAST(SUM(CASE WHEN sent_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_sents
              |FROM sents JOIN sdf USING (sent)
              |GROUP BY doc_id HAVING SUM(CASE WHEN sent_docs >= 2 THEN 1 ELSE 0 END) > 0
              |ORDER BY doc_id""".stripMargin),

@@ -289,8 +289,8 @@ object Functions {
           .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
           .orderBy(col("bucket_epoch"))
       },
-      Some("""SELECT (epoch_us(CAST(ts AS TIMESTAMP))
-             |        - epoch_us(CAST(ts AS TIMESTAMP)) % 21600000000) / 1000000 AS bucket_epoch,
+      Some("""SELECT CAST((epoch_us(CAST(ts AS TIMESTAMP))
+             |        - epoch_us(CAST(ts AS TIMESTAMP)) % 21600000000) // 1000000 AS BIGINT) AS bucket_epoch,
              |  COUNT(*) AS n,
              |  CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS total_value
              |FROM events GROUP BY 1 ORDER BY bucket_epoch""".stripMargin),

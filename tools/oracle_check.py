@@ -50,6 +50,21 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: rows {len(actual)} != {len(expected)}")
             n_fail += 1
             continue
+        # driver hashes raw values, so an int64-vs-float64 dtype drift
+        # (duckdb float division, HUGEINT sums) is a hash mismatch even
+        # when values compare numerically equal — check dtypes strictly,
+        # modulo timestamp unit/tz which the value loop already normalizes
+        dtype_bad = None
+        for c in expected.columns:
+            ed, ad = str(expected[c].dtype), str(actual[c].dtype)
+            if ed != ad and not (ed.startswith("datetime") and ad.startswith("datetime")):
+                dtype_bad = (c, ed, ad)
+                break
+        if dtype_bad:
+            c, ed, ad = dtype_bad
+            print(f"FAIL {name}: col {c} dtype oracle={ed} spark={ad}")
+            n_fail += 1
+            continue
         bad = None
         for c in expected.columns:
             ev, av = expected[c].tolist(), actual[c].tolist()
