@@ -20,13 +20,20 @@ object Queries {
 
   val OutputViewName = "__output__"
 
-  /** Register one step's view; analysis errors → InvalidQuery. */
+  /** Register one step's view; analysis errors → InvalidQuery.
+    *
+    * The step's SQL first passes through [[JsonOperatorRewrite]] so
+    * DataFusion-dialect `->` / `->>` JSON operators (registered by the
+    * reference via `datafusion-functions-json`, engine.rs:51) parse here
+    * too — Spark's parser has no operator extension point, so the rewrite
+    * happens in text space before `spark.sql`.
+    */
   def registerViewForStep(
       spark: SparkSession,
       step: SqlQueryStep,
   ): Either[InvalidQuery, Unit] =
     try {
-      val df = spark.sql(step.query) // eager parse + analysis
+      val df = spark.sql(JsonOperatorRewrite(step.query)) // eager parse + analysis
       df.createOrReplaceTempView(step.alias.getOrElse(OutputViewName))
       Right(())
     } catch {

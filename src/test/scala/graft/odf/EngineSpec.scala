@@ -446,6 +446,46 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.getLong(5)).toSeq == Seq(123L, 123L, 123L))
   }
 
+  test("JSON operators -> / ->> run through the engine path (engine.rs:51 datafusion-functions-json)") {
+    val dir = tempDir()
+    // analog of test_transform.rs:724-756 but written in operator syntax;
+    // chain + alias-qualified column + a string literal containing '->'
+    val res = engine.executeTransform(mkRequest(dir, Seq(
+      SqlQueryStep.named("j",
+        """select event_time, city, '{"a": {"b": 7}, "s": "x->y"}' as data from foo"""),
+      SqlQueryStep.output(
+        """select event_time, city,
+          |       cast(j.data -> 'a' -> 'b' as bigint) as ab,
+          |       j.data ->> 's' as s
+          |from j""".stripMargin))))
+    assert(res.isRight, res)
+    val rows = readOutput(dir)
+    assert(rows.map(_.getLong(5)).toSeq == Seq(7L, 7L, 7L))
+    assert(rows.map(_.getString(6)).toSet == Set("x->y"),
+      "'->' inside a string literal must not be rewritten")
+  }
+
+  test("JsonOperatorRewrite: literal safety, chains, precedence") {
+    val rw = JsonOperatorRewrite.apply _
+    assert(rw("select a -> 'k' from t") == "select json_get(a, 'k') from t")
+    assert(rw("select a ->> 'k' from t") == "select json_as_text(a, 'k') from t")
+    assert(rw("select t.a -> 'k' from t") == "select json_get(t.a, 'k') from t")
+    assert(rw("select a -> 'k1' -> 'k2' from t") ==
+      "select json_get(json_get(a, 'k1'), 'k2') from t")
+    assert(rw("select a -> 0 from t") == "select json_get(a, 0) from t")
+    assert(rw("select f(x) -> 'k' from t") == "select json_get(f(x), 'k') from t")
+    assert(rw("select a -> upper(k) from t") == "select json_get(a, upper(k)) from t")
+    // untouched: operator inside string literal / quoted ident / comments
+    assert(rw("select '->' as s from t") == "select '->' as s from t")
+    assert(rw("select \"a->b\" from t") == "select \"a->b\" from t")
+    assert(rw("select a from t -- c -> 'k'") == "select a from t -- c -> 'k'")
+    assert(rw("select a /* x -> y */ from t") == "select a /* x -> y */ from t")
+    // '' escape inside a literal does not end the string early
+    assert(rw("select 'it''s -> here' from t") == "select 'it''s -> here' from t")
+    // no arrows → identity (fast path)
+    assert(rw("select 1") == "select 1")
+  }
+
   test("DataFusion-dialect transform: date_bin/strpos/to_hex run unchanged through the engine") {
     val dir = tempDir()
     val res = engine.executeTransform(mkRequest(dir, Seq(SqlQueryStep.output(
