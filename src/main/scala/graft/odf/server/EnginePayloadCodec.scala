@@ -10,14 +10,13 @@ import graft.odf._
   * inside the gRPC envelope's `flatbuffer` bytes field.
   *
   * The reference encodes these with the Open Data Fabric flatbuffers schema
-  * (`FlatbuffersEngineProtocol`, grpc.rs:84-86). That `.fbs` schema is not
-  * present in this offline environment and flatbuffers codegen is
-  * unavailable, so byte-for-byte payload compatibility cannot be built — or
-  * verified — here. The codec is therefore pluggable: the gRPC layer
-  * (HTTP/2, framing, envelope, service/method names, streaming responses,
-  * trailers) is wire-exact, and swapping in a generated flatbuffers codec
-  * later touches ONLY this trait's implementation. The stand-in codec is
-  * JSON with the same DTO field names/shapes the HTTP adapter uses.
+  * (`FlatbuffersEngineProtocol`, grpc.rs:84-86). The default implementation
+  * is [[FlatbuffersPayloadCodec]], written against the vendored schema at
+  * `src/main/resources/odf/engine.fbs` (see its provenance header for what
+  * is pinned vs reconstructed). [[JsonPayloadCodec]] remains as a
+  * human-readable alternative — same DTO field names/shapes the HTTP
+  * adapter uses — and the server auto-detects per request
+  * ([[PayloadCodecs.AutoDetect]]), so both formats are always accepted.
   */
 trait EnginePayloadCodec {
   def name: String

@@ -26,8 +26,11 @@ import graft.odf._
   * UNIMPLEMENTED, undecodable request = 3 INVALID_ARGUMENT, handler crash
   * = 2 UNKNOWN), mirroring tonic's behavior.
   *
-  * Payload serialization is behind [[EnginePayloadCodec]] — see its scaladoc
-  * for why the flatbuffers leg is a stand-in.
+  * Payload serialization is behind [[EnginePayloadCodec]]. The default is
+  * per-request auto-detection ([[PayloadCodecs.AutoDetect]]): flatbuffers —
+  * the format the reference speaks (grpc.rs:84-86) — with the JSON stand-in
+  * still accepted; the response is written in whichever format the request
+  * arrived in. Pass an explicit codec to pin one format.
   *
   * Built directly on netty's HTTP/2 codec (on Spark's classpath); no
   * grpc-java. Engine execution runs on a dedicated thread pool so Spark
@@ -36,7 +39,13 @@ import graft.odf._
 class OdfGrpcServer(
     engine: Engine,
     port: Int = 2884,
-    codec: EnginePayloadCodec = JsonPayloadCodec) {
+    codec: EnginePayloadCodec = PayloadCodecs.AutoDetect) {
+
+  /** Resolve the codec for one request's payload bytes. */
+  private def codecFor(payload: Array[Byte]): EnginePayloadCodec = codec match {
+    case PayloadCodecs.AutoDetect => PayloadCodecs.select(payload)
+    case fixed => fixed
+  }
 
   private val group = new MultiThreadIoEventLoopGroup(NioIoHandler.newFactory())
   private val workers = Executors.newCachedThreadPool()
@@ -101,12 +110,14 @@ class OdfGrpcServer(
       // engine execution goes to the worker pool, where a crash is UNKNOWN.
       val prepare: Option[Array[Byte] => () => Array[Byte]] = path match {
         case "/engine.Engine/ExecuteTransform" => Some { payload =>
-          val req = codec.readTransformRequest(payload)
-          () => codec.writeTransformResponse(engine.executeTransform(req))
+          val c = codecFor(payload)
+          val req = c.readTransformRequest(payload)
+          () => c.writeTransformResponse(engine.executeTransform(req))
         }
         case "/engine.Engine/ExecuteRawQuery" => Some { payload =>
-          val req = codec.readRawQueryRequest(payload)
-          () => codec.writeRawQueryResponse(engine.executeRawQuery(req))
+          val c = codecFor(payload)
+          val req = c.readRawQueryRequest(payload)
+          () => c.writeRawQueryResponse(engine.executeRawQuery(req))
         }
         case _ => None
       }
