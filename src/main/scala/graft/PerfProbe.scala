@@ -44,6 +44,32 @@ object PerfProbe {
       .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .agg(count(lit(1)).as("n_common"))
     println("[probe] common pairs: " + time("ngram common-join")(common.count()))
+
+    // hyperplane bucketing: native expression vs interpreted HOF folds,
+    // 200k synthetic 64-dim vectors (the map stage every LSH ANN / near-dup
+    // query pays once per corpus row)
+    val vecs = spark.range(200000).select(col("id"),
+      transform(sequence(lit(0), lit(63)),
+        d => sin(col("id") * 37 + d * 131).cast("float")).as("v"))
+      .localCheckpoint()
+    val native = vecs.select(
+      graft.operators.VectorOps.hyperplaneBucket(col("v"), 64, 8).as("b"))
+    time("hyperplane native (200k x 64d x 8 bits)")(
+      native.write.format("noop").mode("overwrite").save())
+    def planeWeights(dims: Int, bits: Int): Array[Array[Double]] =
+      Array.tabulate(bits, dims) { (b, d) =>
+        val seed = b.toLong * 1000003L + d.toLong * 7919L
+        val x = seed * 6364136223846793005L + 1442695040888963407L
+        if (x < 0) -1.0 else 1.0
+      }
+    val hof = planeWeights(64, 8).zipWithIndex.map { case (plane, b) =>
+      val proj = aggregate(
+        zip_with(col("v"), typedLit(plane.toSeq), (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1 << b)).otherwise(lit(0))
+    }.reduce(_ + _)
+    time("hyperplane HOF    (200k x 64d x 8 bits)")(
+      vecs.select(hof.as("b")).write.format("noop").mode("overwrite").save())
     spark.stop()
   }
 }

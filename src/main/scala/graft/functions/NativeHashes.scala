@@ -359,6 +359,159 @@ object NativeHashes {
       copy(key = newChildren(0), bloomBytes = newChildren(1))
   }
 
+  /** Random-hyperplane LSH signature: `bits` sign bits of dot products with
+    * deterministic ±1 planes (LCG over (bit, dim) — no stored model, same
+    * derivation as the composable version it replaces, so buckets are
+    * identical). Returns an int bucket id in [0, 2^bits).
+    *
+    * This sits on the bucketing scan of every LSH ANN / near-dup query —
+    * at 100 TB the bucketing map stage IS the cost — and replaces `bits`
+    * interpreted `aggregate(zip_with(...))` folds per row (~ms/row on
+    * ~100-dim vectors) with one primitive O(bits·dims) loop.
+    *
+    * A dims mismatch throws (a config bug should fail loudly; the HOF
+    * version silently produced bucket 0). A NULL vector yields NULL. */
+  case class HyperplaneSignature(child: Expression, dims: Int, bits: Int)
+      extends UnaryExpression with CodegenFallback {
+
+    require(bits >= 1 && bits <= 30, s"hyperplane_bucket: bits must be in [1,30], got $bits")
+
+    // ±1 plane weights, flattened bits×dims; identical formula to the
+    // retired VectorOps.planeWeights so existing bucket ids are preserved
+    @transient private lazy val weights: Array[Double] = {
+      val w = new Array[Double](bits * dims)
+      var b = 0
+      while (b < bits) {
+        var d = 0
+        while (d < dims) {
+          val seed = b.toLong * 1000003L + d.toLong * 7919L
+          val x = seed * 6364136223846793005L + 1442695040888963407L
+          w(b * dims + d) = if (x < 0) -1.0 else 1.0
+          d += 1
+        }
+        b += 1
+      }
+      w
+    }
+
+    override def dataType: DataType = IntegerType
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"hyperplane_bucket expects array<float>, got ${other.simpleString}")
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val x = input.asInstanceOf[ArrayData]
+      if (x.numElements() != dims)
+        throw new IllegalArgumentException(
+          s"hyperplane_bucket: expected $dims dims, got ${x.numElements()}")
+      var bucket = 0
+      var b = 0
+      while (b < bits) {
+        var proj = 0.0
+        val base = b * dims
+        var d = 0
+        while (d < dims) {
+          proj += x.getFloat(d).toDouble * weights(base + d)
+          d += 1
+        }
+        if (proj > 0) bucket |= (1 << b)
+        b += 1
+      }
+      bucket
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): HyperplaneSignature =
+      copy(child = newChild)
+  }
+
+  /** Top-`n` centroid ids for a vector by cosine similarity, descending —
+    * ties and incomparable (NULL-cosine) cells ordered exactly as the
+    * struct-array `slice(reverse(array_sort(...)))` pattern it replaces:
+    * equal cosines break toward the LARGER cell id, NULL-cosine cells sort
+    * after every real score, again by larger id. O(n·k) selection per row
+    * instead of an O(k log k) interpreted sort over k allocated structs.
+    *
+    * `centroids` must be a foldable array<array<float>> literal (the
+    * k-means output is driver-side, so centroid assignment stays a pure
+    * map stage — no join, no shuffle). A NULL vector yields NULL (the HOF
+    * version returned the last cell id — a meaningless label for a null
+    * embedding). */
+  case class NearestCells(vec: Expression, centroidsExpr: Expression, n: Int)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+
+    require(n >= 1, s"nearest_cells: n must be >= 1, got $n")
+
+    override def left: Expression = vec
+    override def right: Expression = centroidsExpr
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      (vec.dataType, centroidsExpr.dataType) match {
+        case (ArrayType(FloatType, _), ArrayType(ArrayType(FloatType, _), _))
+          if centroidsExpr.foldable => TypeCheckResult.TypeCheckSuccess
+        case _ => TypeCheckResult.TypeCheckFailure(
+          "nearest_cells expects (array<float>, foldable array<array<float>>)")
+      }
+
+    @transient private lazy val centroids: Array[Array[Float]] = {
+      val arr = centroidsExpr.eval(null).asInstanceOf[ArrayData]
+      Array.tabulate(arr.numElements())(c => arr.getArray(c).toFloatArray())
+    }
+
+    override def nullSafeEval(v: Any, ignored: Any): Any = {
+      val x = v.asInstanceOf[ArrayData]
+      val dims = x.numElements()
+      val k = centroids.length
+      // cosine per cell, double accumulation in index order (identical math
+      // to CosineSimilarity); NULL cosine → -Infinity sentinel (real
+      // cosines live in [-1, 1], so the sentinel is unambiguous)
+      val cos = new Array[Double](k)
+      var nx = 0.0
+      var i = 0
+      while (i < dims) { val xi = x.getFloat(i).toDouble; nx += xi * xi; i += 1 }
+      var c = 0
+      while (c < k) {
+        val cent = centroids(c)
+        if (cent.length != dims)
+          throw new IllegalArgumentException(
+            s"nearest_cells: dimension mismatch ($dims vs ${cent.length})")
+        var dot = 0.0; var ny = 0.0
+        i = 0
+        while (i < dims) {
+          val yi = cent(i).toDouble
+          dot += x.getFloat(i).toDouble * yi; ny += yi * yi
+          i += 1
+        }
+        cos(c) = if (nx == 0.0 || ny == 0.0) Double.NegativeInfinity
+          else dot / (math.sqrt(nx) * math.sqrt(ny))
+        c += 1
+      }
+      val m = math.min(n, k)
+      val out = new Array[Int](m)
+      val used = new Array[Boolean](k)
+      var s = 0
+      while (s < m) {
+        var best = -1
+        var bestV = 0.0
+        c = k - 1 // descending scan + strict '>' ⇒ ties pick the larger id
+        while (c >= 0) {
+          if (!used(c) && (best == -1 || cos(c) > bestV)) { best = c; bestV = cos(c) }
+          c -= 1
+        }
+        used(best) = true
+        out(s) = best
+        s += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): NearestCells =
+      copy(vec = newLeft, centroidsExpr = newRight)
+  }
+
   private def intLit(e: Expression, fn: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
     case other => throw new IllegalArgumentException(
@@ -384,5 +537,10 @@ object NativeHashes {
       args => QuantizeInt8(args.head), "built-in")
     registry.createOrReplaceTempFunction("bloom_might_contain",
       args => BloomMightContainLong(args.head, args(1)), "built-in")
+    registry.createOrReplaceTempFunction("hyperplane_bucket",
+      args => HyperplaneSignature(args.head,
+        intLit(args(1), "hyperplane_bucket"), intLit(args(2), "hyperplane_bucket")), "built-in")
+    registry.createOrReplaceTempFunction("nearest_cells",
+      args => NearestCells(args.head, args(1), intLit(args(2), "nearest_cells")), "built-in")
   }
 }

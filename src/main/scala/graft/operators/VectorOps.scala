@@ -50,29 +50,15 @@ object VectorOps {
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
-  /** Deterministic ±1 hyperplane weights (LCG over (bit, dim) — no stored
-    * model, identical on every executor and every run). */
-  private def planeWeights(dims: Int, bits: Int): Array[Array[Double]] =
-    Array.tabulate(bits, dims) { (b, d) =>
-      val seed = b.toLong * 1000003L + d.toLong * 7919L
-      val x = seed * 6364136223846793005L + 1442695040888963407L
-      if (x < 0) -1.0 else 1.0
-    }
-
   /** Random-hyperplane signature: `bits` sign bits of dot products with
-    * pseudo-random ±1 planes. The planes are driver-side literals — the
-    * per-row work is `bits` dot products, nothing else. Returns an int
-    * bucket id in [0, 2^bits). */
-  def hyperplaneBucket(vec: Column, dims: Int, bits: Int): Column = {
-    val planes = planeWeights(dims, bits)
-    val bucketBits = planes.zipWithIndex.map { case (plane, b) =>
-      val proj = aggregate(
-        zip_with(vec, typedLit(plane.toSeq), (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, lit(1 << b)).otherwise(lit(0))
-    }
-    bucketBits.reduce(_ + _)
-  }
+    * deterministic pseudo-random ±1 planes, evaluated by the native
+    * [[graft.functions.NativeHashes.HyperplaneSignature]] expression — one
+    * primitive O(bits·dims) loop per row (the plane weights are derived
+    * inside the expression, so there is still no stored model and every
+    * executor computes identical buckets). Returns an int bucket id in
+    * [0, 2^bits). */
+  def hyperplaneBucket(vec: Column, dims: Int, bits: Int): Column =
+    call_function("hyperplane_bucket", vec, lit(dims), lit(bits))
 
   /** LSH-bucketed ANN: corpus and queries are bucketed by hyperplane
     * signature; each query probes its own bucket plus every single-bit-flip
@@ -173,15 +159,8 @@ object VectorOps {
       kmeansCentroids(sample, math.min(nCells, sample.length), kmeansIters)
         .map(_.map(_.toFloat).toSeq)
 
-    def cellScores(vec: Column): Column = array(
-      centroids.zipWithIndex.map { case (c, i) =>
-        struct(cosine(vec, typedLit(c)).as("cos"), lit(i).as("cell"))
-      }: _*)
-
     def bestCells(vec: Column, n: Int): Column =
-      explode(transform(
-        slice(reverse(array_sort(cellScores(vec))), 1, n),
-        s => s.getField("cell")))
+      explode(call_function("nearest_cells", vec, typedLit(centroids.toSeq), lit(n)))
 
     val bucketedCorpus = corpus.withColumn("cell", bestCells(col(corpusVec), assignN))
     // each query probes its nProbe best cells
@@ -243,13 +222,11 @@ object VectorOps {
     cents
   }
 
-  /** Nearest-centroid id (0-based) as a pure map expression. */
-  def nearestCentroid(vec: Column, centroids: Array[Seq[Float]]): Column = {
-    val scores = array(centroids.zipWithIndex.map { case (c, i) =>
-      struct(cosine(vec, typedLit(c)).as("cos"), lit(i).as("cell"))
-    }: _*)
-    element_at(reverse(array_sort(scores)), 1).getField("cell")
-  }
+  /** Nearest-centroid id (0-based) as a pure map expression — native O(k)
+    * argmax (NearestCells with n=1), not a per-row struct-array sort. */
+  def nearestCentroid(vec: Column, centroids: Array[Seq[Float]]): Column =
+    element_at(
+      call_function("nearest_cells", vec, typedLit(centroids.toSeq), lit(1)), 1)
 
   /** Label every corpus row with its cluster — a codegen'd map stage, no
     * shuffle; feed the result to `Sampling.stratifiedSample` for

@@ -137,6 +137,62 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(top.length == 50)
   }
 
+  test("native hyperplane_bucket ≡ composable HOF formula (bucket ids preserved)") {
+    graft.functions.NativeHashes.register(spark)
+    val emb = Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).limit(200)
+    // the retired HOF implementation, reconstructed verbatim as the oracle
+    def planeWeights(dims: Int, bits: Int): Array[Array[Double]] =
+      Array.tabulate(bits, dims) { (b, d) =>
+        val seed = b.toLong * 1000003L + d.toLong * 7919L
+        val x = seed * 6364136223846793005L + 1442695040888963407L
+        if (x < 0) -1.0 else 1.0
+      }
+    val hof = planeWeights(64, 8).zipWithIndex.map { case (plane, b) =>
+      val proj = aggregate(
+        zip_with(col("embedding"), typedLit(plane.toSeq), (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1 << b)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val diff = emb.select(
+      VectorOps.hyperplaneBucket(col("embedding"), 64, 8).as("native"), hof.as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(diff == 0, s"$diff rows bucketed differently from the HOF formula")
+  }
+
+  test("native nearest_cells ≡ struct-sort HOF ordering (ties → larger cell, nulls last)") {
+    graft.functions.NativeHashes.register(spark)
+    import spark.implicits._
+    // hand-built cases: clear winner, exact tie (duplicated centroid),
+    // zero centroid (NULL cosine) and a zero vector (all-NULL cosines)
+    val cents: Array[Seq[Float]] = Array(
+      Seq(1f, 0f, 0f), Seq(0f, 1f, 0f), Seq(0f, 1f, 0f), Seq(0f, 0f, 0f))
+    val vecs = Seq(
+      (0L, Seq(1f, 0f, 0f)),   // cell 0 wins
+      (1L, Seq(0f, 5f, 0f)),   // tie between cells 1 and 2 → larger id (2) first
+      (2L, Seq(0f, 0f, 1f)),   // all real cosines 0, tie across 0,1,2 → 2 first
+      (3L, Seq(0f, 0f, 0f)),   // zero vector: every cosine NULL → cells by id desc
+    ).toDF("id", "v").select(col("id"), col("v").cast("array<float>").as("v"))
+    val hofOrder = {
+      val scores = array(cents.zipWithIndex.map { case (c, i) =>
+        struct(VectorOps.cosine(col("v"), typedLit(c)).as("cos"), lit(i).as("cell"))
+      }: _*)
+      transform(slice(reverse(array_sort(scores)), 1, 3), s => s.getField("cell"))
+    }
+    val rows = vecs.select(col("id"),
+      call_function("nearest_cells", col("v"), typedLit(cents.toSeq), lit(3)).as("native"),
+      hofOrder.as("hof"))
+      .orderBy("id").collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Int](1) == r.getSeq[Int](2),
+        s"id ${r.getLong(0)}: native ${r.getSeq[Int](1)} vs hof ${r.getSeq[Int](2)}")
+    }
+    // argmax entry point agrees with the full ranking's head
+    val top = vecs.select(col("id"),
+      VectorOps.nearestCentroid(col("v"), cents).as("cl")).orderBy("id").collect()
+    assert(top.map(_.getInt(1)).toSeq == rows.map(_.getSeq[Int](1).head).toSeq)
+  }
+
   test("LSH ANN: self-match always found; recall vs brute force is reported") {
     val emb = Tables.table(spark, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < 5)
