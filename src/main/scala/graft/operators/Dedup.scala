@@ -175,11 +175,19 @@ object Dedup {
     while (!converged && i < maxIter) {
       val neighborMin = edges.join(labels.withColumnRenamed("id", "b2"), col("b") === col("b2"))
         .groupBy(col("a")).agg(min(col("rep")).as("nrep"))
+      // LAZY checkpoint + a full-scan convergence aggregate as the
+      // materializing action: ONE job per round computes the labels,
+      // persists every partition (truncating lineage), and returns the
+      // changed-row count. (An eager checkpoint + isEmpty costs 2-3 jobs:
+      // isEmpty's take(1) may stop early, leaving partitions for
+      // doCheckpoint to recompute in yet another job.)
       val next = labels.join(neighborMin, col("id") === col("a"), "left")
         .select(col("id"), col("rep").as("prev"),
           least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
-        .localCheckpoint() // truncate lineage between iterations
-      converged = next.filter(col("rep") < col("prev")).isEmpty
+        .localCheckpoint(false)
+      val changed = next
+        .agg(count(when(col("rep") < col("prev"), 1)).as("c")).first().getLong(0)
+      converged = changed == 0L
       labels = next.select(col("id"), col("rep"))
       i += 1
     }
