@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{ApproximatePercentile, HyperLogLogPlusPlus}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
@@ -220,6 +221,272 @@ object DataFusionCompat {
     case _ => StringDecode(args(0), args(1))
   }
 
+  // ---------------------------------------------------------------------
+  // DataFusion 51 scalar long tail (systematic sweep vs DataFusion's
+  // scalar-function list; VERDICT r6 task #5)
+  // ---------------------------------------------------------------------
+
+  /** Translate a chrono strftime-style format (what DataFusion's `to_char`/
+    * `date_format`/`to_date` accept — Rust `chrono` crate) into a Spark
+    * datetime pattern. Literal runs are single-quoted (Spark treats bare
+    * letters as pattern characters; chrono does not). Directives chrono
+    * supports but Spark 3+ datetime patterns removed (week-of-year `%U/%V/
+    * %W`, numeric weekday `%u/%w`, epoch `%s`) are a hard error, like an
+    * unknown directive. */
+  private[functions] def chronoToSparkPattern(fmt: String): String = {
+    val out = new StringBuilder
+    val lit = new StringBuilder
+    def flushLit(): Unit = if (lit.nonEmpty) {
+      out.append('\'').append(lit.toString.replace("'", "''")).append('\'')
+      lit.clear()
+    }
+    def dir(p: String): Unit = { flushLit(); out.append(p) }
+    var i = 0
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c != '%') { lit.append(c); i += 1 }
+      else if (i + 1 >= fmt.length)
+        throw new IllegalArgumentException("chrono format: dangling '%'")
+      else {
+        // %.3f / %.6f / %.9f — fractional seconds with leading dot
+        val frac = """^%\.([369])f""".r.findFirstMatchIn(fmt.substring(i))
+        if (frac.isDefined) {
+          dir("." + "S" * frac.get.group(1).toInt)
+          i += 4
+        } else {
+          fmt.charAt(i + 1) match {
+            case 'Y' => dir("yyyy")
+            case 'y' => dir("yy")
+            case 'm' => dir("MM")
+            case 'b' | 'h' => dir("MMM")
+            case 'B' => dir("MMMM")
+            case 'd' => dir("dd")
+            case 'e' => dir("d")
+            case 'a' => dir("EEE")
+            case 'A' => dir("EEEE")
+            case 'j' => dir("DDD")
+            case 'H' => dir("HH")
+            case 'k' => dir("H")
+            case 'I' => dir("hh")
+            case 'l' => dir("h")
+            case 'p' | 'P' => dir("a")
+            case 'M' => dir("mm")
+            case 'S' => dir("ss")
+            case 'f' => dir("SSSSSSSSS")
+            case 'q' => dir("Q")
+            case 'G' => dir("YYYY")
+            case 'D' => dir("MM/dd/yy")
+            case 'F' => dir("yyyy-MM-dd")
+            case 'T' => dir("HH:mm:ss")
+            case 'R' => dir("HH:mm")
+            case 'z' => dir("xx")
+            case 'Z' => dir("zzz")
+            case '%' => lit.append('%')
+            case 'n' => lit.append('\n')
+            case 't' => lit.append('\t')
+            case ':' if i + 2 < fmt.length && fmt.charAt(i + 2) == 'z' =>
+              dir("xxx"); i += 1
+            case other => throw new IllegalArgumentException(
+              s"chrono format: unsupported directive '%$other'")
+          }
+          i += 2
+        }
+      }
+    }
+    flushLit()
+    out.toString
+  }
+
+  private def litFormatHasPercent(e: Expression): Boolean = e match {
+    case Literal(s: UTF8String, _: StringType) => s.toString.contains('%')
+    case _ => false
+  }
+
+  private def chronoFormat(e: Expression, fn: String): Expression =
+    Literal(UTF8String.fromString(chronoToSparkPattern(litString(e, fn))), StringType)
+
+  /** `to_char(expr, fmt)` — chrono datetime formatting when the format is a
+    * chrono pattern (contains `%`); otherwise Spark's numeric to_char. */
+  private def toCharCompat(args: Seq[Expression]): Expression =
+    if (litFormatHasPercent(args(1)))
+      new DateFormatClass(Cast(args(0), TimestampType), chronoFormat(args(1), "to_char"))
+    else ToCharacter(args(0), args(1))
+
+  private def dateFormatCompat(args: Seq[Expression]): Expression =
+    if (litFormatHasPercent(args(1)))
+      new DateFormatClass(Cast(args(0), TimestampType), chronoFormat(args(1), "date_format"))
+    else new DateFormatClass(args(0), args(1))
+
+  /** DataFusion `to_date`/`to_timestamp` accept chrono formats; without one
+    * they behave like Spark's (string parse / numeric epoch). DataFusion
+    * tries each format in order; a builder sees literals, so only the first
+    * format argument is honored. */
+  private def toDateCompat(args: Seq[Expression]): Expression = args.size match {
+    case 1 => new ParseToDate(args.head)
+    case _ if litFormatHasPercent(args(1)) =>
+      new ParseToDate(args(0), chronoFormat(args(1), "to_date"))
+    case _ => new ParseToDate(args(0), args(1))
+  }
+
+  private def toTimestampCompat(args: Seq[Expression]): Expression = args.size match {
+    case 1 => Cast(args.head, TimestampType)
+    case _ if litFormatHasPercent(args(1)) =>
+      new ParseToTimestamp(args(0), chronoFormat(args(1), "to_timestamp"))
+    case _ => new ParseToTimestamp(args(0), args(1))
+  }
+
+  /** `date_part` with DataFusion's full unit list. Spark's builtin already
+    * handles year…second (incl. Postgres 0-based `dow`); DataFusion/Postgres
+    * additionally define `epoch` (seconds since epoch, fractional) and
+    * `millisecond`/`microsecond`/`nanosecond` (seconds-within-minute scaled
+    * — 00:01:30.25 → millisecond 30250). DuckDB agrees, so these are
+    * oracle-checkable. */
+  private def datePartCompat(args: Seq[Expression]): Expression = {
+    val unit = litString(args(0), "date_part").toLowerCase
+    val src = args(1)
+    def secondsInMinute: Expression =
+      Cast(DatePart.parseExtractField("SECOND", Cast(src, TimestampType)), DoubleType)
+    unit match {
+      case "epoch" =>
+        Divide(Cast(UnixMicros(Cast(src, TimestampType)), DoubleType), Literal(1e6))
+      case "millisecond" | "milliseconds" => Multiply(secondsInMinute, Literal(1e3))
+      case "microsecond" | "microseconds" => Multiply(secondsInMinute, Literal(1e6))
+      case "nanosecond" | "nanoseconds" => Multiply(secondsInMinute, Literal(1e9))
+      // Postgres/DataFusion dow is 0-based at Sunday; Spark's DOW field is 1-based
+      case "dow" => Subtract(DayOfWeek(Cast(src, DateType)), Literal(1))
+      case _ => DatePart.parseExtractField(unit, src)
+    }
+  }
+
+  /** Remove/replace FIRST occurrence (DataFusion `array_remove`/
+    * `array_replace`; the `_all` variants map to Spark builtins). Built from
+    * position + two slices — stays in codegen, no lambda. */
+  private def removeFirst(a: Expression, e: Expression): Expression = {
+    val pos = Cast(ArrayPosition(a, e), IntegerType)
+    If(GreaterThan(pos, Literal(0)),
+      Concat(Seq(
+        Slice(a, Literal(1), Subtract(pos, Literal(1))),
+        Slice(a, Add(pos, Literal(1)), Subtract(Size(a), pos)))),
+      a)
+  }
+
+  private def replaceFirst(a: Expression, from: Expression, to: Expression): Expression = {
+    val pos = Cast(ArrayPosition(a, from), IntegerType)
+    If(GreaterThan(pos, Literal(0)),
+      Concat(Seq(
+        Slice(a, Literal(1), Subtract(pos, Literal(1))),
+        CreateArray(Seq(to)),
+        Slice(a, Add(pos, Literal(1)), Subtract(Size(a), pos)))),
+      a)
+  }
+
+  private def replaceAll(a: Expression, from: Expression, to: Expression): Expression = {
+    val x = UnresolvedNamedLambdaVariable(Seq("x"))
+    ArrayTransform(a, LambdaFunction(If(EqualTo(x, from), to, x), Seq(x)))
+  }
+
+  /** DataFusion `array_slice(list, from, to)`: 1-based, both ends inclusive,
+    * negative indexes count from the end. */
+  private def arraySlice(args: Seq[Expression]): Expression = {
+    require(args.size == 3, "array_slice: expected (array, from, to)")
+    val a = args(0)
+    val size = Size(a)
+    def norm(e: Expression): Expression = {
+      val i = Cast(e, IntegerType)
+      If(LessThan(i, Literal(0)), Add(Add(size, i), Literal(1)), i)
+    }
+    val from = Greatest(Seq(norm(args(1)), Literal(1)))
+    val to = Least(Seq(norm(args(2)), size))
+    Slice(a, from, Greatest(Seq(Subtract(Add(to, Literal(1)), from), Literal(0))))
+  }
+
+  /** `array_resize(list, size, value)`: truncate or pad with `value`. */
+  private def arrayResize(args: Seq[Expression]): Expression = {
+    require(args.size == 3, "array_resize: expected (array, size, pad_value)")
+    val a = args(0)
+    val n = Cast(args(1), IntegerType)
+    Concat(Seq(
+      Slice(a, Literal(1), Least(Seq(n, Size(a)))),
+      ArrayRepeat(args(2), Greatest(Seq(Subtract(n, Size(a)), Literal(0))))))
+  }
+
+  /** DataFusion `range(start, stop, step)` is end-EXCLUSIVE; Spark's
+    * Sequence is inclusive. A sequence contains `stop` only as its last
+    * element and never twice, so removing `stop` from the inclusive
+    * sequence yields the exclusive range for either step sign. */
+  private def rangeCompat(args: Seq[Expression]): Expression = args.size match {
+    case 1 => ArrayRemove(new Sequence(Literal(0L), Cast(args(0), LongType)), Cast(args(0), LongType))
+    case 2 => ArrayRemove(new Sequence(args(0), args(1)), args(1))
+    case _ => ArrayRemove(new Sequence(args(0), args(1), args(2)), args(1))
+  }
+
+  private def generateSeries(args: Seq[Expression]): Expression = args.size match {
+    case 2 => new Sequence(args(0), args(1))
+    case _ => new Sequence(args(0), args(1), args(2))
+  }
+
+  /** `string_to_array(str, delim)`: split on a LITERAL delimiter (Postgres
+    * lineage) — Spark's split takes a regex, so quote it at build time. */
+  private def stringToArray(args: Seq[Expression]): Expression = {
+    val quoted = java.util.regex.Pattern.quote(litString(args(1), "string_to_array"))
+    new StringSplit(args(0), Literal(UTF8String.fromString(quoted), StringType))
+  }
+
+  /** `array_ndims` — nesting depth from the (resolved) child type; foldable,
+    * like [[ArrowTypeOf]]. */
+  case class ArrayNDims(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = false
+    override def foldable: Boolean = true
+    override def eval(input: InternalRow): Any = {
+      @annotation.tailrec
+      def depth(dt: DataType, acc: Long): Long = dt match {
+        case ArrayType(e, _) => depth(e, acc + 1)
+        case _ => acc
+      }
+      depth(child.dataType, 0L)
+    }
+    override protected def withNewChildInternal(c: Expression): ArrayNDims = copy(child = c)
+  }
+
+  /** Euclid on |a|,|b| — static forwarder makes this callable from codegen. */
+  def gcdLong(a: Long, b: Long): Long = {
+    var x = math.abs(a); var y = math.abs(b)
+    while (y != 0) { val t = x % y; x = y; y = t }
+    x
+  }
+
+  def lcmLong(a: Long, b: Long): Long =
+    if (a == 0 || b == 0) 0L else math.abs(a / gcdLong(a, b) * b)
+
+  /** `gcd`/`lcm` (DataFusion math functions Spark lacks) — native binary
+    * expressions, codegen'd via the object's static forwarders. */
+  case class GcdLong(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      gcdLong(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.DataFusionCompat.gcdLong($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): GcdLong =
+      copy(left = l, right = r)
+  }
+
+  case class LcmLong(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      lcmLong(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.DataFusionCompat.lcmLong($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): LcmLong =
+      copy(left = l, right = r)
+  }
+
   private[graft] def builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     // NOT "to_timestamp": Spark's builtin already has DataFusion's
     // semantics (strings parse, numerics are epoch seconds) plus the
@@ -256,11 +523,71 @@ object DataFusionCompat {
     "sha384" -> (args => sha2Bin(args.head, 384)),
     "sha512" -> (args => sha2Bin(args.head, 512)),
     "digest" -> (args => digest(args)),
+    // array long tail — append/prepend/position/remove/replace/slice/pop/
+    // resize and friends; every array_* is also registered under list_*,
+    // mirroring DataFusion's alias table. Names Spark already has with
+    // IDENTICAL semantics (array_append, array_distinct, array_max/min,
+    // flatten, cardinality, ifnull/nvl/nvl2/nullif) are not re-registered;
+    // names Spark has with DIFFERENT semantics (array_prepend argument
+    // order, array_position NULL-on-miss, array_remove first-occurrence)
+    // live in [[dialectOverrides]] so host sessions keep Spark behavior.
+    "list_append" -> (args => Concat(Seq(args(0), CreateArray(Seq(args(1)))))),
+    "array_push_back" -> (args => Concat(Seq(args(0), CreateArray(Seq(args(1)))))),
+    // DataFusion argument order: (element, array)
+    "list_prepend" -> (args => Concat(Seq(CreateArray(Seq(args(0))), args(1)))),
+    "array_push_front" -> (args => Concat(Seq(CreateArray(Seq(args(0))), args(1)))),
+    "array_concat" -> (args => Concat(args)),
+    "list_concat" -> (args => Concat(args)),
+    "list_cat" -> (args => Concat(args)),
+    // NULL (not 0) when absent — DataFusion/Postgres lineage
+    "list_position" -> (args => new NullIf(ArrayPosition(args(0), args(1)), Literal(0L))),
+    "array_indexof" -> (args => new NullIf(ArrayPosition(args(0), args(1)), Literal(0L))),
+    "list_indexof" -> (args => new NullIf(ArrayPosition(args(0), args(1)), Literal(0L))),
+    "list_remove" -> (args => removeFirst(args(0), args(1))),
+    "array_remove_all" -> (args => ArrayRemove(args(0), args(1))),
+    "list_remove_all" -> (args => ArrayRemove(args(0), args(1))),
+    "array_replace" -> (args => replaceFirst(args(0), args(1), args(2))),
+    "list_replace" -> (args => replaceFirst(args(0), args(1), args(2))),
+    "array_replace_all" -> (args => replaceAll(args(0), args(1), args(2))),
+    "list_replace_all" -> (args => replaceAll(args(0), args(1), args(2))),
+    "array_slice" -> (args => arraySlice(args)),
+    "list_slice" -> (args => arraySlice(args)),
+    "array_pop_back" -> (args =>
+      Slice(args.head, Literal(1), Greatest(Seq(Subtract(Size(args.head), Literal(1)), Literal(0))))),
+    "list_pop_back" -> (args =>
+      Slice(args.head, Literal(1), Greatest(Seq(Subtract(Size(args.head), Literal(1)), Literal(0))))),
+    "array_pop_front" -> (args =>
+      Slice(args.head, Literal(2), Greatest(Seq(Subtract(Size(args.head), Literal(1)), Literal(0))))),
+    "list_pop_front" -> (args =>
+      Slice(args.head, Literal(2), Greatest(Seq(Subtract(Size(args.head), Literal(1)), Literal(0))))),
+    "array_reverse" -> (args => Reverse(args.head)),
+    "list_reverse" -> (args => Reverse(args.head)),
+    "array_empty" -> (args => EqualTo(Size(args.head), Literal(0))),
+    "list_empty" -> (args => EqualTo(Size(args.head), Literal(0))),
+    "empty" -> (args => EqualTo(Size(args.head), Literal(0))),
+    "array_ndims" -> (args => ArrayNDims(args.head)),
+    "list_ndims" -> (args => ArrayNDims(args.head)),
+    // 1-D dims only (nested arrays are rare in the dialect surface)
+    "array_dims" -> (args => CreateArray(Seq(Cast(Size(args.head), LongType)))),
+    "list_dims" -> (args => CreateArray(Seq(Cast(Size(args.head), LongType)))),
+    "array_resize" -> (args => arrayResize(args)),
+    "list_resize" -> (args => arrayResize(args)),
+    "list_distinct" -> (args => ArrayDistinct(args.head)),
+    "list_sort" -> (args => new SortArray(args.head)),
+    "string_to_array" -> (args => stringToArray(args)),
+    "string_to_list" -> (args => stringToArray(args)),
+    "range" -> (args => rangeCompat(args)),
+    "generate_series" -> (args => generateSeries(args)),
+    // struct/math long tail
+    "get_field" -> (args => UnresolvedExtractValue(args(0), args(1))),
+    "gcd" -> (args => GcdLong(Cast(args(0), LongType), Cast(args(1), LongType))),
+    "lcm" -> (args => LcmLong(Cast(args(0), LongType), Cast(args(1), LongType))),
+    "iszero" -> (args => EqualTo(Cast(args.head, DoubleType), Literal(0.0))),
     // string/date/misc name aliases
     "starts_with" -> (args => StartsWith(args(0), args(1))),
     "ends_with" -> (args => EndsWith(args(0), args(1))),
     "substr_index" -> (args => SubstringIndex(args(0), args(1), args(2))),
-    "datepart" -> (args => DatePart.parseExtractField(litString(args(0), "datepart"), args(1))),
+    "datepart" -> (args => datePartCompat(args)),
     "datetrunc" -> (args => TruncTimestamp(args(0), args(1))),
     "to_unixtime" -> (args => UnixSeconds(Cast(args.head, TimestampType))),
     "today" -> (_ => CurrentDate()),
@@ -283,6 +610,23 @@ object DataFusionCompat {
     "trunc" -> (args => TruncCompat(args)),
     "encode" -> (args => encodeCompat(args)),
     "decode" -> (args => decodeCompat(args)),
+    // chrono-format datetime surface: dispatches on '%' in the format so
+    // non-chrono calls keep Spark semantics (to_char numeric formatting,
+    // date_format Spark patterns)
+    "to_char" -> (args => toCharCompat(args)),
+    "date_format" -> (args => dateFormatCompat(args)),
+    "to_date" -> (args => toDateCompat(args)),
+    "to_timestamp" -> (args => toTimestampCompat(args)),
+    // superset of Spark's date_part: adds epoch/millisecond/microsecond/
+    // nanosecond units (kept out of host sessions on principle)
+    "date_part" -> (args => datePartCompat(args)),
+    // Spark builtins with conflicting semantics (see builders comment):
+    // argument order is (element, array) in DataFusion
+    "array_prepend" -> (args => Concat(Seq(CreateArray(Seq(args(0))), args(1)))),
+    // NULL (not 0) when the element is absent
+    "array_position" -> (args => new NullIf(ArrayPosition(args(0), args(1)), Literal(0L))),
+    // first occurrence only (Spark's array_remove removes all)
+    "array_remove" -> (args => removeFirst(args(0), args(1))),
   )
 
   /** Register the full DataFusion-dialect surface (aliases + semantic

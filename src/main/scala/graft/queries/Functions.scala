@@ -337,5 +337,91 @@ object Functions {
              |  array_to_string([n_name, 'x'], '|') AS joined
              |FROM nation ORDER BY n_name""".stripMargin),
     ),
+
+    QueryDef(
+      "q_df_dialect2",
+      // The DataFusion 51 scalar LONG TAIL (VERDICT r6 task #5): chrono
+      // to_char, extended date_part units, the array_*/list_* family
+      // (position/remove/replace/slice/pop/resize, end-exclusive range),
+      // string_to_array, gcd/lcm/iszero, get_field — as SQL text a kamu
+      // transform would submit verbatim, value-checked against DuckDB
+      // (which shares the Postgres lineage for all of them). Cloned
+      // session, like q_df_dialect, so overrides never leak.
+      (s, dir) => {
+        val s2 = s.newSession()
+        graft.functions.DataFusionCompat.register(s2)
+        Tables.table(s2, dir, "nation").createOrReplaceTempView("nation")
+        s2.sql(
+          """SELECT n_nationkey AS k,
+            |  to_char(CAST(date_add(DATE '2024-03-01', n_nationkey * 3) AS TIMESTAMP),
+            |          '%Y-%m-%d (%a)') AS tc,
+            |  CAST(date_part('dow', date_add(DATE '2024-03-01', n_nationkey * 3)) AS BIGINT) AS dow,
+            |  CAST(date_part('doy', date_add(DATE '2024-03-01', n_nationkey * 3)) AS BIGINT) AS doy,
+            |  CAST(date_part('epoch', CAST(date_add(DATE '2024-03-01', n_nationkey * 3) AS TIMESTAMP)) AS DOUBLE) AS ep,
+            |  CAST(date_part('millisecond', TIMESTAMP '2024-01-01 00:01:30.25') AS DOUBLE) AS ms,
+            |  array_position(make_array(n_nationkey, n_nationkey + 1, n_nationkey + 2, n_nationkey + 1),
+            |                 n_nationkey + 1) AS ap_hit,
+            |  array_position(make_array(n_nationkey, n_nationkey + 1), -1) AS ap_miss,
+            |  array_to_string(array_remove(
+            |    make_array(n_nationkey, n_nationkey + 1, n_nationkey + 2, n_nationkey + 1),
+            |    n_nationkey + 1), ',') AS rm_first,
+            |  array_to_string(array_replace_all(
+            |    make_array(n_nationkey, n_nationkey + 1, n_nationkey + 2, n_nationkey + 1),
+            |    n_nationkey + 1, 0), ',') AS rp_all,
+            |  array_to_string(array_slice(
+            |    make_array(n_nationkey, n_nationkey + 1, n_nationkey + 2, n_nationkey + 1), 2, 3), ',') AS sl,
+            |  array_to_string(array_pop_back(
+            |    make_array(n_nationkey, n_nationkey + 1, n_nationkey + 2)), ',') AS pb,
+            |  array_to_string(array_pop_front(
+            |    make_array(n_nationkey, n_nationkey + 1, n_nationkey + 2)), ',') AS pf,
+            |  array_to_string(array_resize(
+            |    make_array(n_nationkey, n_nationkey + 1), 4, 0), ',') AS rz,
+            |  array_to_string(list_append(make_array(n_nationkey, n_nationkey + 1), 9), ',') AS apnd,
+            |  array_to_string(array_prepend(-1, make_array(n_nationkey, n_nationkey + 1)), ',') AS prep,
+            |  array_to_string(range(0, pmod(n_nationkey, 4) + 2), ',') AS rng,
+            |  array_to_string(generate_series(1, 3), ',') AS gs,
+            |  array_to_string(string_to_array(n_name, 'A'), '|') AS sta,
+            |  array_ndims(make_array(n_nationkey)) AS nd,
+            |  array_to_string(array_dims(make_array(n_nationkey, n_nationkey + 1)), ',') AS dims,
+            |  array_empty(array_slice(make_array(n_nationkey), 3, 2)) AS emp,
+            |  gcd(n_nationkey, 12) AS g,
+            |  lcm(n_nationkey, 4) AS l,
+            |  iszero(CAST(pmod(n_nationkey, 5) AS DOUBLE)) AS iz,
+            |  get_field(named_struct('a', n_regionkey), 'a') AS gf
+            |FROM nation ORDER BY k""".stripMargin)
+      },
+      Some("""WITH n AS (
+             |  SELECT n_nationkey, n_name, n_regionkey,
+             |    DATE '2024-03-01' + CAST(n_nationkey * 3 AS INT) AS d,
+             |    [n_nationkey, n_nationkey + 1, n_nationkey + 2, n_nationkey + 1] AS a
+             |  FROM nation)
+             |SELECT n_nationkey AS k,
+             |  strftime(CAST(d AS TIMESTAMP), '%Y-%m-%d (%a)') AS tc,
+             |  CAST(date_part('dow', d) AS BIGINT) AS dow,
+             |  CAST(date_part('doy', d) AS BIGINT) AS doy,
+             |  CAST(date_part('epoch', CAST(d AS TIMESTAMP)) AS DOUBLE) AS ep,
+             |  CAST(date_part('millisecond', TIMESTAMP '2024-01-01 00:01:30.25') AS DOUBLE) AS ms,
+             |  CAST(list_position(a, n_nationkey + 1) AS BIGINT) AS ap_hit,
+             |  CAST(NULLIF(list_position([n_nationkey, n_nationkey + 1], -1), 0) AS BIGINT) AS ap_miss,
+             |  array_to_string(list_concat(a[1:1], a[3:]), ',') AS rm_first,
+             |  array_to_string(list_transform(a, x -> CASE WHEN x = n_nationkey + 1 THEN 0 ELSE x END), ',') AS rp_all,
+             |  array_to_string(a[2:3], ',') AS sl,
+             |  array_to_string([n_nationkey, n_nationkey + 1], ',') AS pb,
+             |  array_to_string([n_nationkey + 1, n_nationkey + 2], ',') AS pf,
+             |  array_to_string([n_nationkey, n_nationkey + 1, 0, 0], ',') AS rz,
+             |  array_to_string([n_nationkey, n_nationkey + 1, 9], ',') AS apnd,
+             |  array_to_string([-1, n_nationkey, n_nationkey + 1], ',') AS prep,
+             |  array_to_string(range(0, (n_nationkey % 4) + 2), ',') AS rng,
+             |  array_to_string(generate_series(1, 3), ',') AS gs,
+             |  array_to_string(string_split(n_name, 'A'), '|') AS sta,
+             |  CAST(1 AS BIGINT) AS nd,
+             |  '2' AS dims,
+             |  TRUE AS emp,
+             |  CAST(gcd(n_nationkey, 12) AS BIGINT) AS g,
+             |  CAST(lcm(n_nationkey, 4) AS BIGINT) AS l,
+             |  (n_nationkey % 5 = 0) AS iz,
+             |  n_regionkey AS gf
+             |FROM n ORDER BY k""".stripMargin),
+    ),
   )
 }

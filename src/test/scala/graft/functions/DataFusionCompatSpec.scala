@@ -123,6 +123,111 @@ class DataFusionCompatSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(r.getLong(2) - 25L) <= 1)
   }
 
+  test("to_char / date_format / to_date translate chrono strftime formats") {
+    val r = spark.sql(
+      """SELECT to_char(TIMESTAMP '2024-03-15 14:30:45', '%Y-%m-%d %H:%M:%S'),
+        |       to_char(DATE '2024-03-15', '%d/%m/%y'),
+        |       to_char(TIMESTAMP '2024-03-15 14:30:45', 'day %e of %B, %A'),
+        |       date_format(TIMESTAMP '2024-07-04 09:05:00', '%B %d at %I:%M %p'),
+        |       to_date('15.03.2024', '%d.%m.%Y'),
+        |       to_timestamp('2024-03-15 14:30:45', '%Y-%m-%d %H:%M:%S'),
+        |       to_char(123456, '999,999')""".stripMargin).collect()(0)
+    assert(r.getString(0) == "2024-03-15 14:30:45")
+    assert(r.getString(1) == "15/03/24")
+    assert(r.getString(2) == "day 15 of March, Friday")
+    assert(r.getString(3) == "July 04 at 09:05 AM")
+    assert(r.getDate(4).toString == "2024-03-15")
+    assert(r.getTimestamp(5).toInstant.toString == "2024-03-15T14:30:45Z")
+    // non-chrono format falls through to Spark's numeric to_char
+    assert(r.getString(6) == "123,456")
+    val e = intercept[Exception](
+      spark.sql("SELECT to_char(DATE '2024-01-01', '%V')").collect())
+    assert(e.getMessage.contains("unsupported directive"))
+  }
+
+  test("date_part covers DataFusion's extended unit list") {
+    val r = spark.sql(
+      """SELECT date_part('dow', DATE '2024-03-17'),
+        |       date_part('doy', DATE '2024-03-17'),
+        |       date_part('epoch', TIMESTAMP '2024-01-02 00:00:00'),
+        |       date_part('millisecond', TIMESTAMP '2024-01-01 00:01:30.25'),
+        |       date_part('microsecond', TIMESTAMP '2024-01-01 00:01:30.25'),
+        |       date_part('year', DATE '2024-03-17')""".stripMargin).collect()(0)
+    assert(r.getInt(0) == 0, "2024-03-17 is a Sunday; dow is 0-based at Sunday (Postgres)")
+    assert(r.getInt(1) == 77)
+    assert(r.getDouble(2) == 1704153600.0)
+    assert(r.getDouble(3) == 30250.0, "millisecond is seconds-within-minute * 1000")
+    assert(r.getDouble(4) == 30250000.0)
+    assert(r.getInt(5) == 2024)
+  }
+
+  test("array long tail: append/prepend/position/remove/replace/slice/pop/resize") {
+    val r = spark.sql(
+      """SELECT list_append(array(1, 2), 3),
+        |       array_prepend(0, array(1, 2)),
+        |       array_concat(array(1), array(2), array(3)),
+        |       array_position(array(10, 20, 30), 20),
+        |       array_position(array(10, 20, 30), 99),
+        |       array_remove(array(1, 2, 1, 3), 1),
+        |       array_remove_all(array(1, 2, 1, 3), 1),
+        |       array_replace(array(1, 2, 1), 1, 9),
+        |       array_replace_all(array(1, 2, 1), 1, 9),
+        |       array_slice(array(10, 20, 30, 40), 2, 3),
+        |       array_slice(array(10, 20, 30, 40), -2, -1),
+        |       array_pop_back(array(1, 2, 3)),
+        |       array_pop_front(array(1, 2, 3)),
+        |       array_resize(array(1, 2, 3), 5, 0),
+        |       array_resize(array(1, 2, 3), 2, 0)""".stripMargin).collect()(0)
+    assert(r.getSeq[Int](0) == Seq(1, 2, 3))
+    assert(r.getSeq[Int](1) == Seq(0, 1, 2))
+    assert(r.getSeq[Int](2) == Seq(1, 2, 3))
+    assert(r.getLong(3) == 2L)
+    assert(r.isNullAt(4), "array_position is NULL (not 0) on miss")
+    assert(r.getSeq[Int](5) == Seq(2, 1, 3), "array_remove drops FIRST occurrence only")
+    assert(r.getSeq[Int](6) == Seq(2, 3))
+    assert(r.getSeq[Int](7) == Seq(9, 2, 1), "array_replace hits FIRST occurrence only")
+    assert(r.getSeq[Int](8) == Seq(9, 2, 9))
+    assert(r.getSeq[Int](9) == Seq(20, 30), "array_slice is 1-based, inclusive ends")
+    assert(r.getSeq[Int](10) == Seq(30, 40), "negative indexes count from the end")
+    assert(r.getSeq[Int](11) == Seq(1, 2))
+    assert(r.getSeq[Int](12) == Seq(2, 3))
+    assert(r.getSeq[Int](13) == Seq(1, 2, 3, 0, 0))
+    assert(r.getSeq[Int](14) == Seq(1, 2))
+  }
+
+  test("array introspection, range/generate_series, string_to_array") {
+    val r = spark.sql(
+      """SELECT array_empty(array()), array_empty(array(1)),
+        |       array_ndims(array(1, 2)), array_dims(array(1, 2, 3)),
+        |       range(1, 5), range(5), range(0, 10, 3),
+        |       generate_series(1, 5),
+        |       string_to_array('a.b.c', '.'),
+        |       array_reverse(array(1, 2, 3)),
+        |       list_sort(array(3, 1, 2))""".stripMargin).collect()(0)
+    assert(r.getBoolean(0) && !r.getBoolean(1))
+    assert(r.getLong(2) == 1L)
+    assert(r.getSeq[Long](3) == Seq(3L))
+    assert(r.getSeq[Int](4) == Seq(1, 2, 3, 4), "range is end-exclusive")
+    assert(r.getSeq[Long](5) == Seq(0L, 1L, 2L, 3L, 4L))
+    assert(r.getSeq[Int](6) == Seq(0, 3, 6, 9))
+    assert(r.getSeq[Int](7) == Seq(1, 2, 3, 4, 5), "generate_series is inclusive")
+    assert(r.getSeq[String](8) == Seq("a", "b", "c"), "literal (non-regex) delimiter")
+    assert(r.getSeq[Int](9) == Seq(3, 2, 1))
+    assert(r.getSeq[Int](10) == Seq(1, 2, 3))
+  }
+
+  test("gcd/lcm/iszero/get_field") {
+    val r = spark.sql(
+      """SELECT gcd(12, 18), lcm(4, 6), gcd(-12, 18), gcd(0, 5), lcm(0, 5),
+        |       iszero(0.0), iszero(1.5),
+        |       get_field(named_struct('a', 7, 'b', 'x'), 'a')""".stripMargin).collect()(0)
+    assert(r.getLong(0) == 6L && r.getLong(1) == 12L)
+    assert(r.getLong(2) == 6L, "gcd on absolute values")
+    assert(r.getLong(3) == 5L && r.getLong(4) == 0L)
+    assert(r.getBoolean(5) && !r.getBoolean(6))
+    assert(r.getInt(7) == 7)
+  }
+
   test("GraftExtensions injects aliases but NOT the semantic overrides") {
     // getOrCreate would hand back the compat-registered session above —
     // drop it so a FRESH session (with extensions applied) is built
