@@ -213,15 +213,28 @@ object Aggregates {
 
     QueryDef(
       "q_approx_distinct",
-      // HLL sketch — the at-scale distinct-count path; sketch values differ
-      // across engines, so this is a rows-only check (no oracle).
+      // HLL sketch — the at-scale distinct-count path. Sketch estimates
+      // differ across engines, so the query emits the exact NDV plus an
+      // in-query boolean asserting the sketch landed within its 5% bound
+      // (HLL++ default rsd is 5%) — making the row hash-checkable against
+      // DuckDB while still executing the sketch aggregate.
       (s, dir) => {
         t(s, dir, "lineitem")
           .groupBy(col("l_returnflag"))
-          .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+          .agg(
+            countDistinct(col("l_partkey")).as("exact_parts"),
+            approx_count_distinct(col("l_partkey")).as("approx"))
+          .select(
+            col("l_returnflag"),
+            col("exact_parts"),
+            (abs(col("approx") - col("exact_parts")) <=
+              col("exact_parts") * 0.05).as("approx_within_5pct"))
           .orderBy(col("l_returnflag"))
       },
-      None,
+      Some("""SELECT l_returnflag,
+             |  COUNT(DISTINCT l_partkey) AS exact_parts,
+             |  TRUE AS approx_within_5pct
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
     ),
   )
 }

@@ -246,14 +246,28 @@ object Functions {
     QueryDef(
       "q_approx_percentile",
       // Sketch-based percentile (the 100 TB path — bounded memory, one
-      // pass); sketch values differ across engines, so rows-only.
+      // pass). Sketch values differ across engines, so the query emits the
+      // exact interpolated median plus an in-query boolean asserting the
+      // sketch landed within 5% of it (accuracy 1000 ⇒ rank error ≤ 0.1%,
+      // far inside that) — hash-checkable against DuckDB while still
+      // executing the sketch aggregate.
       (s, dir) => {
         t(s, dir, "lineitem")
           .groupBy(col("l_returnflag"))
-          .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"))
+          .agg(
+            round(expr("percentile(l_extendedprice, 0.5)"), 4).as("exact_median"),
+            percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("am"))
+          .select(
+            col("l_returnflag"),
+            col("exact_median"),
+            (abs(col("am") - col("exact_median")) <=
+              col("exact_median") * 0.05).as("approx_within_5pct"))
           .orderBy(col("l_returnflag"))
       },
-      None,
+      Some("""SELECT l_returnflag,
+             |  ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS exact_median,
+             |  TRUE AS approx_within_5pct
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
     ),
 
     QueryDef(

@@ -20,21 +20,50 @@ object MultimodalQueries {
     QueryDef(
       "q_multimodal_features",
       // payload+metadata shaping → per-partition stub decode → 16-bin
-      // feature vector; flattened lead features for inspection.
+      // feature vector. The histogram is deterministic integer math, so
+      // the features are hash-checkable: un-normalize back to integer bin
+      // counts (f·len recovers the count exactly — float rel. error ~1e-7
+      // is < 0.5 for any KB-scale payload) and replicate the byte→nibble
+      // binning in DuckDB over hex(payload) pairs. Bin b of the 16-bin
+      // histogram = bytes whose high nibble is b.
       (s, dir) => {
         val mm = Multimodal.asMultimodal(docs(s, dir))
+        val plen = length(col("payload"))
+        def binCount(bin: Int) =
+          round(element_at(col("features"), bin + 1) * plen).cast("long").as(s"c$bin")
         Multimodal.decodeFeatures(mm)
           .select(
             col("doc_id"),
             col("meta.format").as("format"),
             col("meta.n_bytes").as("n_bytes"),
-            round(element_at(col("features"), 1).cast("double"), 6).as("f0"),
-            round(element_at(col("features"), 2).cast("double"), 6).as("f1"),
-            round(element_at(col("features"), 5).cast("double"), 6).as("f4"),
+            plen.as("payload_bytes"),
+            binCount(2), binCount(3), binCount(6), binCount(7),
             size(col("features")).as("n_features"))
           .orderBy(col("doc_id"))
       },
-      None,
+      Some("""WITH b AS (
+             |  SELECT doc_id, text, hex(encode(text)) AS hx,
+             |         octet_length(encode(text)) AS n
+             |  FROM documents),
+             |nib AS (
+             |  SELECT doc_id, substr(hx, CAST(2*i+1 AS INT), 1) AS c
+             |  FROM b, LATERAL unnest(range(n)) AS t(i)),
+             |cnt AS (
+             |  SELECT doc_id,
+             |    SUM(CASE WHEN c='2' THEN 1 ELSE 0 END) AS c2,
+             |    SUM(CASE WHEN c='3' THEN 1 ELSE 0 END) AS c3,
+             |    SUM(CASE WHEN c='6' THEN 1 ELSE 0 END) AS c6,
+             |    SUM(CASE WHEN c='7' THEN 1 ELSE 0 END) AS c7
+             |  FROM nib GROUP BY doc_id)
+             |SELECT b.doc_id, 'utf8-blob' AS format,
+             |  CAST(length(b.text) AS INT) AS n_bytes,
+             |  CAST(b.n AS INT) AS payload_bytes,
+             |  CAST(COALESCE(cnt.c2, 0) AS BIGINT) AS c2,
+             |  CAST(COALESCE(cnt.c3, 0) AS BIGINT) AS c3,
+             |  CAST(COALESCE(cnt.c6, 0) AS BIGINT) AS c6,
+             |  CAST(COALESCE(cnt.c7, 0) AS BIGINT) AS c7,
+             |  16 AS n_features
+             |FROM b LEFT JOIN cnt USING (doc_id) ORDER BY doc_id""".stripMargin),
     ),
 
     QueryDef(
