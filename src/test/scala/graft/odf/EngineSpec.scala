@@ -503,6 +503,30 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byCity("kyiv")._1 == 0)                 // no 'a' in kyiv
   }
 
+  test("DataFusion-dialect long tail: to_char/date_part/array fns through the engine") {
+    val dir = tempDir()
+    val res = engine.executeTransform(mkRequest(dir, Seq(SqlQueryStep.output(
+      """select event_time, city,
+        |       to_char(event_time, '%Y-%m-%d (%a)') as stamp,
+        |       cast(date_part('dow', event_time) as int) as dow,
+        |       array_to_string(array_remove(make_array(population, 1, population), population), ',') as arr,
+        |       array_position(make_array(1, 2), 3) as missing,
+        |       gcd(population, 1000) as g
+        |from foo""".stripMargin))))
+    assert(res.isRight, res)
+    val rows = readOutput(dir)
+    assert(rows.length == 3)
+    for (r <- rows) {
+      // 2023-01-01 is a Sunday: chrono %a abbreviation, Postgres 0-based dow
+      assert(r.getAs[String]("stamp") == "2023-01-01 (Sun)")
+      assert(r.getAs[Int]("dow") == 0)
+      assert(r.isNullAt(r.fieldIndex("missing")), "array_position must be NULL on miss")
+      assert(r.getAs[Long]("g") == 1000L)
+    }
+    val arr = rows.map(r => r.getAs[String]("city") -> r.getAs[String]("arr")).toMap
+    assert(arr("vancouver") == "1,675000", "array_remove drops the FIRST occurrence only")
+  }
+
   test("retraction/correction: op pass-through (test_transform.rs:761-818)") {
     val dir = tempDir()
     val schema = StructType(Seq(
