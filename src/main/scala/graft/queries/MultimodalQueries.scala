@@ -69,17 +69,35 @@ object MultimodalQueries {
     QueryDef(
       "q_multimodal_transform",
       // Pure-expression byte transforms: frame-sample stride 4, resize to a
-      // fixed 64 bytes; md5 checksums prove determinism end-to-end.
+      // fixed 64 bytes. Checksums are md5 over the UPPERCASE HEX rendering
+      // of the bytes (not the raw bytes) because DuckDB's md5 takes VARCHAR
+      // only — same determinism pin, and now hash-checkable: the oracle
+      // rebuilds the sampled/resized byte streams from hex(payload) pairs.
       (s, dir) => {
         val mm = Multimodal.asMultimodal(docs(s, dir))
+        val frames = Multimodal.frameSample(col("payload"), 4)
         mm.select(
             col("doc_id"),
             length(col("payload")).as("payload_len"),
-            size(Multimodal.frameSample(col("payload"), 4)).as("n_frames"),
-            md5(Multimodal.resize(col("payload"), 64)).as("resized_md5"))
+            size(frames).as("n_frames"),
+            md5(concat_ws("", transform(frames, b => hex(b))).cast("binary")).as("frames_md5"),
+            md5(hex(Multimodal.resize(col("payload"), 64)).cast("binary")).as("resized_md5"))
           .orderBy(col("doc_id"))
       },
-      None,
+      Some("""WITH b AS (
+             |  SELECT doc_id, hex(encode(text)) AS hx,
+             |         octet_length(encode(text)) AS n
+             |  FROM documents),
+             |f AS (
+             |  SELECT doc_id, string_agg(substr(hx, CAST(8*i+1 AS INT), 2), '' ORDER BY i) AS fs
+             |  FROM b, LATERAL unnest(range(GREATEST(CAST(ceil(n / 4.0) AS INT), 1))) AS t(i)
+             |  GROUP BY doc_id)
+             |SELECT b.doc_id,
+             |  CAST(b.n AS INT) AS payload_len,
+             |  CAST(GREATEST(CAST(ceil(b.n / 4.0) AS INT), 1) AS INT) AS n_frames,
+             |  md5(COALESCE(f.fs, '')) AS frames_md5,
+             |  md5(substr(b.hx || repeat('00', 64), 1, 128)) AS resized_md5
+             |FROM b LEFT JOIN f USING (doc_id) ORDER BY doc_id""".stripMargin),
     ),
   )
 }
