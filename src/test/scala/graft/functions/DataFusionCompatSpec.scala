@@ -243,10 +243,19 @@ class DataFusionCompatSpec extends AnyFunSuite with BeforeAndAfterAll {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     try {
-      val r = host.sql("SELECT starts_with('ab', 'a'), log(100)").collect()(0)
+      val r = host.sql(
+        """SELECT starts_with('ab', 'a'), log(100),
+          |       array_position(array(1, 2), 9),
+          |       array_remove(array(1, 2, 1), 1),
+          |       gcd(12, 18)""".stripMargin).collect()(0)
       assert(r.getBoolean(0), "alias must resolve through extensions")
       assert(math.abs(r.getDouble(1) - math.log(100)) < 1e-12,
         "host session log must stay Spark-native (ln), not DataFusion log10")
+      assert(r.getLong(2) == 0L,
+        "host array_position must stay Spark-native (0 on miss, not NULL)")
+      assert(r.getSeq[Int](3) == Seq(2),
+        "host array_remove must stay Spark-native (removes ALL occurrences)")
+      assert(r.getLong(4) == 6L, "non-colliding long-tail names DO inject (gcd)")
     } finally host.stop()
   }
 }
