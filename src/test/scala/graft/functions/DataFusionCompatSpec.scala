@@ -113,6 +113,17 @@ class DataFusionCompatSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("unsupported Arrow type"))
   }
 
+  test("array_agg / unnest / to_local_time (absent from Spark 4's registry)") {
+    spark.range(1, 4).createOrReplaceTempView("dfc_u")
+    val agg = spark.sql("SELECT array_sort(array_agg(id)) FROM dfc_u").collect()(0)
+    assert(agg.getSeq[Long](0) == Seq(1L, 2L, 3L))
+    val un = spark.sql("SELECT unnest(make_array(10, 20, 30)) AS v").collect()
+    assert(un.map(_.getInt(0)).toSeq == Seq(10, 20, 30), "unnest flattens to rows")
+    val lt = spark.sql("SELECT to_local_time(TIMESTAMP '2024-03-15 14:30:00')")
+    assert(lt.schema.head.dataType.typeName == "timestamp_ntz")
+    assert(lt.collect()(0).get(0).toString == "2024-03-15T14:30")
+  }
+
   test("aggregate aliases: approx_distinct, approx_median, approx_percentile_cont") {
     spark.range(1, 101).createOrReplaceTempView("dfc_n")
     val r = spark.sql(
