@@ -598,11 +598,9 @@ object DataFusionCompat {
     "approx_distinct" -> (args => new HyperLogLogPlusPlus(args.head)),
     "approx_median" -> (args => new ApproximatePercentile(args.head, Literal(0.5))),
     "approx_percentile_cont" -> (args => new ApproximatePercentile(args(0), args(1))),
-    // Spark 4 has string_agg/median/mode/bool_and/bit_and/regr_* natively
-    // (jar-probe verified); these three are genuinely absent from its
-    // registry. array_agg maps to CollectList like Spark's own alias in
-    // other builds (nulls dropped — a documented delta vs Postgres).
-    "array_agg" -> (args => aggregate.CollectList(args.head)),
+    // Spark 4 natively registers array_agg/string_agg/listagg/median/mode/
+    // bool_and/bit_and/regr_* (runtime-probe verified); these two are
+    // genuinely absent from its registry.
     "unnest" -> (args => Explode(args.head)),
     "to_local_time" -> (args => Cast(args.head, TimestampNTZType)),
   )

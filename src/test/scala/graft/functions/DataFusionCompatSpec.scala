@@ -113,8 +113,9 @@ class DataFusionCompatSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("unsupported Arrow type"))
   }
 
-  test("array_agg / unnest / to_local_time (absent from Spark 4's registry)") {
+  test("unnest / to_local_time (absent from Spark 4's registry); array_agg is native") {
     spark.range(1, 4).createOrReplaceTempView("dfc_u")
+    // array_agg needs no compat entry — Spark 4 registers it natively
     val agg = spark.sql("SELECT array_sort(array_agg(id)) FROM dfc_u").collect()(0)
     assert(agg.getSeq[Long](0) == Seq(1L, 2L, 3L))
     val un = spark.sql("SELECT unnest(make_array(10, 20, 30)) AS v").collect()
