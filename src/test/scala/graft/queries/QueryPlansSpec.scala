@@ -82,4 +82,20 @@ class QueryPlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("Union"), p.take(2000))
     assert(p.contains("LeftAnti"), p.take(2000))
   }
+
+  test("q_curation_pipeline: exactly two shuffles end-to-end (SCALE.md claim)") {
+    // lang filter → percentile gate → exact dedup → hash split → rollup as
+    // ONE plan: the only exchanges allowed are the dedup hash-aggregate and
+    // the final small rollup. The percentile bounds must arrive by broadcast
+    // (single row), never via a shuffled join.
+    val p = plan("q_curation_pipeline")
+    val hashShuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashShuffles == 2, s"expected 2 data shuffles (dedup agg + rollup), got $hashShuffles:\n" + p.take(3000))
+    // the only other exchange allowed is the presentation ORDER BY on the
+    // ~9-row rollup output (range partitioning of a trivial row count)
+    assert("Exchange rangepartitioning".r.findAllIn(p).size <= 1, p.take(3000))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "percentile bounds must broadcast:\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
 }
