@@ -623,8 +623,12 @@ object DataFusionCompat {
     "to_date" -> (args => toDateCompat(args)),
     "to_timestamp" -> (args => toTimestampCompat(args)),
     // superset of Spark's date_part: adds epoch/millisecond/microsecond/
-    // nanosecond units (kept out of host sessions on principle)
+    // nanosecond units (kept out of host sessions on principle). The
+    // EXTRACT(f FROM s) syntax resolves through the registry's "extract"
+    // entry with the same (field, source) argument order, so the override
+    // extends that syntax too.
     "date_part" -> (args => datePartCompat(args)),
+    "extract" -> (args => datePartCompat(args)),
     // Spark builtins with conflicting semantics (see builders comment):
     // argument order is (element, array) in DataFusion
     "array_prepend" -> (args => Concat(Seq(CreateArray(Seq(args(0))), args(1)))),

@@ -171,6 +171,11 @@ class DataFusionCompatSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getDouble(3) == 30250.0, "millisecond is seconds-within-minute * 1000")
     assert(r.getDouble(4) == 30250000.0)
     assert(r.getInt(5) == 2024)
+    // EXTRACT syntax rides the registry's "extract" entry → same units work
+    val ex = spark.sql(
+      "SELECT extract(EPOCH FROM TIMESTAMP '2024-01-02 00:00:00'), extract(YEAR FROM DATE '2024-03-17')").collect()(0)
+    assert(ex.getDouble(0) == 1704153600.0)
+    assert(ex.getInt(1) == 2024)
   }
 
   test("array long tail: append/prepend/position/remove/replace/slice/pop/resize") {
