@@ -274,7 +274,11 @@ object DataFusionCompat {
             case 'S' => dir("ss")
             case 'f' => dir("SSSSSSSSS")
             case 'q' => dir("Q")
-            case 'G' => dir("YYYY")
+            case 'G' =>
+              // ISO week-year: Spark 3+ rejects week-based pattern letters
+              // (Y/w/W) at runtime, so there is no working translation.
+              throw new IllegalArgumentException(
+                "chrono format: unsupported directive '%G'")
             case 'D' => dir("MM/dd/yy")
             case 'F' => dir("yyyy-MM-dd")
             case 'T' => dir("HH:mm:ss")
@@ -415,8 +419,19 @@ object DataFusionCompat {
     * element and never twice, so removing `stop` from the inclusive
     * sequence yields the exclusive range for either step sign. */
   private def rangeCompat(args: Seq[Expression]): Expression = args.size match {
-    case 1 => ArrayRemove(new Sequence(Literal(0L), Cast(args(0), LongType)), Cast(args(0), LongType))
-    case 2 => ArrayRemove(new Sequence(args(0), args(1)), args(1))
+    // Without an explicit step, DataFusion/Postgres return EMPTY when
+    // start > stop; Spark's Sequence would auto-select step -1 and count
+    // down. Sequence(x, x) minus x is an empty array of the right type.
+    case 1 =>
+      val stop = Cast(args(0), LongType)
+      val zero = Literal(0L)
+      If(GreaterThan(zero, stop),
+        ArrayRemove(new Sequence(zero, zero), zero),
+        ArrayRemove(new Sequence(zero, stop), stop))
+    case 2 =>
+      If(GreaterThan(args(0), args(1)),
+        ArrayRemove(new Sequence(args(0), args(0)), args(0)),
+        ArrayRemove(new Sequence(args(0), args(1)), args(1)))
     case _ => ArrayRemove(new Sequence(args(0), args(1), args(2)), args(1))
   }
 
@@ -425,11 +440,22 @@ object DataFusionCompat {
     case _ => new Sequence(args(0), args(1), args(2))
   }
 
-  /** `string_to_array(str, delim)`: split on a LITERAL delimiter (Postgres
-    * lineage) — Spark's split takes a regex, so quote it at build time. */
+  /** `string_to_array(str, delim[, null_string])`: split on a LITERAL
+    * delimiter (Postgres lineage) — Spark's split takes a regex, so quote it
+    * at build time. The 3-arg form maps elements equal to `null_string` to
+    * NULL; a NULL `null_string` means no replacement (Postgres), which falls
+    * out of EqualTo's null semantics below. */
   private def stringToArray(args: Seq[Expression]): Expression = {
+    require(args.size == 2 || args.size == 3,
+      s"string_to_array expects 2 or 3 arguments, got ${args.size}")
     val quoted = java.util.regex.Pattern.quote(litString(args(1), "string_to_array"))
-    new StringSplit(args(0), Literal(UTF8String.fromString(quoted), StringType))
+    val split = new StringSplit(args(0), Literal(UTF8String.fromString(quoted), StringType))
+    if (args.size == 2) split
+    else {
+      val x = UnresolvedNamedLambdaVariable(Seq("s2a_elem"))
+      ArrayTransform(split,
+        LambdaFunction(If(EqualTo(x, args(2)), Literal(null, StringType), x), Seq(x)))
+    }
   }
 
   /** `array_ndims` — nesting depth from the (resolved) child type; foldable,
@@ -488,9 +514,10 @@ object DataFusionCompat {
   }
 
   private[graft] def builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    // NOT "to_timestamp": Spark's builtin already has DataFusion's
-    // semantics (strings parse, numerics are epoch seconds) plus the
-    // 2-arg format form an override would break
+    // NOT "to_timestamp" here: for non-chrono calls Spark's builtin already
+    // has DataFusion's semantics (strings parse, numerics are epoch
+    // seconds); the chrono-format '%' dispatch lives in dialectOverrides
+    // ("to_timestamp" -> toTimestampCompat) so only ODF sessions see it
     "date_bin" -> (args => dateBin(args)),
     "to_timestamp_seconds" -> (args => toTs(args, SecondsToTimestamp)),
     "to_timestamp_millis" -> (args => toTs(args, MillisToTimestamp)),

@@ -215,9 +215,11 @@ object Aggregates {
       "q_approx_distinct",
       // HLL sketch — the at-scale distinct-count path. Sketch estimates
       // differ across engines, so the query emits the exact NDV plus an
-      // in-query boolean asserting the sketch landed within its 5% bound
-      // (HLL++ default rsd is 5%) — making the row hash-checkable against
-      // DuckDB while still executing the sketch aggregate.
+      // in-query boolean asserting the sketch landed within 5% of exact.
+      // NOTE: HLL++'s 5% rsd is one standard deviation, not a hard bound —
+      // the oracle's hardcoded TRUE is data-dependent, verified to hold on
+      // the driver's sf0.001–0.1 corpora (deterministic sketch, fixed data);
+      // a different corpus could legitimately land outside one sigma.
       (s, dir) => {
         t(s, dir, "lineitem")
           .groupBy(col("l_returnflag"))

@@ -248,9 +248,12 @@ object Functions {
       // Sketch-based percentile (the 100 TB path — bounded memory, one
       // pass). Sketch values differ across engines, so the query emits the
       // exact interpolated median plus an in-query boolean asserting the
-      // sketch landed within 5% of it (accuracy 1000 ⇒ rank error ≤ 0.1%,
-      // far inside that) — hash-checkable against DuckDB while still
-      // executing the sketch aggregate.
+      // sketch landed within 5% of it — hash-checkable against DuckDB while
+      // still executing the sketch aggregate. NOTE: accuracy 1000 bounds
+      // RANK error (≤0.1%), not value-space error; 0.1% of rank maps to
+      // ≤5% of value only for distributions without extreme local density
+      // gaps. The oracle's hardcoded TRUE is data-dependent, verified on
+      // the driver's sf0.001–0.1 corpora (deterministic sketch, fixed data).
       (s, dir) => {
         t(s, dir, "lineitem")
           .groupBy(col("l_returnflag"))

@@ -155,6 +155,12 @@ class DataFusionCompatSpec extends AnyFunSuite with BeforeAndAfterAll {
     val e = intercept[Exception](
       spark.sql("SELECT to_char(DATE '2024-01-01', '%V')").collect())
     assert(e.getMessage.contains("unsupported directive"))
+    // %G (ISO week-year) has no working Spark translation — Spark 3+
+    // rejects week-based pattern letters at runtime, so it must fail at
+    // translation time like the other week-based directives
+    val g = intercept[Exception](
+      spark.sql("SELECT to_char(DATE '2024-01-01', '%G')").collect())
+    assert(g.getMessage.contains("unsupported directive"))
   }
 
   test("date_part covers DataFusion's extended unit list") {
@@ -231,6 +237,29 @@ class DataFusionCompatSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getSeq[String](8) == Seq("a", "b", "c"), "literal (non-regex) delimiter")
     assert(r.getSeq[Int](9) == Seq(3, 2, 1))
     assert(r.getSeq[Int](10) == Seq(1, 2, 3))
+  }
+
+  test("range: empty on descending default-step (Postgres/DataFusion, not Spark countdown)") {
+    val r = spark.sql(
+      """SELECT range(5, 1), range(-3), range(1, 1), range(0),
+        |       range(5, 1, -2)""".stripMargin).collect()(0)
+    assert(r.getSeq[Int](0).isEmpty, "range(5,1) is empty, not 5..2 descending")
+    assert(r.getSeq[Long](1).isEmpty, "range(-3) is empty, not 0..-2 descending")
+    assert(r.getSeq[Int](2).isEmpty)
+    assert(r.getSeq[Long](3).isEmpty)
+    assert(r.getSeq[Int](4) == Seq(5, 3), "explicit negative step still counts down")
+  }
+
+  test("string_to_array: 3-arg null_string form; >3 args rejected") {
+    val r = spark.sql(
+      """SELECT string_to_array('a,NULL,c', ',', 'NULL'),
+        |       string_to_array('a,b', ',', NULL)""".stripMargin).collect()(0)
+    val withNull = r.getSeq[String](0)
+    assert(withNull == Seq("a", null, "c"), "elements equal to null_string become NULL")
+    assert(r.getSeq[String](1) == Seq("a", "b"), "NULL null_string means no replacement")
+    val e = intercept[Exception](
+      spark.sql("SELECT string_to_array('a', ',', 'x', 'y')").collect())
+    assert(e.getMessage.contains("string_to_array"))
   }
 
   test("gcd/lcm/iszero/get_field") {
