@@ -3,9 +3,11 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, UnaryExpression, XxHash64Function}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the dedup signature computations.
   *
@@ -18,9 +20,16 @@ import org.apache.spark.sql.types._
   * HOF versions (same xxhash64 seed 42, same derivation), so results are
   * unchanged — only faster.
   *
-  * CodegenFallback is deliberate: the per-row work is one compiled method
-  * call on a primitive loop; splicing it into whole-stage codegen would gain
-  * little next to the O(tokens·bits) loop body itself.
+  * Every expression here does real `doGenCode`: a typed `compute` method on
+  * the expression holds the primitive loop, and the generated code calls it
+  * through `ctx.addReferenceObj` on unboxed child values (the same mechanism
+  * Spark's injected runtime filters use). The interpreted `nullSafeEval`
+  * path calls the identical method, so both paths are one shared body. This
+  * keeps the signature/bucketing map stages — the dominant scan cost of
+  * every dedup/ANN query at 100 TB — inside whole-stage codegen: children
+  * pipeline their values in registers instead of materializing an
+  * `InternalRow` for a `CodegenFallback` eval, and there is no per-row
+  * boxing of inputs.
   */
 object NativeHashes {
 
@@ -38,13 +47,14 @@ object NativeHashes {
   /** 64-bit SimHash over a token array as 4 × 16-bit chunks
     * (semantics of [[graft.operators.Dedup.simhashChunks]]). */
   case class SimHashChunks(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
 
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def checkInputDataTypes(): TypeCheckResult = requireStringArray(child, "simhash_chunks")
 
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
+    override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+    def compute(arr: ArrayData): ArrayData = {
       val counters = new Array[Int](64)
       val n = arr.numElements()
       var i = 0
@@ -72,6 +82,11 @@ object NativeHashes {
       new GenericArrayData(chunks)
     }
 
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("simhash", this, classOf[SimHashChunks].getName)
+      defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+    }
+
     override protected def withNewChildInternal(newChild: Expression): SimHashChunks =
       copy(child = newChild)
   }
@@ -80,21 +95,22 @@ object NativeHashes {
     * permutations (semantics of [[graft.operators.Dedup.minhashSignature]],
     * identical a_i/b_i derivation). */
   case class MinHashSignature(child: Expression, numHashes: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
 
     private val P = 2147483647L // 2^31 - 1
 
     // a_i ∈ [1, P-1], b_i ∈ [0, P) — same derivation as the HOF version
-    private lazy val as: Array[Long] =
-      Array.tabulate(numHashes)(i => pmod(xxh(org.apache.spark.unsafe.types.UTF8String.fromString(s"mh-a-$i")), P - 1) + 1L)
-    private lazy val bs: Array[Long] =
-      Array.tabulate(numHashes)(i => pmod(xxh(org.apache.spark.unsafe.types.UTF8String.fromString(s"mh-b-$i")), P))
+    @transient private lazy val as: Array[Long] =
+      Array.tabulate(numHashes)(i => pmod(xxh(UTF8String.fromString(s"mh-a-$i")), P - 1) + 1L)
+    @transient private lazy val bs: Array[Long] =
+      Array.tabulate(numHashes)(i => pmod(xxh(UTF8String.fromString(s"mh-b-$i")), P))
 
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def checkInputDataTypes(): TypeCheckResult = requireStringArray(child, "minhash_signature")
 
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
+    override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+    def compute(arr: ArrayData): ArrayData = {
       val n = arr.numElements()
       val xs = new Array[Long](n)
       var i = 0
@@ -116,6 +132,11 @@ object NativeHashes {
       new GenericArrayData(sig)
     }
 
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("minhash", this, classOf[MinHashSignature].getName)
+      defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+    }
+
     override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
       copy(child = newChild)
   }
@@ -127,7 +148,7 @@ object NativeHashes {
     * costs ~2 ms/doc interpreted; this is a single pass). Texts shorter
     * than n tokens yield one shingle of all tokens. */
   case class WordShingles(child: Expression, n: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
 
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -136,14 +157,15 @@ object NativeHashes {
         s"word_shingles expects string, got ${other.simpleString}")
     }
 
-    override def nullSafeEval(input: Any): Any = {
+    override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+
+    def compute(input: UTF8String): ArrayData = {
       // trim() trims ASCII spaces only — same as Spark's `trim` function,
       // keeping the output byte-identical to the composable version
-      val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
-        .toLowerCase.trim().toString
+      val text = input.toLowerCase.trim().toString
       val tokens = text.split("\\s+", -1)
       val count = math.max(tokens.length - (n - 1), 1)
-      val out = new Array[org.apache.spark.unsafe.types.UTF8String](count)
+      val out = new Array[UTF8String](count)
       val sb = new java.lang.StringBuilder(64)
       var i = 0
       while (i < count) {
@@ -155,10 +177,15 @@ object NativeHashes {
           sb.append(tokens(j))
           j += 1
         }
-        out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+        out(i) = UTF8String.fromString(sb.toString)
         i += 1
       }
       new GenericArrayData(out.asInstanceOf[Array[Any]])
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("shingles", this, classOf[WordShingles].getName)
+      defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
     }
 
     override protected def withNewChildInternal(newChild: Expression): WordShingles =
@@ -170,7 +197,7 @@ object NativeHashes {
     * rule. The same window-shiftable hash family used for content-defined
     * chunking; exposed directly as a whole-document fingerprint. */
   case class RabinFingerprint(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
 
     private val B = 1000003L
     private val P = 2147483647L // 2^31 - 1
@@ -182,8 +209,10 @@ object NativeHashes {
         s"rabin_fingerprint expects string, got ${other.simpleString}")
     }
 
-    override def nullSafeEval(input: Any): Any = {
-      val bytes = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+
+    def compute(input: UTF8String): Long = {
+      val bytes = input.getBytes
       var h = 0L
       var i = 0
       while (i < bytes.length) {
@@ -191,6 +220,11 @@ object NativeHashes {
         i += 1
       }
       h
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("rabin", this, classOf[RabinFingerprint].getName)
+      defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
     }
 
     override protected def withNewChildInternal(newChild: Expression): RabinFingerprint =
@@ -207,7 +241,7 @@ object NativeHashes {
     * a zero vector has undefined cosine and yields NULL (not NaN — NaN
     * compares unequal to itself and poisons downstream filters). */
   case class CosineSimilarity(left: Expression, right: Expression)
-      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 
     override def dataType: DataType = DoubleType
     override def nullable: Boolean = true
@@ -217,9 +251,12 @@ object NativeHashes {
         s"cosine_similarity expects (array<float>, array<float>), got $other")
     }
 
-    override def nullSafeEval(a: Any, b: Any): Any = {
-      val x = a.asInstanceOf[ArrayData]
-      val y = b.asInstanceOf[ArrayData]
+    override def nullSafeEval(a: Any, b: Any): Any =
+      computeOrNull(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+    /** Boxed return — null encodes the undefined zero-vector cosine for both
+      * the interpreted and the generated path. */
+    def computeOrNull(x: ArrayData, y: ArrayData): java.lang.Double = {
       val n = x.numElements()
       if (y.numElements() != n)
         throw new IllegalArgumentException(
@@ -233,7 +270,15 @@ object NativeHashes {
         i += 1
       }
       if (nx == 0.0 || ny == 0.0) null
-      else dot / (math.sqrt(nx) * math.sqrt(ny))
+      else java.lang.Double.valueOf(dot / (math.sqrt(nx) * math.sqrt(ny)))
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("cosSim", this, classOf[CosineSimilarity].getName)
+      val boxed = ctx.freshName("cosBoxed")
+      nullSafeCodeGen(ctx, ev, (x, y) => s"""
+        java.lang.Double $boxed = $ref.computeOrNull($x, $y);
+        if ($boxed == null) { ${ev.isNull} = true; } else { ${ev.value} = $boxed.doubleValue(); }""")
     }
 
     override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSimilarity =
@@ -242,7 +287,7 @@ object NativeHashes {
 
   /** L2 norm of a float vector, accumulated in double in index order. */
   case class L2Norm(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
 
     override def dataType: DataType = DoubleType
     override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -251,8 +296,9 @@ object NativeHashes {
         s"l2_norm expects array<float>, got ${other.simpleString}")
     }
 
-    override def nullSafeEval(input: Any): Any = {
-      val x = input.asInstanceOf[ArrayData]
+    override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+    def compute(x: ArrayData): Double = {
       var acc = 0.0
       var i = 0
       while (i < x.numElements()) {
@@ -261,6 +307,11 @@ object NativeHashes {
         i += 1
       }
       math.sqrt(acc)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("l2norm", this, classOf[L2Norm].getName)
+      defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
     }
 
     override protected def withNewChildInternal(newChild: Expression): L2Norm =
@@ -273,7 +324,7 @@ object NativeHashes {
     * Zero vectors quantize to zeros. The storage-shrink op of an embedding
     * pipeline — 4× smaller at ~0.4% max error. */
   case class QuantizeInt8(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
 
     override def dataType: DataType = ArrayType(ByteType, containsNull = false)
     override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -282,8 +333,9 @@ object NativeHashes {
         s"quantize_int8 expects array<float>, got ${other.simpleString}")
     }
 
-    override def nullSafeEval(input: Any): Any = {
-      val x = input.asInstanceOf[ArrayData]
+    override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+    def compute(x: ArrayData): ArrayData = {
       val n = x.numElements()
       var maxAbs = 0.0
       var i = 0
@@ -301,6 +353,11 @@ object NativeHashes {
         i += 1
       }
       new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("quantize", this, classOf[QuantizeInt8].getName)
+      defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
     }
 
     override protected def withNewChildInternal(newChild: Expression): QuantizeInt8 =
@@ -372,7 +429,7 @@ object NativeHashes {
     * A dims mismatch throws (a config bug should fail loudly; the HOF
     * version silently produced bucket 0). A NULL vector yields NULL. */
   case class HyperplaneSignature(child: Expression, dims: Int, bits: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
 
     require(bits >= 1 && bits <= 30, s"hyperplane_bucket: bits must be in [1,30], got $bits")
 
@@ -401,8 +458,9 @@ object NativeHashes {
         s"hyperplane_bucket expects array<float>, got ${other.simpleString}")
     }
 
-    override def nullSafeEval(input: Any): Any = {
-      val x = input.asInstanceOf[ArrayData]
+    override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+    def compute(x: ArrayData): Int = {
       if (x.numElements() != dims)
         throw new IllegalArgumentException(
           s"hyperplane_bucket: expected $dims dims, got ${x.numElements()}")
@@ -422,6 +480,11 @@ object NativeHashes {
       bucket
     }
 
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("hyperplane", this, classOf[HyperplaneSignature].getName)
+      defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+    }
+
     override protected def withNewChildInternal(newChild: Expression): HyperplaneSignature =
       copy(child = newChild)
   }
@@ -439,7 +502,7 @@ object NativeHashes {
     * version returned the last cell id — a meaningless label for a null
     * embedding). */
   case class NearestCells(vec: Expression, centroidsExpr: Expression, n: Int)
-      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 
     require(n >= 1, s"nearest_cells: n must be >= 1, got $n")
 
@@ -460,8 +523,9 @@ object NativeHashes {
       Array.tabulate(arr.numElements())(c => arr.getArray(c).toFloatArray())
     }
 
-    override def nullSafeEval(v: Any, ignored: Any): Any = {
-      val x = v.asInstanceOf[ArrayData]
+    override def nullSafeEval(v: Any, ignored: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+    def compute(x: ArrayData): ArrayData = {
       val dims = x.numElements()
       val k = centroids.length
       // cosine per cell, double accumulation in index order (identical math
@@ -505,6 +569,29 @@ object NativeHashes {
         s += 1
       }
       new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val arrayCls = classOf[ArrayData].getName
+      // centroidsExpr is foldable (checkInputDataTypes), so its null check
+      // folds at codegen time instead of re-evaluating a k×dims array
+      // literal per row; a null centroid literal makes the whole expression
+      // null (BinaryExpression.eval semantics)
+      if (centroidsExpr.eval(null) == null) {
+        ev.copy(code = code"""
+          boolean ${ev.isNull} = true;
+          $arrayCls ${ev.value} = null;""")
+      } else {
+        val ref = ctx.addReferenceObj("nearestCells", this, classOf[NearestCells].getName)
+        val v = vec.genCode(ctx)
+        ev.copy(code = code"""
+          ${v.code}
+          boolean ${ev.isNull} = ${v.isNull};
+          $arrayCls ${ev.value} = null;
+          if (!${ev.isNull}) {
+            ${ev.value} = $ref.compute(${v.value});
+          }""")
+      }
     }
 
     override protected def withNewChildrenInternal(
