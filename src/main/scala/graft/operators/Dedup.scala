@@ -197,9 +197,88 @@ object Dedup {
     labels
   }
 
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond") — O(log n) rounds regardless of component DIAMETER, where
+    * [[connectedComponentsMin]] needs one round per hop.
+    *
+    * Choosing between the two (the heuristic [[removeDuplicates]] applies):
+    *   - near-dup clusters from LSH/shingle/embedding candidates are dense
+    *     and shallow (diameter ~2-3): min-label propagation converges in as
+    *     many rounds and does less work per round (one join vs. two grouped
+    *     passes + a distinct) — it is the default;
+    *   - graphs with unknown or potentially long chains (transitive link
+    *     graphs, follow-on merges of merge results) hit min-label's
+    *     O(diameter) adversarially — a 1000-hop chain is 1000 rounds; star
+    *     contraction folds it in O(log n) (OperatorsSpec pins ≤ 12 rounds
+    *     for a 1000-node chain).
+    *
+    * Each round: large-star hangs every strictly-larger neighbor of a node
+    * onto its minimum neighbor, small-star re-hangs the smaller ones; both
+    * are groupBy-join passes shuffling on node id. Convergence = the
+    * (count, sum-of-targets) pair of the edge multiset is unchanged — edge
+    * targets only ever decrease, so an unchanged sum means an unchanged
+    * set (the same criterion production CC-on-Spark implementations use).
+    * Throws if `maxIter` rounds pass without convergence, like
+    * [[connectedComponentsMin]]. */
+  def connectedComponentsStar(ids: DataFrame, pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    var edges = pairs
+      .select(col("id1").cast("long").as("u"), col("id2").cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    var converged = edges.isEmpty
+    var prev: (Long, java.math.BigDecimal) = null
+    var i = 0
+    while (!converged && i < maxIter) {
+      // large-star: for each node, every strictly-larger neighbor re-hangs
+      // onto m = min(neighbors ∪ {self})
+      val nbrs = edges.select(col("u"), col("v"))
+        .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = nbrs.groupBy(col("u")).agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      val large = nbrs.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+      // small-star: orient large's output big→small, re-hang the smaller
+      // neighbors (and the node itself) onto the minimum
+      val dir = large
+        .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+        .distinct()
+      val smins = dir.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val next = dir.join(smins, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionAll(smins.select(col("u"), col("m").as("v")))
+        .distinct()
+        .localCheckpoint(false) // lazy: the convergence agg materializes it
+      val row = next
+        .agg(count(lit(1)).as("n"), sum(col("v").cast("decimal(38,0)")).as("s")).first()
+      val sig = (row.getLong(0), row.getDecimal(1))
+      converged = sig == prev
+      prev = sig
+      edges = next
+      i += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge within $maxIter rounds")
+    // star state: every edge is (member, component-min); centers and
+    // singletons label themselves
+    ids.select(col("id"))
+      .join(edges.select(col("u").as("id"), col("v").as("crep")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("crep"), col("id")).as("rep"))
+  }
+
   /** The user-facing near-dedup operator: given candidate pairs (from any
     * of the signature schemes), keep one representative per duplicate
-    * cluster — the smallest id — and drop the rest. */
+    * cluster — the smallest id — and drop the rest.
+    *
+    * Uses min-label propagation: near-dup candidate clusters are dense and
+    * shallow, its best case (see [[connectedComponentsStar]] for the
+    * heuristic and the O(log n) alternative for long-chain graphs). */
   def removeDuplicates(df: DataFrame, id: Column, pairs: DataFrame): DataFrame = {
     val reps = connectedComponentsMin(df.select(id.as("id")), pairs)
     df.join(reps.filter(col("id") === col("rep")).select(col("id").as("__keep")),

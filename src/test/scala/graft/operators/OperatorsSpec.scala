@@ -124,6 +124,44 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(keptIds.size < 570 && keptIds.size > 400, s"implausible kept count ${keptIds.size}")
   }
 
+  test("star-contraction CC: 1000-node chain folds in ≤ 12 rounds (min-label needs 999)") {
+    import spark.implicits._
+    val ids = (0L until 1000L).toDF("id")
+    val pairs = (0L until 999L).map(i => (i, i + 1)).toDF("id1", "id2")
+    // maxIter IS the round bound: connectedComponentsStar throws when it
+    // does not reach the fixpoint within it
+    val labels = Dedup.connectedComponentsStar(ids, pairs, maxIter = 12).collect()
+    assert(labels.length == 1000)
+    assert(labels.forall(_.getLong(1) == 0L), "every chain node must label to the minimum")
+  }
+
+  test("star-contraction CC ≡ min-label propagation on seeded random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 120 + trial * 40
+      val ids = (0L until n.toLong).toDF("id")
+      val pairs = Seq.fill(n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2).toDF("id1", "id2")
+      val star = Dedup.connectedComponentsStar(ids, pairs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val minLabel = Dedup.connectedComponentsMin(ids, pairs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(star == minLabel, s"trial $trial: algorithms disagree")
+    }
+  }
+
+  test("star-contraction CC: empty pairs and self-loop-only pairs are all singletons") {
+    import spark.implicits._
+    val ids = (0L until 10L).toDF("id")
+    val empty = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    val selfOnly = Seq((3L, 3L), (7L, 7L)).toDF("id1", "id2")
+    for (pairs <- Seq(empty, selfOnly)) {
+      val labels = Dedup.connectedComponentsStar(ids, pairs).collect()
+      assert(labels.length == 10 && labels.forall(r => r.getLong(0) == r.getLong(1)))
+    }
+  }
+
   test("brute-force ANN: each query's own vector ranks first with cosine 1") {
     val emb = Tables.table(spark, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < 5)
