@@ -161,6 +161,13 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
         val encs = c.getEncodings.asScala.map(_.name).toSet
         assert(encs.exists(e => e.contains("DICTIONARY")), s"$name encodings: $encs")
       }
+      // the reference deliberately disables delta encoding on `offset` for
+      // Flink-reader compatibility (engine.rs:565-567); Spark's v1 writer
+      // honors the same contract — pin it so a writer-version change that
+      // silently flips offset to DELTA_BINARY_PACKED fails here
+      val offsetEncs = cols.find(_.getPath.toDotString == "offset").get
+        .getEncodings.asScala.map(_.name).toSet
+      assert(!offsetEncs.exists(_.contains("DELTA")), s"offset encodings: $offsetEncs")
     } finally reader.close()
   }
 
