@@ -34,14 +34,22 @@ object SimilarityQueries {
     * ANN subtree feeds the boolean, so it executes in full. */
   private def annVsExact(
       ann: DataFrame, exact: DataFrame, minOverlap: Int, flagName: String): DataFrame = {
+    // the exact top-k feeds BOTH output columns; without materialization the
+    // two references re-run the whole brute-force corpus scan (verified in
+    // the physical plan — Spark's exchange reuse does not unify the
+    // shuffle-side and broadcast-side copies). localCheckpoint collapses the
+    // nQueries-row aggregate once; the scan happens exactly one time.
+    val exactAgg = exact.groupBy(col("query_id"))
+      .agg(array_sort(collect_list(col("vec_id"))).as("ids"))
+      .localCheckpoint()
     val overlap = ann.select(col("query_id"), col("vec_id"))
-      .join(exact.select(col("query_id"), col("vec_id")), Seq("query_id", "vec_id"))
+      .join(exactAgg, Seq("query_id"))
+      .filter(array_contains(col("ids"), col("vec_id")))
       .groupBy(col("query_id")).agg(count(lit(1)).as("n_overlap"))
-    exact.groupBy(col("query_id"))
-      .agg(concat_ws(",",
-        transform(array_sort(collect_list(col("vec_id"))), x => x.cast("string"))).as("exact_topk"))
+    exactAgg
       .join(overlap, Seq("query_id"), "left")
-      .select(col("query_id"), col("exact_topk"),
+      .select(col("query_id"),
+        concat_ws(",", transform(col("ids"), x => x.cast("string"))).as("exact_topk"),
         (coalesce(col("n_overlap"), lit(0L)) >= minOverlap).as(flagName))
       .orderBy(col("query_id"))
   }
