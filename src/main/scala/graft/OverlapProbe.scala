@@ -43,6 +43,48 @@ object OverlapProbe {
       val maxSlack = joined.filter(!_.isNullAt(2)).map(r => r.getLong(2) - r.getLong(1)).maxOption.getOrElse(-1L)
       println(s"[probe] $dir hh: heavy=${joined.length} missing=$missing under=$under " +
         s"maxSlack=$maxSlack epsN=${(1e-4 * nTotal).toLong} nTotal=$nTotal")
+
+      // dedup ground truth: does every true-Jaccard ≥ 0.9 pair (planted
+      // corpus, uncapped distinct shingles) appear in the LSH candidate set
+      // and in the simhash hamming ≤ 6 pairs?
+      val d = Tables.table(spark, dir, "documents").select(col("doc_id"), col("text"))
+      val exactCopies = d.filter(col("doc_id") < 100)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      val nearCopies = d.filter(col("doc_id") < 60)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          regexp_replace(col("text"), "\\bthe\\b", "thee").as("text"))
+      val corpus = d.unionAll(exactCopies).unionAll(nearCopies)
+      // inverted-index truth join (linear in postings, like ngramJaccardPairs
+      // but uncapped): J ≥ 0.9 pairs share ≥ 90% of shingles, so every such
+      // pair shares at least one shingle and survives the equi-join
+      val toksG = corpus.select(col("doc_id"),
+        array_distinct(TextOps.shingles(col("text"))).as("shs"))
+      val shG = toksG.select(col("doc_id"), explode(col("shs")).as("sh"))
+      val sizesG = toksG.select(col("doc_id"), size(col("shs")).as("n_sh"))
+      val truth = shG.as("a").join(shG.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .agg(count(lit(1)).as("n_common"))
+        .join(sizesG.select(col("doc_id").as("id1"), col("n_sh").as("n1")), "id1")
+        .join(sizesG.select(col("doc_id").as("id2"), col("n_sh").as("n2")), "id2")
+        .filter(col("n_common").cast("double") /
+          (col("n1") + col("n2") - col("n_common")) >= 0.9)
+        .select(col("id1"), col("id2")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val lshCands = graft.operators.Dedup.minhashCandidates(corpus, col("doc_id"), col("text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val shPairs = graft.operators.Dedup.simhashPairs(corpus, col("doc_id"), col("text"), maxDist = 6)
+        .select(col("id1"), col("id2")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      println(s"[probe] $dir dedup-truth: j90pairs=${truth.size} " +
+        s"lshMissing=${truth.diff(lshCands).size} simhashMissing=${truth.diff(shPairs).size}")
+      val fp = corpus.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      val identical = fp.as("a").join(fp.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      println(s"[probe] $dir identical-fp pairs=${identical.size} " +
+        s"simhashMissing=${identical.diff(shPairs).size} lshMissing=${identical.diff(lshCands).size}")
     }
     spark.stop()
   }

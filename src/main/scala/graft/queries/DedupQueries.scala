@@ -55,35 +55,82 @@ object DedupQueries {
 
     QueryDef(
       "q_dedup_minhash",
-      // MinHash(32) + LSH(8 bands × 4 rows) candidates, verified with exact
-      // Jaccard ≥ 0.3. xxhash64 signatures are not reproducible in DuckDB —
-      // rows-only check; OperatorsSpec asserts planted-pair recall instead.
+      // MinHash(32) + LSH(8 bands × 4 rows), exact+bound shape: the emitted
+      // rows are the exact true-Jaccard ≥ 0.9 pairs (uncapped shingle
+      // inverted-index join — fully DuckDB-reproducible), and the boolean
+      // asserts the LSH candidate set recovered each one. At J ≥ 0.9 a pair
+      // misses all 8 bands with probability (1−J⁴)⁸ ≤ 0.02% — measured
+      // recall is 100% at every sf (OverlapProbe; deterministic signatures,
+      // fixed corpus). The full sketch path (native signatures → banded
+      // buckets → capped candidate join) still executes — the boolean
+      // derives from its output. OperatorsSpec keeps the J=1 band guarantee
+      // and mutated-pair recall on the raw candidate operator.
       (s, dir) => {
         val corpus = plantedCorpus(s, dir)
         val cands = Dedup.minhashCandidates(corpus, col("doc_id"), col("text"))
-        val toks = corpus.select(col("doc_id"),
-          array_distinct(TextOps.shingles(col("text"))).as("shs"))
-        cands
-          .join(toks.select(col("doc_id").as("id1"), col("shs").as("sh1")), "id1")
-          .join(toks.select(col("doc_id").as("id2"), col("shs").as("sh2")), "id2")
-          .withColumn("jaccard",
-            round(size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
-              size(array_union(col("sh1"), col("sh2"))), 6))
-          .filter(col("jaccard") >= 0.3)
-          .select(col("id1"), col("id2"), col("jaccard"))
+        val truth = Dedup.ngramJaccardPairs(corpus, col("doc_id"), col("text"),
+          threshold = 0.9, maxShingleDf = Int.MaxValue)
+        truth
+          .join(cands.select(col("id1"), col("id2"), lit(true).as("hit")),
+            Seq("id1", "id2"), "left")
+          .select(col("id1"), col("id2"), col("jaccard"),
+            coalesce(col("hit"), lit(false)).as("lsh_found"))
           .orderBy(col("id1"), col("id2"))
       },
-      None,
+      Some(s"""WITH corpus AS ($dkCorpus),
+              |toks AS (
+              |  SELECT doc_id,
+              |    list_distinct(list_transform(
+              |      range(1, greatest(len(string_split_regex(trim(lower(text)), '\\s+')) - 2, 1) + 1),
+              |      i -> array_to_string((string_split_regex(trim(lower(text)), '\\s+'))[i:i+2], ' '))) AS shs
+              |  FROM corpus),
+              |sh AS (SELECT doc_id, unnest(shs) AS sh FROM toks),
+              |common AS (
+              |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_common
+              |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id)
+              |SELECT id1, id2,
+              |  round(CAST(n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - n_common), 6) AS jaccard,
+              |  TRUE AS lsh_found
+              |FROM common
+              |JOIN sizes s1 ON id1 = s1.doc_id
+              |JOIN sizes s2 ON id2 = s2.doc_id
+              |WHERE CAST(n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - n_common) >= 0.9
+              |ORDER BY id1, id2""".stripMargin),
     ),
 
     QueryDef(
       "q_dedup_simhash",
-      // SimHash(64-bit, 4×16 chunks) pigeonhole candidates, Hamming ≤ 6.
+      // SimHash(64-bit, 4×16 chunks) pigeonhole candidates at Hamming ≤ 6,
+      // exact+bound shape: rows are the exact identical-fingerprint pairs
+      // (md5 of normalized text — DuckDB-reproducible, same normalization
+      // as q_dedup_exact), boolean asserts the simhash path found each one.
+      // Identical text ⇒ identical signature ⇒ all 4 chunks collide, so
+      // recovery is structural (subject only to the hot-bucket cap; planted
+      // and natural duplicate groups are far below it — measured missing 0
+      // at every sf). The pigeonhole sketch path still executes in full.
       (s, dir) => {
-        Dedup.simhashPairs(plantedCorpus(s, dir), col("doc_id"), col("text"), maxDist = 6)
+        val corpus = plantedCorpus(s, dir)
+        val shPairs = Dedup.simhashPairs(corpus, col("doc_id"), col("text"), maxDist = 6)
+        val fp = corpus.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        fp.as("a").join(fp.as("b"),
+            col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+          .join(shPairs.select(col("id1"), col("id2"), lit(true).as("hit")),
+            Seq("id1", "id2"), "left")
+          .select(col("id1"), col("id2"),
+            coalesce(col("hit"), lit(false)).as("simhash_found"))
           .orderBy(col("id1"), col("id2"))
       },
-      None,
+      Some(s"""WITH corpus AS ($dkCorpus),
+              |fp AS (
+              |  SELECT doc_id,
+              |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+              |  FROM corpus)
+              |SELECT a.doc_id AS id1, b.doc_id AS id2, TRUE AS simhash_found
+              |FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+              |ORDER BY id1, id2""".stripMargin),
     ),
 
     QueryDef(
