@@ -98,4 +98,17 @@ class QueryPlansSpec extends AnyFunSuite with BeforeAndAfterAll {
       "percentile bounds must broadcast:\n" + p.take(2000))
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
+
+  test("q_ann_ivf / q_ann_lsh: the exact brute-force top-k runs ONCE, not per reference") {
+    // annVsExact materializes the nQueries-row exact aggregate with a
+    // localCheckpoint, so the lazy plan must carry NO brute-force
+    // queries×corpus join at all (it already ran, once) — both output
+    // columns read the checkpointed RDD instead of re-deriving it
+    for (name <- Seq("q_ann_ivf", "q_ann_lsh")) {
+      val p = plan(name)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$name re-runs the brute-force corpus scan per reference:\n" + p.take(3000))
+      assert(p.contains("Scan ExistingRDD"), s"$name must read the checkpointed exact top-k:\n" + p.take(2000))
+    }
+  }
 }
