@@ -85,6 +85,16 @@ object OverlapProbe {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       println(s"[probe] $dir identical-fp pairs=${identical.size} " +
         s"simhashMissing=${identical.diff(shPairs).size} lshMissing=${identical.diff(lshCands).size}")
+
+      // k-means cluster accounting invariants (q_embedding_cluster bounds)
+      val vecs = emb.select(col("vec_id"), col("embedding"))
+      val cents = VectorOps.kmeansFit(vecs, "embedding", k = 8, iters = 3)
+      val sizes = VectorOps.assignClusters(vecs, cents, "embedding")
+        .groupBy(col("cluster")).agg(count(lit(1)).as("n")).collect()
+        .map(r => (r.getAs[Int]("cluster"), r.getAs[Long]("n")))
+      val total = sizes.map(_._2).sum
+      println(s"[probe] $dir kmeans: clusters=${sizes.length} total=$total " +
+        s"minN=${sizes.map(_._2).min} maxShare=${sizes.map(_._2).max.toDouble / total}")
     }
     spark.stop()
   }

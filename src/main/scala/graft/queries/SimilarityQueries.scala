@@ -194,19 +194,29 @@ object SimilarityQueries {
     QueryDef(
       "q_embedding_cluster",
       // Corpus topic clustering: distributed spherical k-means (Lloyd over
-      // the full corpus, centroids as plan literals) + per-cluster
-      // accounting. Iterative float refinement isn't SQL-reproducible —
-      // rows-only; OperatorsSpec pins full-purity recovery of planted
-      // clusters instead.
+      // the full corpus, centroids as plan literals) + cluster accounting.
+      // The refined centroids aren't SQL-reproducible, so exact+bound shape
+      // like the other sketch rows: the emitted summary row carries what
+      // DuckDB CAN check (cluster count, total row conservation) plus
+      // share-bound booleans derived from the executing clustering —
+      // every cluster holds ≥ 5% and ≤ 30% of the corpus (measured
+      // 10–14.4% at every sf; data-dependent, pinned to this corpus).
+      // OperatorsSpec pins full-purity recovery of planted clusters.
       (s, dir) => {
         val vecs = emb(s, dir).select(col("vec_id"), col("embedding"))
         val cents = VectorOps.kmeansFit(vecs, "embedding", k = 8, iters = 3)
         VectorOps.assignClusters(vecs, cents, "embedding")
           .groupBy(col("cluster"))
-          .agg(count(lit(1)).as("n_vecs"))
-          .orderBy(col("cluster"))
+          .agg(count(lit(1)).as("n"))
+          .agg(
+            count(lit(1)).as("n_clusters"),
+            sum(col("n")).as("n_vecs"),
+            (min(col("n")) * 20 >= sum(col("n"))).as("min_share_ge_5pct"),
+            (max(col("n")) * 10 <= sum(col("n")) * 3).as("max_share_le_30pct"))
       },
-      None,
+      Some("""SELECT CAST(8 AS BIGINT) AS n_clusters, COUNT(*) AS n_vecs,
+             |  TRUE AS min_share_ge_5pct, TRUE AS max_share_le_30pct
+             |FROM embeddings""".stripMargin),
     ),
   )
 }
