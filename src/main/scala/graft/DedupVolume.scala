@@ -56,6 +56,16 @@ object DedupVolume {
     val kept = time("connected components + removeDuplicates")(
       Dedup.removeDuplicates(corpus, col("doc_id"), cands).count())
     println(s"[dedup-vol] kept after dedup: $kept of $n")
+
+    // star-contraction on min-label's adversarial case: one 100k-hop chain
+    // (min-label would need 100k rounds; star folds it in O(log n))
+    val chainIds = spark.range(100000).select(col("id"))
+    val chainPairs = spark.range(99999)
+      .select(col("id").as("id1"), (col("id") + 1).as("id2"))
+    val labels = time("star-contraction CC, 100k-node chain (maxIter 25)")(
+      Dedup.connectedComponentsStar(chainIds, chainPairs, maxIter = 25))
+    val wrong = labels.filter(col("rep") =!= 0L).count()
+    println(s"[dedup-vol] chain labels wrong: $wrong of 100000")
     spark.stop()
   }
 }
