@@ -58,7 +58,10 @@ object DedupQueries {
       // MinHash(32) + LSH(8 bands × 4 rows), exact+bound shape: the emitted
       // rows are the exact true-Jaccard ≥ 0.9 pairs (uncapped shingle
       // inverted-index join — fully DuckDB-reproducible), and the boolean
-      // asserts the LSH candidate set recovered each one. At J ≥ 0.9 a pair
+      // asserts the LSH candidate set recovered each one. The uncapped
+      // truth join is the VERIFICATION side only — at production scale you
+      // run minhashCandidates alone (capped, linear); the truth join exists
+      // so the sketch output is cross-engine checkable at test scale. At J ≥ 0.9 a pair
       // misses all 8 bands with probability (1−J⁴)⁸ ≤ 0.02% — measured
       // recall is 100% at every sf (OverlapProbe; deterministic signatures,
       // fixed corpus). The full sketch path (native signatures → banded
