@@ -71,14 +71,34 @@ object Dedup {
   }
 
   /** Drop groups larger than `cap` (skew guard for candidate generation).
-    * Window-count formulation: one shuffle on the group keys, versus the
-    * aggregate-then-self-join version which shuffles twice AND recomputes
-    * the (expensive) upstream signature subtree for both sides. */
-  private def capBuckets(df: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
-    df.withColumn("__bucket_n", count(lit(1)).over(w))
-      .filter(col("__bucket_n") <= cap)
-      .drop("__bucket_n")
+    *
+    * Shape: a groupBy-count (map-side partial combine — no task ever holds
+    * more than its input split of a hot key) finds the over-cap keys, which
+    * are broadcast into a `left_anti` against the input, so dropping is a
+    * map-side filter with NO shuffle of the data rows at all. The previous
+    * `Window.partitionBy(keys)` count routed every row of a bucket to ONE
+    * task *before* the `count <= cap` filter could discard it — the skew
+    * guard was itself skew-vulnerable (a degenerate bucket meant one task
+    * sorting/spilling the whole bucket just to learn it must be dropped,
+    * and AQE cannot split a window partition).
+    *
+    * The input is lazily localCheckpointed so the (expensive) upstream
+    * signature subtree runs once: the broadcast side's count materializes
+    * the checkpoint, every later consumer (including the candidate
+    * self-joins, which read `capped` twice) replays stored partitions.
+    *
+    * Broadcast size: over-cap keys number at most N/cap for N input rows,
+    * and in practice form the tiny Zipf head (hot LSH buckets / boilerplate
+    * shingles). If a corpus ever produced an over-cap set too big to
+    * broadcast, raising `cap` or swapping the broadcast list for a bloom
+    * filter are the knobs — the groupBy side stays skew-proof either way. */
+  private[graft] def capBuckets(df: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
+    val in = df.localCheckpoint(false)
+    val hot = in.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__bucket_n"))
+      .filter(col("__bucket_n") > cap)
+      .select(keys.map(col): _*)
+    in.join(broadcast(hot), keys, "left_anti")
   }
 
   /** End-to-end MinHash+LSH near-dup candidates over a text column. */

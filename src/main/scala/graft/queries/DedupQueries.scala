@@ -36,6 +36,13 @@ object DedupQueries {
       |UNION ALL SELECT doc_id + 200000, regexp_replace(text, '\b(the)\b', 'thee', 'g')
       |  FROM documents WHERE doc_id < 60""".stripMargin
 
+  /** df cap for the q_dedup_minhash truth join: safely above the measured
+    * max shingle document-frequency on the planted corpora (27 at sf0.1,
+    * 14 at sf0.001 — DuckDB probe; OperatorsSpec asserts the cap is unhit),
+    * so results are bit-identical to an uncapped join today while staying
+    * linear at any scale. */
+  val truthShingleDfCap = 4096
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -56,23 +63,24 @@ object DedupQueries {
     QueryDef(
       "q_dedup_minhash",
       // MinHash(32) + LSH(8 bands × 4 rows), exact+bound shape: the emitted
-      // rows are the exact true-Jaccard ≥ 0.9 pairs (uncapped shingle
-      // inverted-index join — fully DuckDB-reproducible), and the boolean
-      // asserts the LSH candidate set recovered each one. The uncapped
-      // truth join is the VERIFICATION side only — at production scale you
-      // run minhashCandidates alone (capped, linear); the truth join exists
-      // so the sketch output is cross-engine checkable at test scale. At J ≥ 0.9 a pair
-      // misses all 8 bands with probability (1−J⁴)⁸ ≤ 0.02% — measured
-      // recall is 100% at every sf (OverlapProbe; deterministic signatures,
-      // fixed corpus). The full sketch path (native signatures → banded
-      // buckets → capped candidate join) still executes — the boolean
-      // derives from its output. OperatorsSpec keeps the J=1 band guarantee
-      // and mutated-pair recall on the raw candidate operator.
+      // rows are the exact true-Jaccard ≥ 0.9 pairs (shingle inverted-index
+      // join — fully DuckDB-reproducible), and the boolean asserts the LSH
+      // candidate set recovered each one. The truth join is df-capped at
+      // 4096 — far above the measured max shingle df (27 at sf0.1, probed
+      // via DuckDB and pinned by OperatorsSpec), so output is bit-identical
+      // to uncapped today, yet one boilerplate shingle can never turn the
+      // join quadratic at scale; the oracle applies the identical cap. At
+      // J ≥ 0.9 a pair misses all 8 bands with probability (1−J⁴)⁸ ≤ 0.02%
+      // — measured recall is 100% at every sf (OverlapProbe; deterministic
+      // signatures, fixed corpus). The full sketch path (native signatures
+      // → banded buckets → capped candidate join) still executes — the
+      // boolean derives from its output. OperatorsSpec keeps the J=1 band
+      // guarantee and mutated-pair recall on the raw candidate operator.
       (s, dir) => {
         val corpus = plantedCorpus(s, dir)
         val cands = Dedup.minhashCandidates(corpus, col("doc_id"), col("text"))
         val truth = Dedup.ngramJaccardPairs(corpus, col("doc_id"), col("text"),
-          threshold = 0.9, maxShingleDf = Int.MaxValue)
+          threshold = 0.9, maxShingleDf = DedupQueries.truthShingleDfCap)
         truth
           .join(cands.select(col("id1"), col("id2"), lit(true).as("hit")),
             Seq("id1", "id2"), "left")
@@ -87,7 +95,10 @@ object DedupQueries {
               |      range(1, greatest(len(string_split_regex(trim(lower(text)), '\\s+')) - 2, 1) + 1),
               |      i -> array_to_string((string_split_regex(trim(lower(text)), '\\s+'))[i:i+2], ' '))) AS shs
               |  FROM corpus),
-              |sh AS (SELECT doc_id, unnest(shs) AS sh FROM toks),
+              |sh0 AS (SELECT doc_id, unnest(shs) AS sh FROM toks),
+              |sh AS (SELECT sh0.doc_id, sh0.sh FROM sh0
+              |       JOIN (SELECT sh FROM sh0 GROUP BY sh
+              |             HAVING COUNT(*) <= ${DedupQueries.truthShingleDfCap}) rare USING (sh)),
               |common AS (
               |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_common
               |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -99,7 +110,7 @@ object DedupQueries {
               |FROM common
               |JOIN sizes s1 ON id1 = s1.doc_id
               |JOIN sizes s2 ON id2 = s2.doc_id
-              |WHERE CAST(n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - n_common) >= 0.9
+              |WHERE round(CAST(n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - n_common), 6) >= 0.9
               |ORDER BY id1, id2""".stripMargin),
     ),
 
@@ -165,7 +176,7 @@ object DedupQueries {
               |FROM common
               |JOIN sizes s1 ON id1 = s1.doc_id
               |JOIN sizes s2 ON id2 = s2.doc_id
-              |WHERE CAST(n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - n_common) >= 0.3
+              |WHERE round(CAST(n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - n_common), 6) >= 0.3
               |ORDER BY id1, id2""".stripMargin),
     ),
 
@@ -209,7 +220,7 @@ object DedupQueries {
               |  SELECT id1, id2 FROM common
               |  JOIN sizes s1 ON id1 = s1.doc_id
               |  JOIN sizes s2 ON id2 = s2.doc_id
-              |  WHERE CAST(n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - n_common) >= 0.3),
+              |  WHERE round(CAST(n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - n_common), 6) >= 0.3),
               |fps AS (SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
               |        FROM corpus),
               |fpp AS (SELECT a.doc_id AS id1, b.doc_id AS id2

@@ -683,4 +683,56 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
         f"$flag: approx median $aP50%.2f vs exact $p50%.2f — error ${math.abs(aP50 - p50) / p50}%.4f > 1%%")
     }
   }
+
+  test("capBuckets: hot bucket at 10× cap is dropped via broadcast anti-join, never a Window") {
+    import spark.implicits._
+    val cap = 50
+    // one degenerate bucket at 10× cap + 20 normal buckets at half cap
+    val hotRows = (0 until cap * 10).map(i => ("hot", i.toLong))
+    val coldRows = for (b <- 0 until 20; i <- 0 until cap / 2) yield (s"b$b", (1000 * b + i).toLong)
+    val df = (hotRows ++ coldRows).toDF("bucket", "id").repartition(4)
+    val capped = Dedup.capBuckets(df, Seq("bucket"), cap)
+    // semantics: the whole hot bucket is discarded, every cold row survives
+    val kept = capped.groupBy("bucket").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!kept.contains("hot"), "over-cap bucket must be dropped entirely")
+    assert(kept.size == 20 && kept.values.forall(_ == cap / 2))
+    // plan shape: the skew guard must be a broadcast anti-join, NOT a window
+    // count (a window routes the full hot bucket to one task before filtering)
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"capBuckets planned a Window:\n${plan.take(2000)}")
+    assert(plan.contains("BroadcastExchange") && plan.contains("LeftAnti"),
+      s"expected broadcast anti-join in:\n${plan.take(2000)}")
+  }
+
+  test("q_dedup_minhash truth-join df cap is far above the corpus's max shingle df") {
+    // The truth join is capped at truthShingleDfCap so it stays linear at
+    // scale; this pins that the cap is UNHIT on the test corpora (max df 27
+    // at sf0.1 by DuckDB probe), i.e. output is bit-identical to uncapped.
+    val corpus = docs.unionAll(
+        docs.filter(col("doc_id") < 100)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      .unionAll(docs.filter(col("doc_id") < 60)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          regexp_replace(col("text"), "\\bthe\\b", "thee").as("text")))
+    val maxDf = corpus
+      .select(explode(array_distinct(TextOps.shingles(col("text")))).as("sh"))
+      .groupBy("sh").count().agg(max("count")).first().getLong(0)
+    assert(maxDf * 10 < graft.queries.DedupQueries.truthShingleDfCap,
+      s"max shingle df $maxDf too close to cap ${graft.queries.DedupQueries.truthShingleDfCap}")
+  }
+
+  test("dedup candidate paths plan no Window over bucket keys") {
+    // minhash, simhash, and ngram candidate generation all route through
+    // capBuckets — none of their plans may contain a Window node (the
+    // r8-verdict hot-partition shape). VectorOps top-k windows are per-query
+    // ANN ranking, not dedup, and don't appear here.
+    for ((name, df) <- Seq(
+        "minhash" -> Dedup.minhashCandidates(withExactDups, col("doc_id"), col("text")),
+        "simhash" -> Dedup.simhashPairs(withExactDups, col("doc_id"), col("text"), maxDist = 6),
+        "ngram" -> Dedup.ngramJaccardPairs(withExactDups, col("doc_id"), col("text"), threshold = 0.3))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), s"$name candidate plan contains a Window:\n${plan.take(2000)}")
+    }
+  }
 }
