@@ -4,12 +4,16 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR, prints ONE JSON line with per-query seconds.
   *
-  * Measurement hygiene (round-1 verdict): queries run in sorted-name order
-  * (deterministic), and each gets one untimed warm pass before the timed
-  * pass so the timed number is steady-state plan execution, not first-touch
-  * parquet footer reads + codegen compilation. The JSON line is printed (and
-  * flushed) before `spark.stop()` so no shutdown logging can interleave with
-  * or truncate it.
+  * Measurement hygiene (round-1 verdict + round-8 verdict #3): queries run
+  * in sorted-name order (deterministic); each gets one untimed warm pass
+  * (absorbs parquet footer reads + codegen compilation) and then
+  * SPARK_GRAFT_REPS timed passes (default 2), reporting the MIN. The
+  * r6→r8 history showed 1.5–3× single-run noise on identical code
+  * (q_dedup_minhash r7, q_json_funcs r7→r8) that twice triggered
+  * regression hunts — min-of-2-warm is the cheapest estimator that
+  * reproduces across driver runs (SCALE.md records the protocol). The
+  * JSON line is printed (and flushed) before `spark.stop()` so no shutdown
+  * logging can interleave with or truncate it.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -31,16 +35,20 @@ object Bench {
     def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Boolean =
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (warm) run(name, fn)
-      // steady-state hygiene: don't charge this query for the previous
-      // query's garbage (measured: a 600k-row sort reads 2.4s isolated but
-      // 10s mid-sweep without this)
-      spark.catalog.clearCache()
-      System.gc()
-      val t0 = System.nanoTime()
-      run(name, fn)
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to reps).map { _ =>
+        // steady-state hygiene: don't charge this query for the previous
+        // pass's garbage (measured: a 600k-row sort reads 2.4s isolated but
+        // 10s mid-sweep without this)
+        spark.catalog.clearCache()
+        System.gc()
+        val t0 = System.nanoTime()
+        run(name, fn)
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

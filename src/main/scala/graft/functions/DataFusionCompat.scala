@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{ApproximatePercentile, HyperLogLogPlusPlus}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral, JavaCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.{CalendarInterval, UTF8String}
 
@@ -98,13 +99,21 @@ object DataFusionCompat {
 
   /** `arrow_typeof(x)` — Arrow type name of the argument's type. Resolved
     * lazily (the builder sees unresolved children); foldable, so it
-    * constant-folds to a literal before execution. */
-  case class ArrowTypeOf(child: Expression) extends UnaryExpression with CodegenFallback {
+    * normally constant-folds to a literal before execution. The doGenCode
+    * (for folding-disabled paths) emits the precomputed name as a reference
+    * object — the value depends only on the child's TYPE, so the child is
+    * never evaluated and a null child still yields the type name, matching
+    * the interpreted eval. */
+  case class ArrowTypeOf(child: Expression) extends UnaryExpression {
     override def dataType: DataType = StringType
     override def nullable: Boolean = false
     override def foldable: Boolean = true
     override def eval(input: InternalRow): Any =
       UTF8String.fromString(arrowName(child.dataType))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("arrowTypeName", eval(null), classOf[UTF8String].getName)
+      ev.copy(code = code"", isNull = FalseLiteral, value = JavaCode.global(ref, StringType))
+    }
     override protected def withNewChildInternal(c: Expression): ArrowTypeOf = copy(child = c)
   }
 
@@ -459,8 +468,10 @@ object DataFusionCompat {
   }
 
   /** `array_ndims` — nesting depth from the (resolved) child type; foldable,
-    * like [[ArrowTypeOf]]. */
-  case class ArrayNDims(child: Expression) extends UnaryExpression with CodegenFallback {
+    * like [[ArrowTypeOf]], and codegen'd the same way: the depth is a
+    * compile-time constant of the child's type, emitted as a long literal
+    * with no child evaluation. */
+  case class ArrayNDims(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
     override def nullable: Boolean = false
     override def foldable: Boolean = true
@@ -472,6 +483,9 @@ object DataFusionCompat {
       }
       depth(child.dataType, 0L)
     }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      ev.copy(code = code"", isNull = FalseLiteral,
+        value = JavaCode.literal(s"${eval(null)}L", LongType))
     override protected def withNewChildInternal(c: Expression): ArrayNDims = copy(child = c)
   }
 

@@ -236,10 +236,14 @@ object Dedup {
     * Each round: large-star hangs every strictly-larger neighbor of a node
     * onto its minimum neighbor, small-star re-hangs the smaller ones; both
     * are groupBy-join passes shuffling on node id. Convergence = the
-    * (count, sum-of-targets) pair of the edge multiset is unchanged — edge
-    * targets only ever decrease, so an unchanged sum means an unchanged
-    * set (the same criterion production CC-on-Spark implementations use).
-    * Throws if `maxIter` rounds pass without convergence, like
+    * (count, sum-of-targets, sum-of-edge-hashes) triple of the edge
+    * multiset is unchanged. Count+target-sum alone has a collision window
+    * (targets redistributed across sources keep both fixed); the
+    * order-independent sum of xxhash64(u, v) closes it — two distinct edge
+    * multisets colliding on count AND target-sum AND hash-sum is a ~2⁻⁶⁴
+    * event, not a reachable graph shape. Computed in the SAME single
+    * aggregate, so the per-round job count is unchanged. Throws if
+    * `maxIter` rounds pass without convergence, like
     * [[connectedComponentsMin]]. */
   def connectedComponentsStar(ids: DataFrame, pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     var edges = pairs
@@ -249,7 +253,7 @@ object Dedup {
       .distinct()
       .localCheckpoint()
     var converged = edges.isEmpty
-    var prev: (Long, java.math.BigDecimal) = null
+    var prev: (Long, java.math.BigDecimal, java.math.BigDecimal) = null
     var i = 0
     while (!converged && i < maxIter) {
       // large-star: for each node, every strictly-larger neighbor re-hangs
@@ -275,8 +279,9 @@ object Dedup {
         .distinct()
         .localCheckpoint(false) // lazy: the convergence agg materializes it
       val row = next
-        .agg(count(lit(1)).as("n"), sum(col("v").cast("decimal(38,0)")).as("s")).first()
-      val sig = (row.getLong(0), row.getDecimal(1))
+        .agg(count(lit(1)).as("n"), sum(col("v").cast("decimal(38,0)")).as("s"),
+          sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")).as("h")).first()
+      val sig = (row.getLong(0), row.getDecimal(1), row.getDecimal(2))
       converged = sig == prev
       prev = sig
       edges = next

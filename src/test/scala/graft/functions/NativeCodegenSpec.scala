@@ -132,6 +132,35 @@ class NativeCodegenSpec extends AnyFunSuite with BeforeAndAfterAll {
       "0.6/0.8 vector is nearest the y-axis centroid, then x")
   }
 
+  test("type-derived dialect expressions (arrow_typeof, array_ndims) emit real codegen") {
+    // Both are foldable and normally constant-fold away; excluding
+    // ConstantFolding forces them through doGenCode, where (under this
+    // session's CODEGEN_ONLY + fallback=false) a broken implementation
+    // fails the query instead of silently degrading.
+    val s = spark
+    import s.implicits._
+    DataFusionCompat.register(spark)
+    spark.conf.set("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.ConvertToLocalRelation," +
+        "org.apache.spark.sql.catalyst.optimizer.ConstantFolding")
+    try {
+      val df = Seq(Tuple1(Seq(1.0, 2.0))).toDF("arr")
+        .select(expr("arrow_typeof(arr)").as("t"), expr("array_ndims(arr)").as("d"))
+      val plan = df.queryExecution.executedPlan
+      assert(plan.exists(_.isInstanceOf[WholeStageCodegenExec]),
+        s"projection must be whole-stage codegen'd:\n$plan")
+      val generated = org.apache.spark.sql.execution.debug.codegenString(plan)
+      assert(!generated.contains("].eval("),
+        "arrow_typeof/array_ndims must not take the CodegenFallback path")
+      val r = df.collect()(0)
+      assert(r.getString(0) == "List(Float64)")
+      assert(r.getLong(1) == 1L)
+    } finally {
+      spark.conf.set("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.ConvertToLocalRelation")
+    }
+  }
+
   test("null semantics survive codegen: null inputs and zero-vector cosine") {
     val s = spark
     import s.implicits._

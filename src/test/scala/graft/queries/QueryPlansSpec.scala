@@ -110,5 +110,10 @@ class QueryPlansSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"$name re-runs the brute-force corpus scan per reference:\n" + p.take(3000))
       assert(p.contains("Scan ExistingRDD"), s"$name must read the checkpointed exact top-k:\n" + p.take(2000))
     }
+    // ...and the two queries SHARE that checkpoint: the exact side is
+    // memoized per (session, sfDir), so q_ann_lsh + q_ann_ivf together cost
+    // one brute-force scan per session, not one each (r8 verdict item #4)
+    assert(SimilarityQueries.exactTopK(spark, dir) eq SimilarityQueries.exactTopK(spark, dir),
+      "exact top-k must be memoized per (session, dir)")
   }
 }
