@@ -5,9 +5,18 @@ import org.apache.spark.sql.functions._
 import graft.operators.{Sketches, TextOps, VectorOps}
 import graft.sources.Tables
 
-/** Scratch diagnostic for pinning the q_ann_lsh / q_ann_ivf /
-  * q_heavy_hitters oracle bounds — prints per-query overlap with the exact
-  * top-k and the CMS bound slack at each scale factor. */
+/** Diagnostic for pinning — and on a failure, re-measuring — the
+  * exact+bound oracle operating points: per-query ANN overlap with the
+  * exact top-k, CMS bound slack, dedup-truth recall, k-means cluster
+  * shares, and the max shingle document-frequency (the q_dedup_minhash
+  * truth-join cap margin), at each scale factor.
+  *
+  * The bound booleans in SparkEntry queries (overlap ≥ 1/≥ 8, cluster
+  * shares 5–30%, HLL 5%, CMS ε·N) are measured-then-pinned to the driver
+  * corpora. If one ever reads false on new data, run this probe FIRST:
+  * it separates "the bound no longer holds on this corpus" (re-measure
+  * and re-pin the operating point) from "the engine regressed" (the
+  * probe's raw margins moved with no data change). */
 object OverlapProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
@@ -85,6 +94,14 @@ object OverlapProbe {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       println(s"[probe] $dir identical-fp pairs=${identical.size} " +
         s"simhashMissing=${identical.diff(shPairs).size} lshMissing=${identical.diff(lshCands).size}")
+
+      // q_dedup_minhash truth-join cap margin: max shingle df on the
+      // planted corpus vs truthShingleDfCap (cap must be unhit for the
+      // capped truth join to stay bit-identical to uncapped)
+      val maxDf = shG.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        .agg(max(col("df"))).first().getLong(0)
+      println(s"[probe] $dir max shingle df: $maxDf " +
+        s"(truthShingleDfCap=${graft.queries.DedupQueries.truthShingleDfCap})")
 
       // k-means cluster accounting invariants (q_embedding_cluster bounds)
       val vecs = emb.select(col("vec_id"), col("embedding"))

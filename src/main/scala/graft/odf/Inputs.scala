@@ -13,6 +13,15 @@ import org.apache.spark.sql.functions._
   *     pushes it to the parquet scan, so row-group min/max stats prune, the
   *     same effect as DataFusion's `parquet_pruning`),
   *   - A4 temp-view registration under the query alias.
+  *
+  * On the reference's `file_sort_order` TODO (engine.rs:238-239): Spark's
+  * path-based parquet reader has no sort-order declaration API, and the
+  * engine path never needs one — scan order IS ledger order, offset
+  * numbering is arithmetic over it, and no transform-path plan contains a
+  * Sort (EngineSpec pins this). The ledger's monotone offsets pay off
+  * through A3's pushed filter (tight row-group min/max); a user query that
+  * explicitly orders by offset plans a real Sort, elidable in Spark only
+  * via a catalog-level bucketed+sorted table ([[graft.sources.Bucketing]]).
   */
 object Inputs {
 

@@ -220,7 +220,9 @@ object PipelineQueries {
       // one-pass treeAggregate sketch still executes — the boolean derives
       // from its output (measured slack at every sf: 0; the bound itself
       // is probabilistic at confidence 0.99, pinned to this corpus like
-      // the other sketch-bound oracles).
+      // the other sketch-bound oracles). On a bound-miss, run
+      // graft.OverlapProbe: it reports the raw CMS slack per sf, which
+      // separates corpus drift (re-pin the bound) from engine regression.
       (s, dir) => {
         val toks = t(s, dir, "documents")
           .select(explode(TextOps.tokens(col("text"))).as("token"))

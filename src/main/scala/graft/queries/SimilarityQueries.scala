@@ -55,7 +55,13 @@ object SimilarityQueries {
   /** Exact+bound compare for the approximate ANN paths: per query, the
     * EXACT top-k id set (sorted, comma-joined — fully DuckDB-reproducible)
     * plus a boolean pinning how much of it the ANN result recovered. The
-    * ANN subtree feeds the boolean, so it executes in full. */
+    * ANN subtree feeds the boolean, so it executes in full.
+    *
+    * The `minOverlap` operating points are measured-then-pinned to the
+    * driver corpora; on a bound-miss run graft.OverlapProbe, which prints
+    * the raw per-query overlap at each sf — corpus drift means re-pinning
+    * the bound, while a moved margin on unchanged data means the engine
+    * regressed. */
   private def annVsExact(
       ann: DataFrame, exactAgg: DataFrame, minOverlap: Int, flagName: String): DataFrame = {
     val overlap = ann.select(col("query_id"), col("vec_id"))

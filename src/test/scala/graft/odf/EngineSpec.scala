@@ -682,6 +682,44 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getLong(0) == 5L && row.getInt(1) == 0)
   }
 
+  test("offset-ordered engine path plans NO Sort; offset filter reaches the scan (engine.rs:238-239 TODO)") {
+    // The reference leaves DataFusion's `file_sort_order` unset with a TODO
+    // that declaring the ledger's offset order might improve some queries.
+    // Spark's path-based parquet reader has no sort-order declaration API at
+    // all — and the engine path never needs one: scan order IS ledger order,
+    // offset numbering is arithmetic over that order (prefix sums, not a
+    // sort), and the single-file sink preserves it. This pins that the full
+    // transform plan (scan → SQL → normalize → stamp) contains no SortExec,
+    // and that the offset-interval filter reaches the scan as PushedFilters
+    // — row-group min/max pruning on the monotone offset column is how the
+    // ledger's sortedness actually pays off in Spark. (A user query that
+    // explicitly ORDER BYs offset does plan a Sort; eliding it would need a
+    // catalog-level bucketed+sorted table, which `Bucketing` provides for
+    // recurring workloads — see BucketingSpec's zero-Sort join plan.)
+    val dir = tempDir()
+    val dataPath = dir.resolve("input.parquet")
+    writeSampleData(dataPath)
+    Inputs.register(spark, TransformRequestInput(
+      datasetId = "did:odf:foo", datasetAlias = "foo", queryAlias = "foo",
+      vocab = DatasetVocabulary(),
+      offsetInterval = Some(OffsetInterval(0, 2)),
+      dataPaths = Seq(dataPath.toString),
+      schemaFile = dataPath.toString,
+      explicitWatermarks = Nil))
+    val raw = Queries.buildOutput(spark,
+      Seq(SqlQueryStep(None, DefaultQuery))).toOption.get
+    val stamped = SystemColumns.withSystemColumns(
+      Normalize.normalizeRawResult(raw, DatasetVocabulary()),
+      DatasetVocabulary(), SystemTime, startOffset = 0L)
+    val plan = stamped.queryExecution.executedPlan
+    assert(!plan.exists(_.isInstanceOf[org.apache.spark.sql.execution.SortExec]),
+      s"engine path must not sort — ledger order rides the scan:\n${plan.toString.take(2000)}")
+    val planStr = plan.toString
+    assert(planStr.contains("GreaterThanOrEqual(offset,0)") &&
+      planStr.contains("LessThanOrEqual(offset,2)"),
+      s"offset-interval filter must be pushed to the parquet scan:\n${planStr.take(2000)}")
+  }
+
   test("watermark lattice unit behavior (A15)") {
     def in(wms: Seq[Instant]) = TransformRequestInput(
       "d", "d", "d", DatasetVocabulary(), None, Nil, "s",
