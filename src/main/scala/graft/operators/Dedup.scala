@@ -101,15 +101,30 @@ object Dedup {
     in.join(broadcast(hot), keys, "left_anti")
   }
 
+  /** Distinct-shingle frame `(id, shs)` — the shared upstream of the
+    * MinHash and exact-Jaccard paths. Callers composing both over the same
+    * corpus (e.g. a sketch run verified against an exact join) should build
+    * this once, `localCheckpoint(false)` it, and feed both `FromShingles`
+    * entry points: the corpus scan + tokenize + shingle pass then runs one
+    * time instead of once per path. */
+  def shingleFrame(df: DataFrame, id: Column, text: Column, shingleSize: Int = 3): DataFrame =
+    df.select(id.as("id"), array_distinct(TextOps.shingles(text, shingleSize)).as("shs"))
+
   /** End-to-end MinHash+LSH near-dup candidates over a text column. */
   def minhashCandidates(
       df: DataFrame, id: Column, text: Column,
       numHashes: Int = 32, bands: Int = 8, shingleSize: Int = 3,
+      maxBucketSize: Int = 100): DataFrame =
+    minhashCandidatesFromShingles(
+      shingleFrame(df, id, text, shingleSize), numHashes, bands, maxBucketSize)
+
+  /** [[minhashCandidates]] over a prebuilt [[shingleFrame]]. */
+  def minhashCandidatesFromShingles(
+      toks: DataFrame, numHashes: Int = 32, bands: Int = 8,
       maxBucketSize: Int = 100): DataFrame = {
-    graft.functions.NativeHashes.register(df.sparkSession)
-    val withSig = df.select(
-      id.as("id"),
-      minhashSignature(array_distinct(TextOps.shingles(text, shingleSize)), numHashes).as("sig"))
+    graft.functions.NativeHashes.register(toks.sparkSession)
+    val withSig = toks.select(
+      col("id"), minhashSignature(col("shs"), numHashes).as("sig"))
     lshCandidatePairs(lshBuckets(withSig, col("id"), col("sig"), bands), maxBucketSize)
   }
 
@@ -325,9 +340,13 @@ object Dedup {
     * dominated by boilerplate — the price of staying linear at 100 TB. */
   def ngramJaccardPairs(
       df: DataFrame, id: Column, text: Column,
-      threshold: Double, shingleSize: Int = 3, maxShingleDf: Int = 128): DataFrame = {
-    val toks = df.select(id.as("id"),
-      array_distinct(TextOps.shingles(text, shingleSize)).as("shs"))
+      threshold: Double, shingleSize: Int = 3, maxShingleDf: Int = 128): DataFrame =
+    ngramJaccardPairsFromShingles(
+      shingleFrame(df, id, text, shingleSize), threshold, maxShingleDf)
+
+  /** [[ngramJaccardPairs]] over a prebuilt [[shingleFrame]]. */
+  def ngramJaccardPairsFromShingles(
+      toks: DataFrame, threshold: Double, maxShingleDf: Int = 128): DataFrame = {
     val sh = capBuckets(
       toks.select(col("id"), explode(col("shs")).as("sh")), Seq("sh"), maxShingleDf)
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))

@@ -8,13 +8,19 @@ import org.apache.spark.sql.functions._
   * pipeline (BM25/keyword search over the training corpus, dedup-by-query,
   * contamination checks against eval sets).
   *
-  * Scale shape: distinct (doc, token) posting stream → ONE shuffle on the
-  * token key. Postings per token are capped with a window row_number
-  * BEFORE the list aggregation, so a stopword's posting list costs `cap`
-  * entries, not one entry per document containing it — the unbounded
-  * `collect_list` is the classic driver/executor OOM at corpus scale.
-  * Document frequency is computed over the SAME window partition (no
-  * second aggregate, no join back).
+  * Scale shape (r9, two-level): postings are capped per (token, INPUT
+  * PARTITION) first — the window keys include `spark_partition_id()`, so
+  * the shuffle spreads a stopword's postings across every input partition
+  * instead of concentrating them on one sorting task (the same
+  * hot-key-window failure mode the dedup `capBuckets` fix removed; the
+  * sort stays in Spark's spillable window exec, never an in-memory
+  * `collect_list` of an unbounded group). Level 2 then merges at most
+  * `cap × #partitions` surviving rows per token — bounded by cluster
+  * width, not corpus size. Output is identical to the single-window
+  * formulation: the global first-`cap` ids ascending are a subset of the
+  * per-partition first-`cap`, and document frequency is the sum of the
+  * per-partition counts (carried on the rank-1 row — still no second
+  * aggregate over the raw postings and no join back).
   */
 object SearchIndex {
 
@@ -23,13 +29,22 @@ object SearchIndex {
   def invertedIndex(docs: DataFrame, id: Column, text: Column, cap: Int = 20): DataFrame = {
     val postings = docs.select(id.as("doc_id"),
       explode(array_distinct(TextOps.tokens(text))).as("token"))
-    val w = Window.partitionBy(col("token"))
-    postings
-      .withColumn("df", count(lit(1)).over(w))
+    // __pid is computed BELOW the window's exchange (the projection sits
+    // under it, and spark_partition_id is non-deterministic so Catalyst
+    // cannot reorder it above), making the window keys (token, source
+    // partition): hot tokens spread over all source partitions.
+    val w = Window.partitionBy(col("token"), col("__pid"))
+    val localTop = postings
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("n", count(lit(1)).over(w))
       .withColumn("rn", row_number().over(w.orderBy(col("doc_id"))))
       .filter(col("rn") <= cap)
-      .groupBy(col("token"), col("df"))
-      .agg(concat_ws(",",
-        transform(sort_array(collect_list(col("doc_id"))), _.cast("string"))).as("postings"))
+    localTop
+      .groupBy(col("token"))
+      .agg(
+        sum(when(col("rn") === 1, col("n")).otherwise(lit(0L))).as("df"),
+        concat_ws(",", transform(
+          slice(sort_array(collect_list(col("doc_id"))), 1, cap),
+          _.cast("string"))).as("postings"))
   }
 }

@@ -12,8 +12,9 @@ import org.apache.spark.sql.functions._
   *     UDFs), accumulated in double, sequential fold order so results are
   *     deterministic;
   *   - brute-force top-k broadcasts the (small) query set and streams the
-  *     corpus — one pass, no corpus shuffle; per-query top-k via window
-  *     over the query partition;
+  *     corpus — one pass, no corpus shuffle; per-query ranking is the
+  *     two-level `topKPerQuery` (per-source-partition prune, then a
+  *     global rank over ≤ k × partitions survivors);
   *   - the LSH path buckets the corpus once (map stage) and probes only
   *     matching buckets — the 100 TB pattern where a full scan per query is
   *     unaffordable.
@@ -35,6 +36,32 @@ object VectorOps {
   def cosine(a: Column, b: Column): Column =
     call_function("cosine_similarity", a, b)
 
+  /** Per-query top-k ranking of a scored (queryId, corpusId, cos) frame —
+    * the shared tail of the three ANN paths.
+    *
+    * Two-level shape (r9): level 1 ranks within (query, INPUT PARTITION) —
+    * the window keys include `spark_partition_id()`, so the shuffle spreads
+    * one query's candidate scores across every input partition instead of
+    * concentrating |candidates| rows on a single sorting task (with a
+    * handful of queries over a large corpus, the single-key window IS a
+    * near-serial sort of the corpus). Level 2 ranks the survivors — at most
+    * k × #partitions rows per query — for the exact global `rnk`. Output
+    * is identical: the global top-k is a subset of the per-partition
+    * top-k, and (cos desc, corpusId) is a total order per query. Both
+    * sorts stay in Spark's spillable window exec. */
+  private def topKPerQuery(
+      scored: DataFrame, queryId: String, corpusId: String, k: Int): DataFrame = {
+    val w1 = Window.partitionBy(col(queryId), col("__pid"))
+      .orderBy(col("cos").desc, col(corpusId))
+    val pruned = scored
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__rn", row_number().over(w1))
+      .filter(col("__rn") <= k)
+      .drop("__pid", "__rn")
+    val w = Window.partitionBy(col(queryId)).orderBy(col("cos").desc, col(corpusId))
+    pruned.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
   /** Brute-force cosine top-k: every query row against every corpus row.
     * `queries` must be small (it is broadcast); corpus streams map-side. */
   def bruteForceTopK(
@@ -46,8 +73,7 @@ object VectorOps {
       .select(
         col(queryId), col(corpusId),
         round(cosine(col(queryVec), col(corpusVec)), 6).as("cos"))
-    val w = Window.partitionBy(col(queryId)).orderBy(col("cos").desc, col(corpusId))
-    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+    topKPerQuery(scored, queryId, corpusId, k)
   }
 
   /** Random-hyperplane signature: `bits` sign bits of dot products with
@@ -81,8 +107,7 @@ object VectorOps {
       .select(
         col(queryId), col(corpusId),
         round(cosine(col(queryVec), col(corpusVec)), 6).as("cos"))
-    val w = Window.partitionBy(col(queryId)).orderBy(col("cos").desc, col(corpusId))
-    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+    topKPerQuery(scored, queryId, corpusId, k)
   }
 
   /** Spherical k-means (cosine metric) over a driver-side sample: assign to
@@ -170,8 +195,7 @@ object VectorOps {
       .select(
         col(queryId), col(corpusId),
         round(cosine(col(queryVec), col(corpusVec)), 6).as("cos"))
-    val w = Window.partitionBy(col(queryId)).orderBy(col("cos").desc, col(corpusId))
-    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+    topKPerQuery(scored, queryId, corpusId, k)
   }
 
   /** Distributed spherical k-means (Lloyd): cluster a corpus too large to

@@ -78,8 +78,12 @@ object DedupQueries {
       // guarantee and mutated-pair recall on the raw candidate operator.
       (s, dir) => {
         val corpus = plantedCorpus(s, dir)
-        val cands = Dedup.minhashCandidates(corpus, col("doc_id"), col("text"))
-        val truth = Dedup.ngramJaccardPairs(corpus, col("doc_id"), col("text"),
+        // one shingle pass feeds BOTH the sketch and the truth side (lazily
+        // checkpointed — scan + tokenize + shingle run once, not twice)
+        val toks = Dedup.shingleFrame(corpus, col("doc_id"), col("text"))
+          .localCheckpoint(false)
+        val cands = Dedup.minhashCandidatesFromShingles(toks)
+        val truth = Dedup.ngramJaccardPairsFromShingles(toks,
           threshold = 0.9, maxShingleDf = DedupQueries.truthShingleDfCap)
         truth
           .join(cands.select(col("id1"), col("id2"), lit(true).as("hit")),
@@ -125,7 +129,9 @@ object DedupQueries {
       // and natural duplicate groups are far below it — measured missing 0
       // at every sf). The pigeonhole sketch path still executes in full.
       (s, dir) => {
-        val corpus = plantedCorpus(s, dir)
+        // the corpus feeds both the simhash path and the fingerprint truth
+        // side — lazily checkpointed so the 3-scan planted union runs once
+        val corpus = plantedCorpus(s, dir).localCheckpoint(false)
         val shPairs = Dedup.simhashPairs(corpus, col("doc_id"), col("text"), maxDist = 6)
         val fp = corpus.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
         fp.as("a").join(fp.as("b"),
@@ -189,7 +195,9 @@ object DedupQueries {
       // Jaccard), so transitive closure is genuinely exercised; the DuckDB
       // oracle computes the same closure with a recursive CTE.
       (s, dir) => {
-        val corpus = plantedCorpus(s, dir)
+        // corpus is read by the fingerprint side, the ngram side, AND the
+        // final representative semi-join — checkpoint the planted union once
+        val corpus = plantedCorpus(s, dir).localCheckpoint(false)
         val fp = corpus.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
         val fpPairs = fp.as("a").join(fp.as("b"),
             col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
