@@ -722,6 +722,25 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"max shingle df $maxDf too close to cap ${graft.queries.DedupQueries.truthShingleDfCap}")
   }
 
+  test("two-level top-k and inverted index are partitioning-independent") {
+    // Both rank within (key, spark_partition_id()) before the global pass —
+    // this pins that the partition id only shapes WHERE work happens, never
+    // WHAT comes out: 1-partition and 8-partition runs must be row-identical
+    // (ranks, dfs, postings included).
+    val emb = Tables.table(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    def topk(parts: Int) =
+      VectorOps.bruteForceTopK(emb.repartition(parts), queries, k = 10)
+        .select(col("query_id"), col("vec_id"), col("cos"), col("rnk"))
+        .collect().map(_.toSeq).toSet
+    assert(topk(1) == topk(8), "top-k must not depend on partitioning")
+    def index(parts: Int) =
+      SearchIndex.invertedIndex(docs.repartition(parts), col("doc_id"), col("text"))
+        .collect().map(_.toSeq).toSet
+    assert(index(1) == index(8), "inverted index must not depend on partitioning")
+  }
+
   test("dedup candidate paths plan no Window over bucket keys") {
     // minhash, simhash, and ngram candidate generation all route through
     // capBuckets — none of their plans may contain a Window node (the
