@@ -331,6 +331,36 @@ object Dedup {
         id === col("__keep"), "left_semi")
   }
 
+  // --- Eval-set decontamination ------------------------------------------
+
+  /** Eval-set contamination scan: for each corpus doc, the fraction of its
+    * distinct word-`shingleSize`-grams that appear anywhere in the eval
+    * set — the decontamination staple of LLM training pipelines. Long
+    * shingles (default 8, vs 3 for dedup) make natural collisions ≈ 0, so
+    * any overlap is lifted benchmark text, not shared phrasing.
+    *
+    * Scale shape: eval sets are small by nature, so the eval shingle
+    * vocabulary rides a broadcast semi-join into the corpus posting stream
+    * — a pure map-side filter, no corpus shuffle — followed by ONE
+    * groupBy(doc) count. Docs with zero overlap drop out in the semi-join,
+    * so the output (and the one shuffle's volume) is O(contaminated
+    * postings), not O(corpus). */
+  def contaminationScores(
+      corpus: DataFrame, evalDocs: DataFrame, id: Column, text: Column,
+      shingleSize: Int = 8): DataFrame = {
+    val evalVocab = evalDocs
+      .select(explode(array_distinct(TextOps.shingles(text, shingleSize))).as("sh"))
+      .distinct()
+    val posts = shingleFrame(corpus, id, text, shingleSize)
+      .select(col("id"), size(col("shs")).cast("long").as("n_sh"),
+        explode(col("shs")).as("sh"))
+    posts.join(broadcast(evalVocab), Seq("sh"), "left_semi")
+      .groupBy(col("id"), col("n_sh"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .select(col("id"), col("n_overlap"), col("n_sh"),
+        round(col("n_overlap").cast("double") / col("n_sh"), 6).as("overlap"))
+  }
+
   // --- Exact n-gram Jaccard ----------------------------------------------
 
   /** Exact n-gram Jaccard similarity join: pairs sharing ≥1 rare shingle,

@@ -187,6 +187,56 @@ object DedupQueries {
     ),
 
     QueryDef(
+      "q_decontaminate",
+      // Eval-set decontamination: docs 0-19 play the benchmark; training
+      // corpus = the rest ∪ planted full contamination (eval verbatim,
+      // +500000) ∪ planted partial contamination ('the'→'thee' mutations
+      // of eval docs 0-9, +600000). 8-gram overlap against the eval
+      // vocabulary (long shingles ⇒ natural collisions ≈ 0) — exact,
+      // deterministic, fully DuckDB-reproducible; `contaminated` flags
+      // overlap ≥ 0.3. The eval vocabulary broadcasts; the corpus never
+      // shuffles before the per-doc count.
+      (s, dir) => {
+        val d = docs(s, dir).select(col("doc_id"), col("text"))
+        val evalSet = d.filter(col("doc_id") < 20)
+        val train = d.filter(col("doc_id") >= 20)
+          .unionAll(evalSet.select((col("doc_id") + 500000).as("doc_id"), col("text")))
+          .unionAll(d.filter(col("doc_id") < 10)
+            .select((col("doc_id") + 600000).as("doc_id"),
+              regexp_replace(col("text"), "\\bthe\\b", "thee").as("text")))
+        Dedup.contaminationScores(train, evalSet, col("doc_id"), col("text"))
+          .select(col("id").as("doc_id"), col("n_overlap"), col("n_sh"),
+            col("overlap"), (col("overlap") >= 0.3).as("contaminated"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH train AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id >= 20
+             |  UNION ALL SELECT doc_id + 500000, text FROM documents WHERE doc_id < 20
+             |  UNION ALL SELECT doc_id + 600000, regexp_replace(text, '\b(the)\b', 'thee', 'g')
+             |    FROM documents WHERE doc_id < 10),
+             |eval_v AS (
+             |  SELECT DISTINCT sh FROM (
+             |    SELECT unnest(list_distinct(list_transform(
+             |      range(1, greatest(len(string_split_regex(trim(lower(text)), '\s+')) - 7, 1) + 1),
+             |      i -> array_to_string((string_split_regex(trim(lower(text)), '\s+'))[i:i+7], ' ')))) AS sh
+             |    FROM documents WHERE doc_id < 20)),
+             |toks AS (
+             |  SELECT doc_id, list_distinct(list_transform(
+             |    range(1, greatest(len(string_split_regex(trim(lower(text)), '\s+')) - 7, 1) + 1),
+             |    i -> array_to_string((string_split_regex(trim(lower(text)), '\s+'))[i:i+7], ' '))) AS shs
+             |  FROM train),
+             |posts AS (SELECT doc_id, len(shs) AS n_sh, unnest(shs) AS sh FROM toks),
+             |hits AS (
+             |  SELECT doc_id, n_sh, COUNT(*) AS n_overlap
+             |  FROM posts JOIN eval_v USING (sh)
+             |  GROUP BY doc_id, n_sh)
+             |SELECT doc_id, n_overlap, n_sh,
+             |  round(CAST(n_overlap AS DOUBLE) / n_sh, 6) AS overlap,
+             |  (round(CAST(n_overlap AS DOUBLE) / n_sh, 6) >= 0.3) AS contaminated
+             |FROM hits ORDER BY doc_id""".stripMargin),
+    ),
+
+    QueryDef(
       "q_dedup_clean",
       // End-to-end corpus cleaning: exact-fingerprint pairs ∪ df-capped
       // ngram-Jaccard pairs → connected components → keep the min-id

@@ -722,6 +722,29 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"max shingle df $maxDf too close to cap ${graft.queries.DedupQueries.truthShingleDfCap}")
   }
 
+  test("contamination scan: planted eval copies score 1.0, clean docs stay under the flag") {
+    val evalSet = docs.filter(col("doc_id") < 20)
+    val train = docs.filter(col("doc_id") >= 20)
+      .unionAll(evalSet.select((col("doc_id") + 500000).as("doc_id"), col("text")))
+    val scores = Dedup.contaminationScores(train, evalSet, col("doc_id"), col("text"))
+    val rows = scores.collect()
+    val planted = rows.filter(_.getLong(0) >= 500000)
+    assert(planted.length == 20, s"all 20 planted eval copies must surface, got ${planted.length}")
+    assert(planted.forall(_.getAs[Double]("overlap") == 1.0),
+      "verbatim eval text must score full overlap")
+    // the semi-join drops zero-overlap docs: output is a small subset of
+    // the ~510-doc corpus, not one row per doc. (Some natural docs DO
+    // cross the 0.3 flag — the synthetic corpus contains genuine near-dups
+    // of the eval docs, which is exactly what a contamination scan is for;
+    // the oracle value-checks every score, so no bound is asserted here.)
+    assert(rows.length < 60, s"semi-join must bound output to overlapping docs, got ${rows.length}")
+    // plan: eval vocabulary broadcasts into a semi-join — the corpus never
+    // shuffles before the per-doc count
+    val plan = scores.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"expected broadcast semi-join:\n${plan.take(2000)}")
+  }
+
   test("two-level top-k and inverted index are partitioning-independent") {
     // Both rank within (key, spark_partition_id()) before the global pass —
     // this pins that the partition id only shapes WHERE work happens, never
