@@ -57,6 +57,17 @@ object DedupVolume {
       Dedup.removeDuplicates(corpus, col("doc_id"), cands).count())
     println(s"[dedup-vol] kept after dedup: $kept of $n")
 
+    // decontamination at volume: 200 eval docs vs the 500k corpus — the
+    // verbatim replicas (every 10th) of the eval source docs are planted
+    // contamination; the eval 8-gram vocabulary broadcasts, the corpus
+    // never shuffles before the per-doc count, output = overlapping docs
+    val evalSet = d.filter(col("doc_id") < 200)
+    val contaminated = time("decontamination scan, 500k docs vs 200 eval docs")(
+      Dedup.contaminationScores(corpus, evalSet, col("doc_id"), col("text"))
+        .filter(col("overlap") >= lit(0.3)).count())
+    println(s"[dedup-vol] contaminated (overlap ≥ 0.3): $contaminated " +
+      s"(expected ≥ ${200 * 10} verbatim replicas)")
+
     // star-contraction on min-label's adversarial case: one 100k-hop chain
     // (min-label would need 100k rounds; star folds it in O(log n))
     val chainIds = spark.range(100000).select(col("id"))
