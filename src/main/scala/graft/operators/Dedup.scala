@@ -91,8 +91,9 @@ object Dedup {
     * and in practice form the tiny Zipf head (hot LSH buckets / boilerplate
     * shingles). If a corpus ever produced an over-cap set too big to
     * broadcast, raising `cap` or swapping the broadcast list for a bloom
-    * filter are the knobs — the groupBy side stays skew-proof either way. */
-  /** `checkpointInput = false` skips the internal materialization — for
+    * filter are the knobs — the groupBy side stays skew-proof either way.
+    *
+    * `checkpointInput = false` skips the internal materialization — for
     * callers whose input is a cheap derivation (e.g. an explode) of an
     * already-checkpointed frame, where re-running that derivation for the
     * count side costs less than writing a second, larger checkpoint. */
