@@ -75,6 +75,7 @@ object Bench {
     }
     System.out.println(preamble + entries.mkString(",") + epilogue)
     System.out.flush()
+    graft.queries.SimilarityQueries.clearExactTopKCache()
     spark.stop()
   }
 }

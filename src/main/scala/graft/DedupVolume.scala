@@ -88,17 +88,7 @@ object DedupVolume {
     // map-side combine means the count stage's reducers read O(#map
     // partitions × #keys) rows, not O(corpus). The listener records the
     // max per-task shuffle-read rows of every stage to prove (b).
-    val stageMax = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long, Int)]()
-    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-        val m = t.taskMetrics
-        if (m != null) {
-          val r = m.shuffleReadMetrics.recordsRead
-          stageMax.merge(t.stageId, (r, r, 1),
-            (a, b) => (math.max(a._1, b._1), a._2 + b._2, a._3 + b._3))
-        }
-      }
-    })
+    val listener = StageShuffleListener.install(spark)
     // 128 partitions + no AQE coalescing so the threshold separates cleanly:
     // uniform stages (the 3.2M-row (id, band) signature shuffle) read ≤ 25k
     // rows per task, while a window-style guard would hand ONE task all 100k
@@ -114,14 +104,19 @@ object DedupVolume {
         substring(col("id").cast("string"), 1, 0)).as("text"))
     val nHotCands = time("minhash+LSH candidates, 100k identical docs")(
       Dedup.minhashCandidates(hotCorpus, col("doc_id"), col("text")).count())
-    Thread.sleep(3000) // listener bus is async — let task-end events drain
-    import scala.jdk.CollectionConverters._
-    val stages = stageMax.asScala.toSeq.sortBy(-_._2._2)
+    // drain the async bus until task counts are stable AND ≥150 tasks were
+    // observed (the count() pipeline runs ≥190 tasks at 128 shuffle
+    // partitions) — a fixed sleep could leave late task-end events
+    // undelivered and make the worstMax assertion pass vacuously. A ROW
+    // floor would be wrong here: map-side combine is exactly what the
+    // guard proves, so reducers legitimately read only ~256 rows total.
+    listener.drain(minTasks = 150L)
+    val stages = listener.stages
     println(s"[dedup-vol] adversarial candidates: $nHotCands (all buckets over cap => dropped)")
     for ((sid, (mx, sum, n)) <- stages.take(6))
       println(s"[dedup-vol] adversarial stage $sid: maxTaskRows=$mx sumRows=$sum tasks=$n")
     assert(nHotCands == 0, "over-cap buckets must produce no candidates")
-    val worstMax = stages.map(_._2._1).maxOption.getOrElse(0L)
+    val worstMax = listener.worstTaskRows
     assert(worstMax < 50000, s"a task read a full hot bucket: $worstMax rows")
     spark.stop()
   }

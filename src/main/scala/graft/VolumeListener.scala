@@ -1,0 +1,70 @@
+package graft
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+/** Per-stage shuffle-read accounting for the volume rehearsals: records
+  * (max per-task records, total records, task count) per stage, used to
+  * prove a stage never concentrated a hot key onto one task.
+  *
+  * The listener bus is async, so a fixed sleep after the action races
+  * task-end delivery on a loaded machine — late events would leave the
+  * map incomplete and a `maxOption`-style assertion could pass vacuously.
+  * `drain()` instead polls until the observed task count is stable across
+  * two consecutive polls AND the caller's floor on total observed shuffle
+  * rows is met (proof the listener saw the real work, not an empty map),
+  * failing loudly on timeout. */
+final class StageShuffleListener extends SparkListener {
+  val stageMax = new ConcurrentHashMap[Int, (Long, Long, Int)]()
+
+  override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+    val m = t.taskMetrics
+    if (m != null) {
+      val r = m.shuffleReadMetrics.recordsRead
+      stageMax.merge(t.stageId, (r, r, 1),
+        (a, b) => (math.max(a._1, b._1), a._2 + b._2, a._3 + b._3))
+    }
+  }
+
+  import scala.jdk.CollectionConverters._
+
+  /** Stages sorted by descending total shuffle-read rows. */
+  def stages: Seq[(Int, (Long, Long, Int))] = stageMax.asScala.toSeq.sortBy(-_._2._2)
+
+  /** Max per-task shuffle-read rows across all observed stages. */
+  def worstTaskRows: Long = stages.map(_._2._1).maxOption.getOrElse(0L)
+
+  /** Wait for the async bus to deliver everything: poll until the total
+    * observed task count is unchanged between polls AND the caller's
+    * floors hold. Pick the floor that fits the workload: `minTotalRows`
+    * for window/join shuffles that move real rows, `minTasks` for
+    * map-side-combined aggregations whose reducers legitimately read only
+    * a handful of rows. Throws after `timeoutMs`. */
+  def drain(minTotalRows: Long = 0L, minTasks: Long = 0L, timeoutMs: Long = 30000L): Unit = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    var prevTasks = -1L
+    while (true) {
+      val snap = stages
+      val tasks = snap.map(_._2._3.toLong).sum
+      val rows = snap.map(_._2._2).sum
+      if (tasks == prevTasks && rows >= minTotalRows && tasks >= minTasks) return
+      if (System.nanoTime() > deadline)
+        throw new IllegalStateException(
+          s"listener bus did not drain: tasks=$tasks rows=$rows " +
+            s"(need rows >= $minTotalRows, tasks >= $minTasks)")
+      prevTasks = tasks
+      Thread.sleep(250)
+    }
+  }
+}
+
+object StageShuffleListener {
+  /** Install a fresh listener on the session. */
+  def install(spark: SparkSession): StageShuffleListener = {
+    val l = new StageShuffleListener
+    spark.sparkContext.addSparkListener(l)
+    l
+  }
+}

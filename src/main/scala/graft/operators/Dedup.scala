@@ -89,9 +89,22 @@ object Dedup {
     *
     * Broadcast size: over-cap keys number at most N/cap for N input rows,
     * and in practice form the tiny Zipf head (hot LSH buckets / boilerplate
-    * shingles). If a corpus ever produced an over-cap set too big to
-    * broadcast, raising `cap` or swapping the broadcast list for a bloom
-    * filter are the knobs — the groupBy side stays skew-proof either way.
+    * shingles). The guard is now ENFORCED, not assumed: the over-cap key
+    * frame is checkpointed and counted (one tiny job — the count reads the
+    * map-side-combined aggregate, never the data rows), and above
+    * `maxBroadcastKeys` the broadcast list is swapped for a bloom filter of
+    * the keys' xxhash64 (a few bits/key instead of a hash-table row, probed
+    * map-side through the codegen'd [[graft.functions.NativeHashes
+    * .BloomMightContainLong]]). Bloom false positives (rate `bloomFpp`)
+    * only over-drop a cool bucket — they thin candidate RECALL by at most
+    * fpp, never corrupt a result; false negatives don't exist, so every
+    * genuinely hot bucket is still dropped.
+    *
+    * Null keys: both paths treat a NULL bucket key as a key like any other
+    * (the anti-join compares null-safely, the bloom hashes the null
+    * marker), matching the groupBy that counted it — an over-cap null
+    * group is dropped just like a hot non-null one. All in-repo callers
+    * derive non-null keys anyway.
     *
     * `checkpointInput = false` skips the internal materialization — for
     * callers whose input is a cheap derivation (e.g. an explode) of an
@@ -99,13 +112,27 @@ object Dedup {
     * count side costs less than writing a second, larger checkpoint. */
   private[graft] def capBuckets(
       df: DataFrame, keys: Seq[String], cap: Int,
-      checkpointInput: Boolean = true): DataFrame = {
+      checkpointInput: Boolean = true,
+      maxBroadcastKeys: Long = 1000000L,
+      bloomFpp: Double = 0.001): DataFrame = {
     val in = if (checkpointInput) df.localCheckpoint(false) else df
+    // checkpointed so the aggregation runs ONCE: the sizing count
+    // materializes it, the anti-join / bloom build replay stored rows
     val hot = in.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__bucket_n"))
       .filter(col("__bucket_n") > cap)
       .select(keys.map(col): _*)
-    in.join(broadcast(hot), keys, "left_anti")
+      .localCheckpoint(false)
+    if (hot.count() <= maxBroadcastKeys) {
+      val hotR = hot.select(keys.map(k => col(k).as(s"__hot_$k")): _*)
+      val cond = keys.map(k => col(k) <=> col(s"__hot_$k")).reduce(_ && _)
+      in.join(broadcast(hotR), cond, "left_anti")
+    } else {
+      val keyHash = xxhash64(keys.map(col): _*)
+      val bytes = BloomJoin.keyBloom(hot.select(keyHash.as("k")), "k", bloomFpp)
+      graft.functions.NativeHashes.register(in.sparkSession)
+      in.filter(!call_function("bloom_might_contain", keyHash, lit(bytes)))
+    }
   }
 
   /** Distinct-shingle frame `(id, shs)` — the shared upstream of the
@@ -390,10 +417,16 @@ object Dedup {
     * the exploded postings: equal warm time at sf0.1 (within run noise),
     * but ~6× fewer stored rows — the storage footprint scales with docs,
     * not postings, which is the difference that matters when the checkpoint
-    * spills at corpus scale. */
+    * spills at corpus scale.
+    *
+    * `checkpointInput = false` for callers that ALREADY pass a
+    * checkpointed shingle frame (q_dedup_minhash shares one across the
+    * sketch and truth sides) — otherwise the same frame would be
+    * materialized and stored twice. */
   def ngramJaccardPairsFromShingles(
-      toks: DataFrame, threshold: Double, maxShingleDf: Int = 128): DataFrame = {
-    val toksC = toks.localCheckpoint(false)
+      toks: DataFrame, threshold: Double, maxShingleDf: Int = 128,
+      checkpointInput: Boolean = true): DataFrame = {
+    val toksC = if (checkpointInput) toks.localCheckpoint(false) else toks
     val sh = capBuckets(
       toksC.select(col("id"), explode(col("shs")).as("sh")), Seq("sh"), maxShingleDf,
       checkpointInput = false)

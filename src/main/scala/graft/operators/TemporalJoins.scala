@@ -28,13 +28,30 @@ object TemporalJoins {
     *
     * Right rows must be unique per (key, rightTime) — pre-aggregate
     * duplicates first, otherwise "the" match at a tied timestamp is
-    * undefined in any engine.
+    * undefined in any engine. Timestamps are assumed non-null (null-time
+    * rows have no defined as-of position in any engine).
+    *
+    * Skew: the running-`last` window is NOT partitioned by the key alone —
+    * that shape would hand a degenerate hot key's entire history to one
+    * task's sort. Instead each row gets a coarse time segment (the union's
+    * [min, max] time span split into `targetSegments` equal bins — one
+    * cheap min/max job decides the bins), the window runs per
+    * (key, segment), and a second pass over the tiny per-(key, segment)
+    * frame (≤ targetSegments + 1 rows per key) carries the latest right
+    * row across segment boundaries: any right row in an earlier segment is
+    * `<=` every left time in a later one, so
+    * `coalesce(withinSegmentLast, carriedBoundaryLast)` is exactly the
+    * single-level answer. A hot key's per-task cost drops from O(its full
+    * history) to O(history / targetSegments); only a key whose rows all
+    * share ONE timestamp still serializes (and such ties have no
+    * meaningful as-of order to exploit anyway).
     *
     * Returns left columns followed by `rightTime` and the right payload
     * columns (caller guarantees no name clashes). */
   def asofBackward(
       left: DataFrame, right: DataFrame,
-      key: String, leftTime: String, rightTime: String): DataFrame = {
+      key: String, leftTime: String, rightTime: String,
+      targetSegments: Int = 128): DataFrame = {
     val rPayload = right.columns.filterNot(c => c == key || c == rightTime).toSeq
     val lStruct = struct(left.columns.toSeq.map(col): _*)
     val rStruct = struct((rightTime +: rPayload).map(col): _*)
@@ -49,17 +66,66 @@ object TemporalJoins {
     val rTagged = right.select(
       col(key).as("__k"), col(rightTime).as("__t"), lit(0).as("__side"),
       lit(null).cast(lType).as("__l"), rStruct.as("__r"))
+    val unioned = lTagged.unionByName(rTagged)
 
-    val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__t"), col("__side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-
-    lTagged.unionByName(rTagged)
-      .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
+    def project(matched: DataFrame): DataFrame = matched
       .filter(col("__side") === 1)
       .select(
         left.columns.toSeq.map(c => col(s"__l.`$c`").as(c)) ++
           (rightTime +: rPayload).map(f => col(s"__match.`$f`").as(f)): _*)
+
+    // One cheap min/max job picks the segment grid. `cast(double)` is
+    // monotone for every orderable time type we accept (numerics,
+    // date/timestamp → epoch seconds), and the double is used ONLY for
+    // binning — ordering inside a bin stays on the original column.
+    val bounds = unioned
+      .agg(min(col("__t").cast("double")), max(col("__t").cast("double"))).head()
+    val span = if (bounds.isNullAt(0)) 0.0 else bounds.getDouble(1) - bounds.getDouble(0)
+
+    if (targetSegments <= 1 || span <= 0.0) {
+      // Empty input or a single distinct timestamp: segmentation cannot
+      // spread anything — run the plain per-key window.
+      val w = Window.partitionBy(col("__k"))
+        .orderBy(col("__t"), col("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      project(unioned.withColumn(
+        "__match", last(col("__r"), ignoreNulls = true).over(w)))
+    } else {
+      val t0 = bounds.getDouble(0)
+      val width = span / targetSegments
+      // max(t) lands exactly on bin `targetSegments`; `least` also caps any
+      // floating-point rounding above it. Monotone in __t, ties stay together.
+      val segExpr = least(
+        floor((col("__t").cast("double") - lit(t0)) / lit(width)),
+        lit(targetSegments.toLong)).cast("long")
+      val tagged = unioned.withColumn("__seg", segExpr)
+
+      val wSeg = Window.partitionBy(col("__k"), col("__seg"))
+        .orderBy(col("__t"), col("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val local = tagged.withColumn(
+        "__local", last(col("__r"), ignoreNulls = true).over(wSeg))
+
+      // Boundary carry: latest right row of each (key, segment), rolled
+      // forward per key across the segment axis. Both frames are
+      // O(#keys × #segments) — the window below sorts ≤ targetSegments + 1
+      // rows per key regardless of how hot the key is.
+      val segLast = tagged.filter(col("__side") === 0)
+        .groupBy(col("__k"), col("__seg"))
+        .agg(max_by(col("__r"), col("__t")).as("__segLast"))
+      val wCarry = Window.partitionBy(col("__k")).orderBy(col("__seg"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val carry = tagged.select(col("__k"), col("__seg")).distinct()
+        .join(segLast, Seq("__k", "__seg"), "left")
+        .withColumn("__carry", last(col("__segLast"), ignoreNulls = true).over(wCarry))
+        .select(col("__k"), col("__seg"), col("__carry"))
+
+      // Equi-join on (__k, __seg): the big side already carries exactly that
+      // hash partitioning (and a (__k, __seg, …) sort) out of `wSeg`, so the
+      // join adds no shuffle or sort on the data; the carry side is tiny.
+      project(local.join(carry, Seq("__k", "__seg"), "left")
+        .withColumn("__match", coalesce(col("__local"), col("__carry"))))
+    }
   }
 
   /** Interval (range-overlap) join: pairs (l, r) where

@@ -84,7 +84,8 @@ object DedupQueries {
           .localCheckpoint(false)
         val cands = Dedup.minhashCandidatesFromShingles(toks)
         val truth = Dedup.ngramJaccardPairsFromShingles(toks,
-          threshold = 0.9, maxShingleDf = DedupQueries.truthShingleDfCap)
+          threshold = 0.9, maxShingleDf = DedupQueries.truthShingleDfCap,
+          checkpointInput = false) // toks is already a checkpoint — don't store it twice
         truth
           .join(cands.select(col("id1"), col("id2"), lit(true).as("hit")),
             Seq("id1", "id2"), "left")

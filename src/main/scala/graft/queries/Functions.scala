@@ -203,6 +203,11 @@ object Functions {
       // user's gap since the previous event exceeds 30 min; session id =
       // running count of session starts. The batch twin of the streaming
       // flatMapGroupsWithState sessionizer (graft.streaming).
+      // KEY-CARDINALITY CONTRACT: the per-user window sorts one user's
+      // history on one task — fine for real user_ids (bounded per-key
+      // history), NOT for a key with a degenerate hot value (bot/sentinel
+      // ids). For those, pre-split the hot key on a coarse time segment
+      // and stitch sessions across boundaries (asofBackward's carry shape).
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         t(s, dir, "events")

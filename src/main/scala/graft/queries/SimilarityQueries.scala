@@ -44,13 +44,28 @@ object SimilarityQueries {
     * materialization the corpus scan would run twice per build. */
   private val exactTopKCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
-  private[queries] def exactTopK(s: SparkSession, dir: String): DataFrame =
+  private[queries] def exactTopK(s: SparkSession, dir: String): DataFrame = {
+    // Lifecycle: entries of stopped sessions are purged on every access so
+    // checkpoint RDDs never outlive their session in a long-lived process;
+    // batch mains (Bench/Verify) also call clearExactTopKCache() on exit.
+    // ASSUMPTION (documented contract): the parquet under `dir` is
+    // immutable for the life of a session — the ODF data model only ever
+    // adds new slices as new files/dirs, so a (session, dir) result is
+    // stable; mutate data in place and you must clear the cache yourself.
+    exactTopKCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     exactTopKCache.computeIfAbsent((s, dir), { case (sess, d) =>
       VectorOps.bruteForceTopK(emb(sess, d), queriesDf(sess, d), k = 10)
         .groupBy(col("query_id"))
         .agg(array_sort(collect_list(col("vec_id"))).as("ids"))
         .localCheckpoint()
     })
+  }
+
+  /** Drop every memoized exact-top-k frame (and with it the pinned
+    * checkpoint RDD references). Called by the batch mains after their
+    * last query; available to long-lived hosts on data change. */
+  def clearExactTopKCache(): Unit = exactTopKCache.clear()
+  private[queries] def exactTopKCacheSize: Int = exactTopKCache.size()
 
   /** Exact+bound compare for the approximate ANN paths: per query, the
     * EXACT top-k id set (sorted, comma-joined — fully DuckDB-reproducible)

@@ -16,6 +16,17 @@ import graft.sources.Tables
   * single-partition windows (the reference's ROW_NUMBER-over-everything is
   * confined to the ODF offset stage, which is a contract requirement there).
   *
+  * KEY-CARDINALITY CONTRACT: a single-level `Window.partitionBy(k)` sorts
+  * each key's rows on ONE task, so it is only safe when rows-per-key is
+  * bounded (here: natural entity keys — nation, custkey, orderstatus —
+  * whose per-key row counts grow sublinearly with the corpus). For a key
+  * that can degenerate (sentinel ids, null-bucketed defaults, whole-corpus
+  * hot keys), use a two-level shape instead: rank within
+  * (key, spark_partition_id()) then merge (SearchIndex.invertedIndex,
+  * VectorOps.topKPerQuery), or segment the time axis and carry boundaries
+  * (TemporalJoins.asofBackward). Don't copy a single-level window from
+  * here into an unbounded-key context.
+  *
   * Window ORDER BYs always end in a unique key so frame contents — and hence
   * results — are engine-independent.
   */

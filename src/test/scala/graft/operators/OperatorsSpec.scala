@@ -375,6 +375,34 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"missing=${(naiveAsof -- fast).take(5)} extra=${(fast -- naiveAsof).take(5)}")
   }
 
+  test("asofBackward: segmented carry matches single-level on a hot key with boundary ties") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // One key owns 90% of the rows; timestamps cluster on segment-boundary
+    // multiples so rows tie EXACTLY on the bin edges of targetSegments=4
+    // (span 0..1200 → edges at 300/600/900) — the carry hand-off and the
+    // side-0-before-side-1 tie rule both get exercised at the edges.
+    def ts(i: Int): Long = if (i % 3 == 0) (rnd.nextInt(5) * 300).toLong else rnd.nextInt(1200).toLong
+    val la = ((0 until 900).map(i => (1L, ts(i), i)) ++
+      (900 until 1000).map(i => ((i % 7 + 2).toLong, ts(i), i)))
+      .toDF("k", "t", "lid").distinct()
+    val ra = (0 until 300).map(i => (if (i < 270) 1L else (i % 7 + 2).toLong, ts(i + 41), i.toDouble))
+      .toDF("k", "rt", "price").groupBy("k", "rt").agg(max("price").as("price"))
+    def runWith(segments: Int): Set[(Long, Long, Int, Option[Any], Option[Any])] =
+      TemporalJoins.asofBackward(la, ra, "k", "t", "rt", targetSegments = segments)
+        .collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("t"), r.getAs[Int]("lid"),
+          Option(r.get(r.fieldIndex("rt"))), Option(r.get(r.fieldIndex("price"))))).toSet
+    val single = runWith(1) // plain per-key window (reference semantics)
+    val segmented = runWith(4)
+    assert(segmented == single,
+      s"missing=${(single -- segmented).take(5)} extra=${(segmented -- single).take(5)}")
+    // and the segmented plan must not sort the hot key in one partition:
+    // the main window's partition spec carries both __k and __seg
+    val plan = TemporalJoins.asofBackward(la, ra, "k", "t", "rt")
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("__seg"), "segmented path must be the default plan")
+  }
+
   test("multimodal audio: real PCM WAV decoded (rate/frames/duration/RMS); non-WAV is NULL") {
     // Synthesize a 0.5 s, 8 kHz mono 16-bit sine WAV in-memory: a full-swing
     // sine has RMS = 1/sqrt(2), exactly predictable.
@@ -703,6 +731,32 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Window"), s"capBuckets planned a Window:\n${plan.take(2000)}")
     assert(plan.contains("BroadcastExchange") && plan.contains("LeftAnti"),
       s"expected broadcast anti-join in:\n${plan.take(2000)}")
+  }
+
+  test("capBuckets: over-cap set above maxBroadcastKeys switches to the bloom map-side filter") {
+    import spark.implicits._
+    val cap = 10
+    // 40 hot buckets (3× cap) + 60 cold buckets (half cap): the over-cap
+    // key set (40) exceeds the forced maxBroadcastKeys=8, so the guard must
+    // take the bloom path instead of driver-broadcasting the key list
+    val hotRows = for (b <- 0 until 40; i <- 0 until cap * 3) yield (s"hot$b", (10000 * b + i).toLong)
+    val coldRows = for (b <- 0 until 60; i <- 0 until cap / 2) yield (s"cold$b", (900000 + 100 * b + i).toLong)
+    val df = (hotRows ++ coldRows).toDF("bucket", "id").repartition(4)
+    val capped = Dedup.capBuckets(df, Seq("bucket"), cap, maxBroadcastKeys = 8L)
+    val kept = capped.groupBy("bucket").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // no false negatives by construction: every hot bucket IS dropped
+    assert(kept.keys.forall(_.startsWith("cold")), s"hot bucket survived: ${kept.keys.take(5)}")
+    // false positives only over-drop cool buckets, at rate bloomFpp=0.001 —
+    // allow a couple, require the surviving counts untouched
+    assert(kept.size >= 58, s"bloom over-dropped too many cool buckets: kept ${kept.size}/60")
+    assert(kept.values.forall(_ == cap / 2))
+    // plan shape: a pure codegen'd filter probing the bloom — no join, no
+    // window, no shuffle of the data rows at all
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("bloommightcontain"), s"expected bloom probe in:\n${plan.take(2000)}")
+    assert(!plan.contains("Window") && !plan.contains("LeftAnti"),
+      s"bloom path must not join or window:\n${plan.take(2000)}")
   }
 
   test("q_dedup_minhash truth-join df cap is far above the corpus's max shingle df") {

@@ -116,4 +116,18 @@ class QueryPlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(SimilarityQueries.exactTopK(spark, dir) eq SimilarityQueries.exactTopK(spark, dir),
       "exact top-k must be memoized per (session, dir)")
   }
+
+  test("exactTopKCache is evictable: clear drops entries and a fresh build repopulates") {
+    // Lifecycle contract (r9 advice): the memo must not pin checkpointed
+    // RDDs forever — stopped-session entries purge on access (not
+    // rehearsable in-suite: local tests share one SparkContext), and the
+    // explicit clear hook Bench/Verify call must actually empty the map.
+    val before = SimilarityQueries.exactTopK(spark, dir)
+    assert(SimilarityQueries.exactTopKCacheSize >= 1)
+    SimilarityQueries.clearExactTopKCache()
+    assert(SimilarityQueries.exactTopKCacheSize == 0, "clear hook left entries behind")
+    val after = SimilarityQueries.exactTopK(spark, dir)
+    assert(!(after eq before), "post-clear access must rebuild, not resurrect")
+    assert(SimilarityQueries.exactTopK(spark, dir) eq after, "memoization must resume after clear")
+  }
 }
