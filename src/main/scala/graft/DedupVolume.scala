@@ -68,6 +68,17 @@ object DedupVolume {
     println(s"[dedup-vol] contaminated (overlap ≥ 0.3): $contaminated " +
       s"(expected ≥ ${200 * 10} verbatim replicas)")
 
+    // fuzzy decontamination at the same volume: eval signatures + band
+    // buckets broadcast, corpus signature/bucketing all map-side, the one
+    // shuffle carries only bucket-matched candidate pairs. The 2000
+    // verbatim replicas must surface at est_jaccard ≈ 1.
+    val fuzzyContam = time("fuzzy decontamination (MinHash-LSH), 500k docs vs 200 eval docs")(
+      Dedup.fuzzyContaminationPairs(corpus, evalSet, col("doc_id"), col("text"))
+        .filter(col("est_jaccard") >= 0.9).count())
+    println(s"[dedup-vol] fuzzy contaminated (est_jaccard ≥ 0.9): $fuzzyContam " +
+      s"(expected ≥ ${200 * 10} verbatim replicas)")
+    assert(fuzzyContam >= 2000, s"fuzzy scan missed verbatim replicas: $fuzzyContam < 2000")
+
     // star-contraction on min-label's adversarial case: one 100k-hop chain
     // (min-label would need 100k rounds; star folds it in O(log n))
     val chainIds = spark.range(100000).select(col("id"))

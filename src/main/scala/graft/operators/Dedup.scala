@@ -389,6 +389,58 @@ object Dedup {
         round(col("n_overlap").cast("double") / col("n_sh"), 6).as("overlap"))
   }
 
+  /** Fuzzy eval-set decontamination: catches PARAPHRASED contamination
+    * that [[contaminationScores]]' exact 8-gram scan misses (a one-token
+    * edit breaks every 8-gram window crossing it, but barely moves 3-gram
+    * Jaccard). MinHash-LSH between the corpus and a small eval set,
+    * returning (id, eval_id, est_jaccard) candidate pairs.
+    *
+    * Scale shape — the corpus NEVER shuffles: the eval side (signatures +
+    * banded bucket keys) is tiny and broadcast; each corpus row computes
+    * its signature and its `bands` bucket keys entirely map-side (a bucket
+    * is a hash of a signature SLICE — sig is already an ordered array, so
+    * no posting explode / groupBy reassembly like the self-join path
+    * needs), probes the broadcast, and only bucket-sharing rows continue.
+    * The single shuffle (pair dedup across bands) carries O(candidate
+    * pairs) ≤ |eval| × matched docs. No hot-bucket cap is needed: the
+    * probe side is bounded by the eval set, so a degenerate bucket costs
+    * ≤ |eval| output rows per corpus doc, never a self-join blowup.
+    *
+    * Operating point: `bands = 16` over 32 hashes (r = 2) targets the
+    * fuzzy-match band J ∈ [0.5, 0.9] — P(pair at J missed) = (1−J²)¹⁶,
+    * ≈ 2·10⁻⁵ at J = 0.7 — where dedup's r = 4 banding (tuned for J ≥ 0.9)
+    * would miss half. `est_jaccard` is the signature-agreement estimate;
+    * verify candidates exactly downstream if exactness matters. */
+  def fuzzyContaminationPairs(
+      corpus: DataFrame, evalDocs: DataFrame, id: Column, text: Column,
+      numHashes: Int = 32, bands: Int = 16, shingleSize: Int = 3): DataFrame =
+    fuzzyContaminationPairsFromShingles(
+      shingleFrame(corpus, id, text, shingleSize),
+      shingleFrame(evalDocs, id, text, shingleSize), numHashes, bands)
+
+  /** [[fuzzyContaminationPairs]] over prebuilt [[shingleFrame]]s — for
+    * callers that also run an exact truth side over one shared (usually
+    * checkpointed) shingle pass. */
+  def fuzzyContaminationPairsFromShingles(
+      corpusToks: DataFrame, evalToks: DataFrame,
+      numHashes: Int = 32, bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
+    graft.functions.NativeHashes.register(corpusToks.sparkSession)
+    val r = numHashes / bands
+    def bandKeys(sig: Column): Column =
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",",
+          transform(slice(sig, b * lit(r) + lit(1), lit(r)), h => h.cast("string")))))
+    def rows(toks: DataFrame, idAs: String, sigAs: String): DataFrame = toks
+      .select(col("id").as(idAs), minhashSignature(col("shs"), numHashes).as(sigAs))
+      .select(col(idAs), col(sigAs),
+        posexplode(bandKeys(col(sigAs))).as(Seq("band", "bucket")))
+    rows(corpusToks, "id", "sig")
+      .join(broadcast(rows(evalToks, "eval_id", "eval_sig")), Seq("band", "bucket"))
+      .groupBy(col("id"), col("eval_id"))
+      .agg(max(round(estimatedJaccard(col("sig"), col("eval_sig")), 6)).as("est_jaccard"))
+  }
+
   // --- Exact n-gram Jaccard ----------------------------------------------
 
   /** Exact n-gram Jaccard similarity join: pairs sharing ≥1 rare shingle,

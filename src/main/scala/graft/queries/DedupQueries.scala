@@ -238,6 +238,79 @@ object DedupQueries {
     ),
 
     QueryDef(
+      "q_decontaminate_fuzzy",
+      // Fuzzy eval-set decontamination, exact+bound shape: the 'thee'
+      // paraphrases (+600000) land at 3-gram J ≈ 0.70-0.79 — the 8-gram
+      // exact scan's blind spot — and verbatim replicas (+500000) at ~1.0.
+      // Rows are the EXACT 3-gram Jaccard (train, eval) pairs at J ≥ 0.5
+      // (DuckDB-reproducible posting intersect; the eval side bounds join
+      // multiplicity at |eval| = 20, so no df cap is needed); the boolean
+      // asserts the MinHash-LSH sketch (bands=16, r=2) recovered each one.
+      // P(miss) = (1−J²)¹⁶ ≤ 2·10⁻⁵ at the J ≥ 0.7 the corpus actually
+      // produces (DuckDB probe: nothing natural lives in [0.25, 0.7), so
+      // 0.5 has margin on both sides); deterministic signatures + fixed
+      // corpus make the boolean a fixed fact, verified at every sf. The
+      // full sketch path executes — the boolean derives from its output.
+      (s, dir) => {
+        val d = docs(s, dir).select(col("doc_id"), col("text"))
+        val evalSet = d.filter(col("doc_id") < 20)
+        val train = d.filter(col("doc_id") >= 20)
+          .unionAll(evalSet.select((col("doc_id") + 500000).as("doc_id"), col("text")))
+          .unionAll(d.filter(col("doc_id") < 10)
+            .select((col("doc_id") + 600000).as("doc_id"),
+              regexp_replace(col("text"), "\\bthe\\b", "thee").as("text")))
+        // one corpus shingle pass feeds BOTH the sketch and the truth side
+        val toks = Dedup.shingleFrame(train, col("doc_id"), col("text"))
+          .localCheckpoint(false)
+        val evalToks = Dedup.shingleFrame(evalSet, col("doc_id"), col("text"))
+        val fuzzy = Dedup.fuzzyContaminationPairsFromShingles(toks, evalToks)
+        val evalPosts = evalToks.select(col("id").as("eval_id"),
+          size(col("shs")).cast("long").as("n2"), explode(col("shs")).as("sh"))
+        val posts = toks.select(col("id").as("doc_id"),
+          size(col("shs")).cast("long").as("n1"), explode(col("shs")).as("sh"))
+        val truth = posts.join(broadcast(evalPosts), Seq("sh"))
+          .groupBy(col("doc_id"), col("eval_id"), col("n1"), col("n2"))
+          .agg(count(lit(1)).as("n_common"))
+          .withColumn("jaccard", round(
+            col("n_common").cast("double") / (col("n1") + col("n2") - col("n_common")), 6))
+          .filter(col("jaccard") >= 0.5)
+        truth
+          .join(fuzzy.select(col("id").as("doc_id"), col("eval_id"), lit(true).as("hit")),
+            Seq("doc_id", "eval_id"), "left")
+          .select(col("doc_id"), col("eval_id"), col("jaccard"),
+            coalesce(col("hit"), lit(false)).as("fuzzy_found"))
+          .orderBy(col("doc_id"), col("eval_id"))
+      },
+      Some("""WITH train AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id >= 20
+             |  UNION ALL SELECT doc_id + 500000, text FROM documents WHERE doc_id < 20
+             |  UNION ALL SELECT doc_id + 600000, regexp_replace(text, '\b(the)\b', 'thee', 'g')
+             |    FROM documents WHERE doc_id < 10),
+             |eval_toks AS (
+             |  SELECT doc_id AS eval_id, list_distinct(list_transform(
+             |    range(1, greatest(len(string_split_regex(trim(lower(text)), '\s+')) - 2, 1) + 1),
+             |    i -> array_to_string((string_split_regex(trim(lower(text)), '\s+'))[i:i+2], ' '))) AS shs
+             |  FROM documents WHERE doc_id < 20),
+             |eval_posts AS (SELECT eval_id, len(shs) AS n2, unnest(shs) AS sh FROM eval_toks),
+             |toks AS (
+             |  SELECT doc_id, list_distinct(list_transform(
+             |    range(1, greatest(len(string_split_regex(trim(lower(text)), '\s+')) - 2, 1) + 1),
+             |    i -> array_to_string((string_split_regex(trim(lower(text)), '\s+'))[i:i+2], ' '))) AS shs
+             |  FROM train),
+             |posts AS (SELECT doc_id, len(shs) AS n1, unnest(shs) AS sh FROM toks),
+             |common AS (
+             |  SELECT p.doc_id, e.eval_id, p.n1, e.n2, COUNT(*) AS n_common
+             |  FROM posts p JOIN eval_posts e USING (sh)
+             |  GROUP BY 1, 2, 3, 4)
+             |SELECT doc_id, eval_id,
+             |  round(CAST(n_common AS DOUBLE) / (n1 + n2 - n_common), 6) AS jaccard,
+             |  TRUE AS fuzzy_found
+             |FROM common
+             |WHERE round(CAST(n_common AS DOUBLE) / (n1 + n2 - n_common), 6) >= 0.5
+             |ORDER BY doc_id, eval_id""".stripMargin),
+    ),
+
+    QueryDef(
       "q_dedup_clean",
       // End-to-end corpus cleaning: exact-fingerprint pairs ∪ df-capped
       // ngram-Jaccard pairs → connected components → keep the min-id

@@ -799,6 +799,38 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected broadcast semi-join:\n${plan.take(2000)}")
   }
 
+  test("fuzzy contamination: paraphrases the 8-gram scan misses are recovered via MinHash-LSH") {
+    val evalSet = docs.filter(col("doc_id") < 20)
+    // heavy paraphrase: mutate every 8th WORD, so every 8-gram window
+    // contains a mutation (exact scan overlap = 0, total blind spot) while
+    // 5/8 of 3-gram windows survive untouched (3-gram Jaccard ≈ 0.45)
+    val paraphrase = concat_ws(" ", transform(split(trim(lower(col("text"))), "\\s+"),
+      (w, i) => when(i % 8 === 0, concat(w, lit("x"))).otherwise(w)))
+    val train = docs.filter(col("doc_id") >= 20)
+      .unionAll(docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 600000).as("doc_id"), paraphrase.as("text")))
+    // exact 8-gram scan: the paraphrases are completely invisible
+    val exactHits = Dedup.contaminationScores(train, evalSet, col("doc_id"), col("text"))
+      .filter(col("overlap") >= 0.3 && col("id") >= 600000).count()
+    assert(exactHits == 0, s"8-gram scan unexpectedly caught $exactHits paraphrases")
+    // fuzzy scan: the banded sketch (16 bands of 2 rows) recovers the
+    // planted pairs at J ≈ 0.45 — P(miss) = (1−J²)¹⁶ ≈ 3% per pair, and
+    // signatures are deterministic, so the recovered set is a fixed fact;
+    // require ≥ 8/10 (measured: 10/10) with a sane agreement estimate
+    val fuzzy = Dedup.fuzzyContaminationPairs(train, evalSet, col("doc_id"), col("text"))
+    val hits = fuzzy.filter(col("est_jaccard") >= 0.25).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val recovered = (0 until 10).count(i => hits.exists(h => h._1 == 600000 + i && h._2 == i))
+    assert(recovered >= 8, s"only $recovered/10 paraphrases recovered: ${hits.take(10).toSeq}")
+    // plan: eval buckets broadcast — the corpus side reaches the candidate
+    // join with NO exchange (signature + band keys are all map-side)
+    val plan = fuzzy.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast probe:\n${plan.take(2000)}")
+    val beforeJoin = plan.substring(plan.indexOf("BroadcastHashJoin"))
+    assert(!beforeJoin.split("BroadcastExchange")(0).contains("Exchange"),
+      s"corpus side must not shuffle before the bucket probe:\n${plan.take(3000)}")
+  }
+
   test("two-level top-k and inverted index are partitioning-independent") {
     // Both rank within (key, spark_partition_id()) before the global pass —
     // this pins that the partition id only shapes WHERE work happens, never
