@@ -90,6 +90,23 @@ object DataFusionCompat {
     }
   }
 
+  /** DataFusion's `array_element`/`list_extract` is TOTAL: 1-based,
+    * negative counts from the end, and index 0 or out-of-bounds yields NULL
+    * (DuckDB `list_extract` agrees — differential-fuzz verified). Spark's
+    * `ElementAt` instead throws on index 0 unconditionally and on
+    * out-of-bounds under ANSI, so the index is null-routed at 0 and
+    * `failOnError` pinned off. (Registry builders are untyped, so a map
+    * probed with literal key 0 through these dialect names would also get
+    * NULL — DataFusion has no map element function, so nothing is lost.) */
+  private def elementTotal(args: Seq[Expression]): Expression = {
+    // Spark's ElementAt demands an INT index where DataFusion/DuckDB take
+    // any integer: TRY-cast so a BIGINT beyond Int range null-routes (=
+    // out-of-bounds) instead of failing analysis or overflowing
+    val idx = Cast(args(1), IntegerType, None, EvalMode.TRY)
+    val safeIdx = If(EqualTo(idx, Literal(0)), Literal(null), idx)
+    ElementAt(args(0), safeIdx, None, failOnError = false)
+  }
+
   private def regexpMatch(args: Seq[Expression]): Expression = {
     val Seq(str, re) = args.take(2)
     If(RLike(str, re),
@@ -540,11 +557,11 @@ object DataFusionCompat {
     "strpos" -> (args => StringInstr(args(0), args(1))),
     "to_hex" -> (args => Lower(Hex(args.head))),
     "array_has" -> (args => ArrayContains(args(0), args(1))),
-    "array_element" -> (args => ElementAt(args(0), args(1))),
+    "array_element" -> (args => elementTotal(args)),
     "array_to_string" -> (args => ArrayJoin(args(0), args(1), None)),
     // list_* aliases (DataFusion registers every array_* under list_* too)
-    "list_element" -> (args => ElementAt(args(0), args(1))),
-    "list_extract" -> (args => ElementAt(args(0), args(1))),
+    "list_element" -> (args => elementTotal(args)),
+    "list_extract" -> (args => elementTotal(args)),
     "list_has" -> (args => ArrayContains(args(0), args(1))),
     "list_contains" -> (args => ArrayContains(args(0), args(1))),
     "list_to_string" -> (args => ArrayJoin(args(0), args(1), None)),

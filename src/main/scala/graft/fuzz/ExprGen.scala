@@ -1,0 +1,216 @@
+package graft.fuzz
+
+import scala.util.Random
+
+/** Typed, seeded random SQL-expression generator for the differential fuzz
+  * harness (round-10 verdict item #2).
+  *
+  * The generated SQL must parse AND mean the same thing in two engines:
+  * the ODF request session (Spark + the DataFusion-dialect function layer,
+  * graft.functions.DataFusionCompat — the contract the reference's
+  * delegated-SQL surface exposes, engine.rs:287) and DuckDB (the offline
+  * oracle the driver uses). So the surface is CURATED: every entry is a
+  * function/operator whose semantics the two engines are expected to
+  * share. Where DuckDB (the ORACLE, not the contract) deviates from the
+  * DataFusion semantics this engine implements, the generator GUARDS the
+  * construct rather than allowlisting a divergence downstream — each guard
+  * is commented at its Sig. Probe-verified oracle deviations handled that
+  * way: DuckDB double `/ 0` and bigint `% 0` yield NULL (IEEE Inf / error
+  * elsewhere) → nullif-guarded divisors; DuckDB `sqrt(-x)` errors (NaN
+  * elsewhere) → abs-guarded; DuckDB `to_hex` renders uppercase (DataFusion
+  * lowercase) → lower()-wrapped; DuckDB `list_sort` places NULLs last and
+  * `list_distinct` drops them (Spark: first / keeps one) → array elements
+  * coalesce-guarded non-null; DuckDB `sign(NaN)` is 0 (NaN elsewhere) →
+  * `sign` excluded; Spark `floor`/`ceil` of DOUBLE saturate to BIGINT
+  * (NaN→0, 1e300→Long.Max; DuckDB stays DOUBLE) → argument range-bounded
+  * by `% 1e9` with NaN null-routed. Known-divergent names stay out
+  * entirely (DuckDB `list_position` returns 0 on a miss where DataFusion
+  * returns NULL; DuckDB `regexp_replace` is first-match unless 'g';
+  * `concat` skips NULLs in DuckDB but nulls out in Spark — `||` is the
+  * common form).
+  *
+  * Trees are typed: `gen(ty, depth)` picks leaves (fixture columns /
+  * boundary literals — NULLs, '', empty arrays, extreme dates, negative
+  * zero) or an operator with matching return type, recursing on argument
+  * types. Depth ≤ 3 keeps a case readable enough to diagnose on
+  * divergence. Everything is deterministic in the seed.
+  */
+object ExprGen {
+
+  sealed trait Ty
+  case object L extends Ty // BIGINT
+  case object D extends Ty // DOUBLE
+  case object S extends Ty // VARCHAR
+  case object B extends Ty // BOOLEAN
+  case object A extends Ty // ARRAY<BIGINT> (sourced from columns/list fns only:
+                           // array literal syntax differs between the engines)
+  case object T extends Ty // TIMESTAMP
+
+  final case class Sig(build: Seq[String] => String, args: Seq[Ty], out: Ty)
+  private def fn(name: String, out: Ty, args: Ty*): Sig =
+    Sig(as => s"$name(${as.mkString(", ")})", args, out)
+  private def op(sym: String, a: Ty, b: Ty, out: Ty): Sig =
+    Sig(as => s"(${as(0)} $sym ${as(1)})", Seq(a, b), out)
+
+  /** Fixture columns per type (see [[FuzzFixture]]). */
+  private val cols: Map[Ty, Seq[String]] = Map(
+    L -> Seq("l1", "l2"), D -> Seq("d1", "d2"), S -> Seq("s1", "s2"),
+    B -> Seq("b1"), A -> Seq("a1"), T -> Seq("ts1"))
+
+  /** Boundary-heavy literal pools. Arithmetic overflow / division by zero
+    * are allowed to happen: both engines raise, and the comparator treats
+    * both-error as agreement (one-sided errors are the interesting find). */
+  private val litPool: Map[Ty, Seq[String]] = Map(
+    L -> Seq("0", "1", "-1", "2", "3", "7", "10", "100", "-37", "1000000",
+      "CAST(NULL AS BIGINT)"),
+    // e-notation so BOTH parsers type these DOUBLE (plain `-2.25` is
+    // DECIMAL in both engines, and decimal overflow semantics differ)
+    D -> Seq("0.0e0", "1.5e0", "-2.25e0", "0.1e0", "100.0e0", "-0.5e0",
+      "1.0e6", "1.0e-6", "3.5e0", "CAST(NULL AS DOUBLE)"),
+    S -> Seq("''", "'a'", "'abc'", "'Hello World'", "'a,b,c'", "' pad '",
+      "'123'", "'-42'", "'not a number'", "'aaa'", "'_%'",
+      // STRING, not VARCHAR: Spark rejects length-less VARCHAR and DuckDB
+      // accepts STRING as a VARCHAR alias
+      "CAST(NULL AS STRING)"),
+    B -> Seq("TRUE", "FALSE", "CAST(NULL AS BOOLEAN)"),
+    A -> Seq.empty, // arrays come from columns / array-returning functions
+    T -> Seq("TIMESTAMP '2020-06-15 12:34:56'", "TIMESTAMP '1969-12-31 23:59:59'",
+      "TIMESTAMP '2000-02-29 00:00:00'", "TIMESTAMP '1905-03-04 05:06:07'"))
+
+  /** The curated operator/function surface. Comments mark entries from the
+    * DataFusion-dialect layer (DataFusionCompat) vs Spark/DuckDB-shared
+    * builtins. */
+  private val sigs: Seq[Sig] = Seq(
+    // --- arithmetic / math -------------------------------------------------
+    op("+", L, L, L), op("-", L, L, L), op("*", L, L, L),
+    // nullif-guarded divisors: DuckDB yields NULL at 0 where Spark raises
+    // (bigint) / returns IEEE Inf (double) — guarded, both engines agree
+    Sig(as => s"(${as(0)} % nullif(${as(1)}, 0))", Seq(L, L), L),
+    op("+", D, D, D), op("-", D, D, D), op("*", D, D, D),
+    Sig(as => s"(${as(0)} / nullif(${as(1)}, 0.0e0))", Seq(D, D), D),
+    fn("abs", L, L), fn("abs", D, D),
+    // floor/ceil of DOUBLE return BIGINT in Spark and saturate (NaN→0,
+    // ±huge→Long.Min/Max) where DuckDB stays DOUBLE: bound the argument to
+    // (−1e9, 1e9) via fmod and null-route the NaN fmod leaves behind
+    // CAST(.. AS BIGINT): Spark floor/ceil already return BIGINT but
+    // DuckDB's stay DOUBLE, which its strictly-typed gcd/lcm/list_extract
+    // refuse as an argument — the cast (exact: |value| < 1e9) aligns both
+    Sig(as => s"CAST(floor(nullif(${as(0)} % 1.0e9, CAST('NaN' AS DOUBLE))) AS BIGINT)", Seq(D), L),
+    Sig(as => s"CAST(ceil(nullif(${as(0)} % 1.0e9, CAST('NaN' AS DOUBLE))) AS BIGINT)", Seq(D), L),
+    fn("round", D, D), Sig(as => s"round(${as(0)}, 2)", Seq(D), D),
+    // abs-guarded: DuckDB sqrt(-x) errors where Spark/DataFusion give NaN
+    Sig(as => s"sqrt(abs(${as(0)}))", Seq(D), D),
+    fn("exp", D, D), // sign excluded: DuckDB sign(NaN)=0, Spark/DataFusion NaN
+    fn("gcd", L, L, L), fn("lcm", L, L, L), // dialect: registered by DataFusionCompat
+    fn("greatest", L, L, L), fn("least", L, L, L),
+    fn("greatest", D, D, D), fn("least", D, D, D),
+    // --- string ------------------------------------------------------------
+    fn("length", L, S), fn("upper", S, S), fn("lower", S, S),
+    fn("trim", S, S), fn("ltrim", S, S), fn("rtrim", S, S),
+    fn("reverse", S, S), fn("md5", S, S),
+    op("||", S, S, S), // the NULL-strict concat both engines share
+    fn("replace", S, S, S, S),
+    fn("starts_with", B, S, S), // dialect name (DataFusionCompat)
+    fn("strpos", L, S, S),      // dialect name; 1-based, 0 on miss in both
+    Sig(as => s"substr(${as(0)}, 2, 3)", Seq(S), S),
+    // null-strict CASE guard: DuckDB split_part(NULL, ...) yields '' where
+    // Spark/DataFusion propagate NULL
+    Sig(as => s"(CASE WHEN ${as(0)} IS NULL THEN NULL ELSE split_part(${as(0)}, ',', 2) END)",
+      Seq(S), S),
+    Sig(as => s"lpad(${as(0)}, 6, '*')", Seq(S), S),
+    Sig(as => s"rpad(${as(0)}, 6, '*')", Seq(S), S),
+    Sig(as => s"repeat(${as(0)}, 3)", Seq(S), S),
+    // dialect to_hex(bigint): lower()-wrapped because the DuckDB oracle
+    // renders hex uppercase where DataFusion (and this engine) lowercase
+    Sig(as => s"lower(to_hex(${as(0)}))", Seq(L), S),
+    // --- conditional / comparison -------------------------------------------
+    Sig(as => s"(CASE WHEN ${as(0)} THEN ${as(1)} ELSE ${as(2)} END)", Seq(B, L, L), L),
+    Sig(as => s"(CASE WHEN ${as(0)} THEN ${as(1)} ELSE ${as(2)} END)", Seq(B, S, S), S),
+    fn("coalesce", L, L, L), fn("coalesce", S, S, S),
+    fn("nullif", L, L, L), fn("nullif", S, S, S),
+    op("=", L, L, B), op("<>", L, L, B), op("<", L, L, B), op("<=", L, L, B),
+    op("=", S, S, B), op("<", S, S, B),
+    op("<", T, T, B), op("=", T, T, B),
+    Sig(as => s"(${as(0)} IS NULL)", Seq(L), B),
+    Sig(as => s"(${as(0)} IS NOT NULL)", Seq(S), B),
+    Sig(as => s"(${as(0)} IS DISTINCT FROM ${as(1)})", Seq(L, L), B),
+    Sig(as => s"(${as(0)} BETWEEN ${as(1)} AND ${as(2)})", Seq(L, L, L), B),
+    Sig(as => s"(${as(0)} IN (${as(1)}, ${as(2)}, 7))", Seq(L, L, L), B),
+    Sig(as => s"(${as(0)} LIKE '%a%')", Seq(S), B),
+    Sig(as => s"(${as(0)} LIKE 'a_c')", Seq(S), B),
+    op("AND", B, B, B), op("OR", B, B, B),
+    Sig(as => s"(NOT ${as(0)})", Seq(B), B),
+    // --- casts ---------------------------------------------------------------
+    Sig(as => s"CAST(${as(0)} AS DOUBLE)", Seq(L), D),
+    Sig(as => s"TRY_CAST(${as(0)} AS BIGINT)", Seq(S), L),
+    Sig(as => s"TRY_CAST(${as(0)} AS DOUBLE)", Seq(S), D),
+    // --- date/time (dialect date_part/date_trunc match DuckDB, incl. the
+    //     0-based 'dow' DataFusionCompat maps explicitly) -----------------------
+    Sig(as => s"date_part('year', ${as(0)})", Seq(T), L),
+    Sig(as => s"date_part('month', ${as(0)})", Seq(T), L),
+    Sig(as => s"date_part('day', ${as(0)})", Seq(T), L),
+    Sig(as => s"date_part('hour', ${as(0)})", Seq(T), L),
+    Sig(as => s"date_part('minute', ${as(0)})", Seq(T), L),
+    Sig(as => s"date_part('dow', ${as(0)})", Seq(T), L),
+    Sig(as => s"date_part('doy', ${as(0)})", Seq(T), L),
+    Sig(as => s"date_trunc('day', ${as(0)})", Seq(T), T),
+    Sig(as => s"date_trunc('month', ${as(0)})", Seq(T), T),
+    Sig(as => s"date_trunc('year', ${as(0)})", Seq(T), T),
+    Sig(as => s"date_trunc('hour', ${as(0)})", Seq(T), T),
+    // --- arrays (dialect list_* names; results canonicalized element-wise) ----
+    fn("list_contains", B, A, L),   // dialect name shared with DuckDB
+    fn("list_extract", L, A, L),    // 1-based; NULL out-of-bounds in both
+    fn("list_sort", A, A),
+    fn("list_reverse", A, A),
+    // element coalesce-guarded non-null: a NULL element downstream hits
+    // list_sort (DuckDB NULLS LAST, Spark NULLS FIRST) and list_distinct
+    // (DuckDB drops NULLs, Spark keeps one) — divergent oracle, not engine.
+    // Array arg CASE-guarded null-strict: DuckDB treats a NULL list as
+    // empty in append/prepend ([x]) where Spark/this engine propagate NULL
+    Sig(as => s"(CASE WHEN ${as(0)} IS NULL THEN NULL ELSE list_append(${as(0)}, coalesce(${as(1)}, 0)) END)",
+      Seq(A, L), A),
+    Sig(as => s"(CASE WHEN ${as(1)} IS NULL THEN NULL ELSE list_prepend(coalesce(${as(0)}, 0), ${as(1)}) END)",
+      Seq(L, A), A),
+    fn("array_length", L, A),       // dialect 1-arg form; DuckDB len-equivalent
+    // nullif-equalized: DuckDB renders an EMPTY array as NULL where
+    // Spark/DataFusion give '' — fold both to NULL
+    Sig(as => s"nullif(array_to_string(${as(0)}, ','), '')", Seq(A), S),
+    Sig(as => s"list_sort(list_distinct(${as(0)}))", Seq(A), A))
+
+  private val byOut: Map[Ty, Seq[Sig]] = sigs.groupBy(_.out)
+
+  /** One random expression of type `ty`; leaves get likelier as depth runs
+    * out. */
+  def gen(rnd: Random, ty: Ty, depth: Int): String = {
+    val leafBias = if (depth <= 0) 1.0 else 0.35
+    val fns = byOut.getOrElse(ty, Seq.empty)
+    if (fns.isEmpty || rnd.nextDouble() < leafBias) leaf(rnd, ty)
+    else {
+      val sig = fns(rnd.nextInt(fns.length))
+      sig.build(sig.args.map(a => gen(rnd, a, depth - 1)))
+    }
+  }
+
+  private def leaf(rnd: Random, ty: Ty): String = {
+    val cs = cols.getOrElse(ty, Seq.empty)
+    val ls = litPool.getOrElse(ty, Seq.empty)
+    // arrays have no literal pool → always a column; otherwise 50/50
+    if (ls.isEmpty || (cs.nonEmpty && rnd.nextBoolean())) cs(rnd.nextInt(cs.length))
+    else ls(rnd.nextInt(ls.length))
+  }
+
+  /** Case `i` for `seed`: a full SELECT over the fixture view `t`,
+    * projecting the row id and the generated expression. */
+  def caseSql(seed: Long, i: Int): String = {
+    val rnd = new Random(seed * 1000003L + i)
+    val ty = Seq(L, D, S, B, A, T)(rnd.nextInt(6))
+    s"SELECT id, ${gen(rnd, ty, 3)} AS r FROM t"
+  }
+
+  /** Just the expression text of case `i` (for batched evaluation). */
+  def caseExpr(seed: Long, i: Int): String = {
+    val rnd = new Random(seed * 1000003L + i)
+    val ty = Seq(L, D, S, B, A, T)(rnd.nextInt(6))
+    gen(rnd, ty, 3)
+  }
+}

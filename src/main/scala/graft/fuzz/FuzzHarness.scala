@@ -1,0 +1,163 @@
+package graft.fuzz
+
+import java.io.{BufferedWriter, File, FileWriter}
+import java.time.Instant
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.odf.OdfSessions
+
+/** Differential-fuzz harness, Spark side (round-10 verdict item #2).
+  *
+  * Evaluates [[ExprGen]] cases through an ODF request session — the exact
+  * delegated-SQL surface the reference exposes (engine.rs:287: arbitrary
+  * SQL through the session's function registry, here Spark +
+  * DataFusionCompat + JsonFunctions) — over a small boundary-value fixture,
+  * and dumps `(expr, result-or-error)` per case as JSON lines.
+  * `tools/fuzz_check.py` then replays the SAME SQL text over the SAME
+  * parquet fixture bytes in DuckDB and compares value-by-value (numeric
+  * tolerance for libm tails, both-error = agreement). FuzzDifferentialSpec
+  * drives ≥1000 cases in CI; `graft.FuzzDump` runs bigger sweeps manually.
+  *
+  * The fixture is written once by Spark and READ BACK for evaluation, so
+  * both engines consume identical parquet bytes — no second literal-parsing
+  * path to diverge on.
+  */
+object FuzzHarness {
+
+  /** Boundary-value fixture: NULLs in every column, empty/whitespace/
+    * unicode/pattern-metachar strings, ±0.0/NaN/±Inf doubles, a bigint
+    * whose square overflows by a hair (3037000499² ≈ Long.Max + 5.8e9 —
+    * both engines must agree on the overflow error), 2^53+1 as an array
+    * element (double-lossy the same way in both), empty and NULL arrays,
+    * pre-epoch / leap-day / fractional-second timestamps. */
+  private val fixtureSql: String = """
+    SELECT id, l1, l2, d1, d2, s1, s2, b1, a1, timestamp_micros(tsu) AS ts1
+    FROM VALUES
+      (0L,  0L,    1L,  0.0e0,    1.5e0,   '',            'a',    true,
+       array(), 1577836800000000L),
+      (1L,  1L,   -1L,  -0.0e0,   -2.25e0, 'a',           'b',    false,
+       array(1L), -1L),
+      (2L, -1L,    2L,  1.0e0,    0.1e0,   'abc',         'ABC',  CAST(NULL AS BOOLEAN),
+       array(1L, 2L, 3L), 0L),
+      (3L,  7L,    3L,  -1.5e0,   CAST('NaN' AS DOUBLE), 'Hello World', 'hello', true,
+       array(3L, 2L, 1L), 951825600000000L),
+      (4L,  100L,  10L, 1.0e6,    CAST('Infinity' AS DOUBLE), 'a,b,c', ',', false,
+       array(0L, -1L, 7L), 1735689599500000L),
+      (5L, -37L,   100L, 1.0e-6,  CAST('-Infinity' AS DOUBLE), ' pad ', '  ', true,
+       array(100L, 100L, -37L), 915246245678901L),
+      (6L,  1000000L, -5L, 2.5e0, 3.5e0,   '123',         '-42',  false,
+       array(9007199254740993L), 1171243445000000L),
+      (7L,  3037000499L, 42L, -100.25e0, 1.0e308, 'Héllo Wörld', 'aaa', true,
+       array(5L, 5L, 5L, 5L), 1209600000000L),
+      (8L,  CAST(NULL AS BIGINT), 6L, CAST(NULL AS DOUBLE), 2.0e0, 'not a number', '_%',
+       CAST(NULL AS BOOLEAN), array(2L, 4L, 8L), CAST(NULL AS BIGINT)),
+      (9L,  13L,  CAST(NULL AS BIGINT), 0.5e0, CAST(NULL AS DOUBLE), CAST(NULL AS STRING),
+       'a_c', true, array(-5L), 386459112000000L),
+      (10L, 2L,    7L,  7.25e0,   -1.0e6,  'aaa',         CAST(NULL AS STRING), false,
+       CAST(NULL AS ARRAY<BIGINT>), 788918400000000L),
+      (11L, 4L,   -3L,  3.125e0,  0.25e0,  'xyz',         'x',    true,
+       array(42L), 946684800000000L)
+      AS v(id, l1, l2, d1, d2, s1, s2, b1, a1, tsu)"""
+
+  /** Write the fixture parquet and register the read-back as temp view `t`
+    * on `session`. Returns the read-back frame. */
+  def writeAndRegisterFixture(session: SparkSession, outDir: String): DataFrame = {
+    val path = s"$outDir/fixture.parquet"
+    session.sql(fixtureSql).coalesce(1).write.mode("overwrite").parquet(path)
+    val back = session.read.parquet(path)
+    back.createOrReplaceTempView("t")
+    back
+  }
+
+  /** Canonical value rendering shared (by construction) with
+    * tools/fuzz_check.py's DuckDB-side canon: NULL → "NULL", booleans
+    * lowercase, timestamps → "us:<epoch-micros>", arrays element-joined in
+    * brackets, doubles via Double.toString (python float() parses the
+    * "1.0E-6"/"NaN"/"Infinity" renderings; the comparator matches numerics
+    * with tolerance, never strings). */
+  def canon(v: Any): String = v match {
+    case null => "NULL"
+    case b: Boolean => if (b) "true" else "false"
+    case t: java.sql.Timestamp =>
+      val i = t.toInstant
+      "us:" + (i.getEpochSecond * 1000000L + i.getNano / 1000)
+    case i: Instant => "us:" + (i.getEpochSecond * 1000000L + i.getNano / 1000)
+    case d: java.sql.Date => "us:" + (d.toLocalDate.toEpochDay * 86400000000L)
+    case d: java.time.LocalDate => "us:" + (d.toEpochDay * 86400000000L)
+    // collection.Seq, not the 2.13 immutable default: Spark rows hold
+    // mutable.ArraySeq for ARRAY columns
+    case s: scala.collection.Seq[_] => s.map(canon).mkString("[", ",", "]")
+    case bd: java.math.BigDecimal => bd.toPlainString
+    case bd: BigDecimal => bd.bigDecimal.toPlainString
+    case other => other.toString
+  }
+
+  private def jsonEscape(s: String): String = {
+    val sb = new StringBuilder
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  /** Evaluate cases `[0, n)` for `seed` and write `cases.jsonl` +
+    * `fixture.parquet` under `outDir`. Returns (okCount, errCount). */
+  def run(base: SparkSession, seed: Long, n: Int, outDir: String): (Int, Int) = {
+    val session = OdfSessions.newRequestSession(base)
+    new File(outDir).mkdirs()
+    writeAndRegisterFixture(session, outDir)
+    // explicit UTF-8: FileWriter's platform default mangles the unicode
+    // fixture strings on an ASCII-locale JVM
+    val w = new BufferedWriter(new java.io.OutputStreamWriter(
+      new java.io.FileOutputStream(s"$outDir/cases.jsonl"),
+      java.nio.charset.StandardCharsets.UTF_8))
+    var ok = 0; var err = 0
+    try {
+      for (i <- 0 until n) {
+        val expr = ExprGen.caseExpr(seed, i)
+        val sql = s"SELECT id, ($expr) AS r FROM t ORDER BY id"
+        val rec =
+          try {
+            val df = session.sql(sql)
+            val ty = df.schema.fields(1).dataType.sql
+            val rows = df.collect().map(r => "\"" + jsonEscape(canon(r.get(1))) + "\"")
+            ok += 1
+            s"""{"i":$i,"expr":"${jsonEscape(expr)}","ok":true,"ty":"${jsonEscape(ty)}","rows":[${rows.mkString(",")}]}"""
+          } catch {
+            case e: Throwable =>
+              err += 1
+              val msg = Option(e.getMessage).getOrElse(e.getClass.getName).linesIterator
+                .take(1).mkString.take(200)
+              s"""{"i":$i,"expr":"${jsonEscape(expr)}","ok":false,"err":"${jsonEscape(msg)}"}"""
+          }
+        w.write(rec); w.newLine()
+      }
+    } finally w.close()
+    (ok, err)
+  }
+}
+
+/** Manual sweep entry point: `runMain graft.fuzz.FuzzDump <outDir> [seed] [n]`. */
+object FuzzDump {
+  def main(args: Array[String]): Unit = {
+    val outDir = args.headOption.getOrElse("/tmp/fuzz")
+    val seed = args.lift(1).map(_.toLong).getOrElse(20260813L)
+    val n = args.lift(2).map(_.toInt).getOrElse(2000)
+    val spark = OdfSessions.configureBase(SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-fuzz").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    val t0 = System.nanoTime()
+    val (ok, err) = FuzzHarness.run(spark, seed, n, outDir)
+    println(f"[fuzz] $n cases (seed $seed): $ok evaluated, $err engine errors, " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s -> $outDir/cases.jsonl")
+    spark.stop()
+  }
+}
