@@ -531,6 +531,25 @@ object DataFusionCompat {
       copy(left = l, right = r)
   }
 
+  /** IEEE-754 atan2, unlike Spark's builtin which normalizes negative zero
+    * (`math.atan2(left + 0.0, right + 0.0)` in Spark's Atan2): DataFusion
+    * delegates to Rust's `f64::atan2`, so `atan2(-0.0, -0.0)` is −π there
+    * and 0 in Spark. Found by the differential fuzzer (FuzzDifferentialSpec;
+    * DuckDB agrees with IEEE). Dialect-override only — host sessions keep
+    * Spark's builtin. */
+  case class Atan2Ieee(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      java.lang.Math.atan2(a.asInstanceOf[Double], b.asInstanceOf[Double])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"java.lang.Math.atan2($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Atan2Ieee =
+      copy(left = l, right = r)
+  }
+
   case class LcmLong(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = LongType
     override protected def nullSafeEval(a: Any, b: Any): Any =
@@ -694,6 +713,8 @@ object DataFusionCompat {
     "array_position" -> (args => new NullIf(ArrayPosition(args(0), args(1)), Literal(0L))),
     // first occurrence only (Spark's array_remove removes all)
     "array_remove" -> (args => removeFirst(args(0), args(1))),
+    // IEEE negative-zero handling (Spark's builtin normalizes -0.0 → +0.0)
+    "atan2" -> (args => Atan2Ieee(Cast(args(0), DoubleType), Cast(args(1), DoubleType))),
   )
 
   /** Register the full DataFusion-dialect surface (aliases + semantic

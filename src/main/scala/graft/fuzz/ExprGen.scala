@@ -66,7 +66,7 @@ object ExprGen {
     // e-notation so BOTH parsers type these DOUBLE (plain `-2.25` is
     // DECIMAL in both engines, and decimal overflow semantics differ)
     D -> Seq("0.0e0", "1.5e0", "-2.25e0", "0.1e0", "100.0e0", "-0.5e0",
-      "1.0e6", "1.0e-6", "3.5e0", "CAST(NULL AS DOUBLE)"),
+      "1.0e6", "1.0e-6", "3.5e0", "pi()", "CAST(NULL AS DOUBLE)"),
     S -> Seq("''", "'a'", "'abc'", "'Hello World'", "'a,b,c'", "' pad '",
       "'123'", "'-42'", "'not a number'", "'aaa'", "'_%'",
       // STRING, not VARCHAR: Spark rejects length-less VARCHAR and DuckDB
@@ -75,7 +75,8 @@ object ExprGen {
     B -> Seq("TRUE", "FALSE", "CAST(NULL AS BOOLEAN)"),
     A -> Seq.empty, // arrays come from columns / array-returning functions
     T -> Seq("TIMESTAMP '2020-06-15 12:34:56'", "TIMESTAMP '1969-12-31 23:59:59'",
-      "TIMESTAMP '2000-02-29 00:00:00'", "TIMESTAMP '1905-03-04 05:06:07'"))
+      "TIMESTAMP '2000-02-29 00:00:00'", "TIMESTAMP '1905-03-04 05:06:07'",
+      "CAST(NULL AS TIMESTAMP)"))
 
   /** The curated operator/function surface. Comments mark entries from the
     * DataFusion-dialect layer (DataFusionCompat) vs Spark/DuckDB-shared
@@ -101,9 +102,27 @@ object ExprGen {
     // abs-guarded: DuckDB sqrt(-x) errors where Spark/DataFusion give NaN
     Sig(as => s"sqrt(abs(${as(0)}))", Seq(D), D),
     fn("exp", D, D), // sign excluded: DuckDB sign(NaN)=0, Spark/DataFusion NaN
+    fn("power", D, D, D), // total in both: NaN^0=1, (-x)^0.5=NaN, 0^-1=Inf
+    // log domain ≤ 0 errors in DuckDB where Spark yields NULL: abs+ε keeps
+    // the argument positive (NaN/Inf pass through as NaN/Inf in both)
+    Sig(as => s"log10(abs(${as(0)}) + 1.0e-6)", Seq(D), D),
+    Sig(as => s"log2(abs(${as(0)}) + 1.0e-6)", Seq(D), D),
+    Sig(as => s"ln(abs(${as(0)}) + 1.0e-6)", Seq(D), D),
+    // trig: DuckDB errors on ±Inf input ("out of range for numeric
+    // function") where Spark gives NaN — fmod-bound the argument finite and
+    // null-route the NaN that fmod leaves for ±Inf/NaN inputs
+    Sig(as => s"sin(nullif(${as(0)} % 7.0e0, CAST('NaN' AS DOUBLE)))", Seq(D), D),
+    Sig(as => s"cos(nullif(${as(0)} % 7.0e0, CAST('NaN' AS DOUBLE)))", Seq(D), D),
+    // asin over sin keeps the domain in [-1, 1] (DuckDB errors outside)
+    Sig(as => s"asin(sin(nullif(${as(0)} % 7.0e0, CAST('NaN' AS DOUBLE))))", Seq(D), D),
+    fn("atan", D, D), fn("atan2", D, D, D), // total in both (atan2(0,0)=0)
+    fn("degrees", D, D), fn("radians", D, D),
     fn("gcd", L, L, L), fn("lcm", L, L, L), // dialect: registered by DataFusionCompat
+    // bitwise & | share semantics; ^ excluded (XOR in Spark, POWER in DuckDB)
+    op("&", L, L, L), op("|", L, L, L),
     fn("greatest", L, L, L), fn("least", L, L, L),
     fn("greatest", D, D, D), fn("least", D, D, D),
+    fn("greatest", T, T, T), fn("least", T, T, T),
     // --- string ------------------------------------------------------------
     fn("length", L, S), fn("upper", S, S), fn("lower", S, S),
     fn("trim", S, S), fn("ltrim", S, S), fn("rtrim", S, S),
@@ -123,11 +142,27 @@ object ExprGen {
     // dialect to_hex(bigint): lower()-wrapped because the DuckDB oracle
     // renders hex uppercase where DataFusion (and this engine) lowercase
     Sig(as => s"lower(to_hex(${as(0)}))", Seq(L), S),
+    fn("ascii", L, S), // codepoint of first char in both; '' → 0
+    // chr bounded to printable ASCII: control/NUL rendering and >1-byte
+    // codepoints are fine in both but needless canon risk
+    // INT cast: DuckDB's chr refuses BIGINT (bounded to [33,126] so exact)
+    Sig(as => s"chr(CAST(33 + (abs(${as(0)}) % 94) AS INT))", Seq(L), S),
+    // literal counts only: left/right with NEGATIVE n truncate from the
+    // other end in DuckDB but return '' in Spark
+    Sig(as => s"left(${as(0)}, 2)", Seq(S), S),
+    Sig(as => s"right(${as(0)}, 3)", Seq(S), S),
+    Sig(as => s"translate(${as(0)}, 'abc', 'xy')", Seq(S), S),
+    Sig(as => s"concat_ws(',', ${as(0)}, ${as(1)})", Seq(S, S), S), // NULL-skipping in both
+    // levenshtein excluded: DuckDB counts BYTE edits (unicode 'é'→'e' = 2)
+    // where Spark counts CHAR edits (= 1)
     // --- conditional / comparison -------------------------------------------
     Sig(as => s"(CASE WHEN ${as(0)} THEN ${as(1)} ELSE ${as(2)} END)", Seq(B, L, L), L),
     Sig(as => s"(CASE WHEN ${as(0)} THEN ${as(1)} ELSE ${as(2)} END)", Seq(B, S, S), S),
+    Sig(as => s"(CASE WHEN ${as(0)} THEN ${as(1)} ELSE ${as(2)} END)", Seq(B, D, D), D),
     fn("coalesce", L, L, L), fn("coalesce", S, S, S),
-    fn("nullif", L, L, L), fn("nullif", S, S, S),
+    fn("coalesce", D, D, D), fn("coalesce", T, T, T),
+    fn("nullif", L, L, L), fn("nullif", S, S, S), fn("nullif", D, D, D),
+    fn("ifnull", L, L, L), fn("ifnull", S, S, S),
     op("=", L, L, B), op("<>", L, L, B), op("<", L, L, B), op("<=", L, L, B),
     op("=", S, S, B), op("<", S, S, B),
     op("<", T, T, B), op("=", T, T, B),
@@ -136,6 +171,7 @@ object ExprGen {
     Sig(as => s"(${as(0)} IS DISTINCT FROM ${as(1)})", Seq(L, L), B),
     Sig(as => s"(${as(0)} BETWEEN ${as(1)} AND ${as(2)})", Seq(L, L, L), B),
     Sig(as => s"(${as(0)} IN (${as(1)}, ${as(2)}, 7))", Seq(L, L, L), B),
+    Sig(as => s"(${as(0)} IN (${as(1)}, 'abc'))", Seq(S, S), B),
     Sig(as => s"(${as(0)} LIKE '%a%')", Seq(S), B),
     Sig(as => s"(${as(0)} LIKE 'a_c')", Seq(S), B),
     op("AND", B, B, B), op("OR", B, B, B),
@@ -157,8 +193,16 @@ object ExprGen {
     Sig(as => s"date_trunc('month', ${as(0)})", Seq(T), T),
     Sig(as => s"date_trunc('year', ${as(0)})", Seq(T), T),
     Sig(as => s"date_trunc('hour', ${as(0)})", Seq(T), T),
+    // dialect date_part epoch unit → fractional seconds DOUBLE in both
+    Sig(as => s"date_part('epoch', ${as(0)})", Seq(T), D),
+    // interval arithmetic (UTC session, no DST folds)
+    Sig(as => s"(${as(0)} + INTERVAL 1 DAY)", Seq(T), T),
+    Sig(as => s"(${as(0)} - INTERVAL 3 HOUR)", Seq(T), T),
+    Sig(as => s"(${as(0)} + INTERVAL 90 MINUTE)", Seq(T), T),
     // --- arrays (dialect list_* names; results canonicalized element-wise) ----
     fn("list_contains", B, A, L),   // dialect name shared with DuckDB
+    fn("array_has_any", B, A, A),   // dialect: ArraysOverlap; DuckDB alias exists
+    fn("array_has_all", B, A, A),
     fn("list_extract", L, A, L),    // 1-based; NULL out-of-bounds in both
     fn("list_sort", A, A),
     fn("list_reverse", A, A),

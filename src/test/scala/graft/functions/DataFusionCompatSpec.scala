@@ -274,6 +274,48 @@ class DataFusionCompatSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getInt(7) == 7)
   }
 
+  test("list_extract/array_element are total like DataFusion, not throwing like ElementAt") {
+    // differential-fuzzer find: Spark's ElementAt throws on index 0
+    // unconditionally, throws out-of-bounds under ANSI, and refuses BIGINT
+    // indices — DataFusion/DuckDB yield NULL at 0 / OOB, count negatives
+    // from the end, and take any integer index
+    val r = spark.sql(
+      """SELECT list_extract(array(10L, 20L, 30L), 0),
+        |       list_extract(array(10L, 20L, 30L), 99),
+        |       list_extract(array(10L, 20L, 30L), -1),
+        |       list_extract(array(10L, 20L, 30L), -99),
+        |       array_element(array(10L, 20L, 30L), 2L),
+        |       list_element(array(10L, 20L, 30L), 5000000000),
+        |       list_extract(array(10L, 20L, 30L), CAST(NULL AS BIGINT))""".stripMargin)
+      .collect()(0)
+    assert(r.isNullAt(0), "index 0 → NULL")
+    assert(r.isNullAt(1), "out-of-bounds → NULL")
+    assert(r.getLong(2) == 30L, "negative counts from the end")
+    assert(r.isNullAt(3), "negative out-of-bounds → NULL")
+    assert(r.getLong(4) == 20L, "BIGINT index accepted")
+    assert(r.isNullAt(5), "index beyond Int range → NULL, not a cast error")
+    assert(r.isNullAt(6), "NULL index → NULL")
+  }
+
+  test("atan2 keeps IEEE negative-zero semantics (DataFusion), not Spark's +0.0 add") {
+    // differential-fuzzer find: Spark's Atan2 computes atan2(x+0.0, y+0.0),
+    // collapsing -0.0 to +0.0 — atan2(-0.0, -0.0) is −π per IEEE (and in
+    // DataFusion's Rust f64::atan2 / DuckDB), 0.0 in stock Spark
+    val r = spark.sql(
+      "SELECT atan2(-0.0e0, -0.0e0), atan2(0.0e0, -0.0e0), atan2(0.0e0, 0.0e0), atan2(1, 2)")
+      .collect()(0)
+    assert(r.getDouble(0) == -math.Pi, "atan2(-0.0, -0.0) = -pi")
+    assert(r.getDouble(1) == math.Pi, "atan2(+0.0, -0.0) = +pi")
+    assert(r.getDouble(2) == 0.0)
+    assert(math.abs(r.getDouble(3) - math.atan2(1.0, 2.0)) < 1e-15,
+      "integer args cast through (DataFusion atan2 is double-typed)")
+    // interpreted eval agrees with the codegen'd path above
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val interp = DataFusionCompat.Atan2Ieee(Literal(-0.0d), Literal(-0.0d))
+      .eval(null).asInstanceOf[Double]
+    assert(interp == -math.Pi)
+  }
+
   test("GraftExtensions injects aliases but NOT the semantic overrides") {
     // getOrCreate would hand back the compat-registered session above —
     // drop it so a FRESH session (with extensions applied) is built

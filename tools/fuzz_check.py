@@ -82,7 +82,12 @@ def num_eq(a, b):
         return math.isnan(fa) and math.isnan(fb)
     if math.isinf(fa) or math.isinf(fb):
         return fa == fb
-    return math.isclose(fa, fb, rel_tol=1e-12, abs_tol=1e-300)
+    # 1e-9: JVM vs C libm last-ulp differences amplify through near-1
+    # logarithms (log2(2+1e-6) has ~1e-10 relative error that nested logs
+    # preserve — seed-555 case #1333 measured 7e-12) and near function
+    # zeros (sin(pi) ~ 1.2e-16). Semantic divergences (sign flips,
+    # NULL-vs-value, off-by-one) sit orders of magnitude above this.
+    return math.isclose(fa, fb, rel_tol=1e-9, abs_tol=1e-9)
 
 
 def values_eq(a, b):
