@@ -550,6 +550,32 @@ object DataFusionCompat {
       copy(left = l, right = r)
   }
 
+  /** Pearson correlation that yields NULL when either input has zero
+    * variance, like DataFusion 51 (its accumulator divides only when both
+    * stddevs are nonzero — correlation of a constant is undefined, NULL in
+    * Postgres and DuckDB too). Spark's builtin `Corr` evaluates
+    * `ck / sqrt(xMk * yMk)` with no variance guard, which under ANSI mode
+    * (Spark 4's default) raises DIVIDE_BY_ZERO instead — found by the
+    * aggregate differential fuzzer. Reuses Spark's PearsonCorrelation
+    * co-moment buffers (n/ck/xMk/yMk); only the final divide changes:
+    * `ck / sqrt(xMk) / sqrt(yMk)` mirrors DataFusion's `c / s1 / s2`
+    * two-step shape (no xMk*yMk product to underflow), and the guard makes
+    * each divisor nonzero so ANSI division cannot raise. NaN inputs flow
+    * through as NaN in both engines (NaN compares false against 0). */
+  case class CorrNullOnZeroVariance(x: Expression, y: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate.PearsonCorrelation(x, y, true) {
+    override def prettyName: String = "corr"
+    override val evaluateExpression: Expression = {
+      val nullD = Literal.create(null, DoubleType)
+      If(Or(EqualTo(n, Literal(0.0)),
+            Or(EqualTo(xMk, Literal(0.0)), EqualTo(yMk, Literal(0.0)))),
+        nullD,
+        Divide(Divide(ck, Sqrt(xMk)), Sqrt(yMk)))
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression)
+        : CorrNullOnZeroVariance = copy(x = l, y = r)
+  }
+
   case class LcmLong(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = LongType
     override protected def nullSafeEval(a: Any, b: Any): Any =
@@ -715,6 +741,9 @@ object DataFusionCompat {
     "array_remove" -> (args => removeFirst(args(0), args(1))),
     // IEEE negative-zero handling (Spark's builtin normalizes -0.0 → +0.0)
     "atan2" -> (args => Atan2Ieee(Cast(args(0), DoubleType), Cast(args(1), DoubleType))),
+    // NULL (not ANSI DIVIDE_BY_ZERO) on zero-variance input; the analyzer
+    // wraps the bare AggregateFunction and inserts the double casts
+    "corr" -> (args => CorrNullOnZeroVariance(args(0), args(1))),
   )
 
   /** Register the full DataFusion-dialect surface (aliases + semantic

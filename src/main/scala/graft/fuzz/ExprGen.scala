@@ -257,4 +257,99 @@ object ExprGen {
     val ty = Seq(L, D, S, B, A, T)(rnd.nextInt(6))
     gen(rnd, ty, 3)
   }
+
+  // --- aggregate / GROUP BY surface -----------------------------------------
+
+  /** Grouping key expressions: deterministic, low-cardinality (a handful of
+    * groups over the 12-row fixture), each producing a NULL group via its
+    * source column's NULL row. DOUBLE keys are excluded — a NaN group's
+    * ORDER BY position differs between the engines' sort rules, and equal
+    * ±0.0 keys may merge under either sign. Integer `%` is a remainder
+    * (sign of the dividend) in BOTH engines, so negative fixture values
+    * keep their groups aligned. */
+  private val groupKeys: Seq[String] = Seq(
+    "(l1 % 3)",
+    "(abs(l2) % 2)",
+    "(id % 4)",
+    "b1",
+    "(length(s1) % 2)",
+    "substr(s1, 1, 1)",
+    "date_trunc('year', ts1)")
+
+  /** Inner-argument guards for aggregate inputs.
+    *
+    * `boundedL`: Spark under ANSI errors when `sum(BIGINT)` overflows i64
+    * where DuckDB silently widens to HUGEINT (probe: sum(Long.Max, 1) =
+    * 2^63 as HUGEINT) — `% 100001` bounds any 12-row sum to ~1.2e6, far
+    * from either edge, so the sums agree exactly.
+    *
+    * `boundedD`: two independent reasons. (1) DuckDB's variance family
+    * ERRORS on NaN input ("VARPOP is out of range") where Spark propagates
+    * NaN — null-route NaN. (2) floating-point aggregation ORDER differs
+    * (Spark partial aggregates per partition; DuckDB its own order), so
+    * magnitudes must stay where the comparator's 1e-9 relative tolerance
+    * provably absorbs reassociation error — `% 1.0e6` caps them (±Inf
+    * becomes NaN under fmod and is null-routed by the same nullif). */
+  private def boundedL(e: String) = s"(($e) % 100001)"
+  private def boundedD(e: String) = s"nullif(($e) % 1.0e6, CAST('NaN' AS DOUBLE))"
+
+  /** Curated aggregate surface — every entry semantics-shared by the
+    * engines (probe-verified where risky):
+    * count/min/max/bool_and/bool_or/FILTER are exact and order-free;
+    * sum/avg/variance-family/corr/covar run on guarded inputs (above);
+    * corr/covar yield NULL on degenerate input (zero variance, <2 rows) in
+    * both; median interpolates even counts to DOUBLE in both.
+    * Excluded: string_agg / array_agg (intra-group order is unspecified in
+    * both engines — nothing to compare), any_value/first/last
+    * (nondeterministic by contract), approx_* (estimates, not values). */
+  private final case class AggSig(build: Seq[String] => String, args: Seq[Ty])
+  private val aggSigs: Seq[AggSig] = Seq(
+    AggSig(_ => "count(*)", Seq.empty),
+    AggSig(as => s"count(${as(0)})", Seq(L)),
+    AggSig(as => s"count(${as(0)})", Seq(S)),
+    AggSig(as => s"count(${as(0)})", Seq(T)),
+    AggSig(as => s"count(DISTINCT ${as(0)})", Seq(L)),
+    AggSig(as => s"count(DISTINCT ${as(0)})", Seq(S)),
+    AggSig(as => s"sum(${boundedL(as(0))})", Seq(L)),
+    AggSig(as => s"sum(${boundedD(as(0))})", Seq(D)),
+    AggSig(as => s"avg(${boundedL(as(0))})", Seq(L)),
+    AggSig(as => s"avg(${boundedD(as(0))})", Seq(D)),
+    AggSig(as => s"median(${boundedL(as(0))})", Seq(L)),
+    AggSig(as => s"min(${as(0)})", Seq(L)), AggSig(as => s"max(${as(0)})", Seq(L)),
+    AggSig(as => s"min(${as(0)})", Seq(S)), AggSig(as => s"max(${as(0)})", Seq(S)),
+    AggSig(as => s"min(${as(0)})", Seq(T)), AggSig(as => s"max(${as(0)})", Seq(T)),
+    // min/max over raw doubles: NaN orders greatest in BOTH engines
+    // (probe: duckdb max(NaN, Inf) = NaN), ±0.0 compare equal either way
+    AggSig(as => s"min(${as(0)})", Seq(D)), AggSig(as => s"max(${as(0)})", Seq(D)),
+    AggSig(as => s"stddev_samp(${boundedD(as(0))})", Seq(D)),
+    AggSig(as => s"stddev_pop(${boundedD(as(0))})", Seq(D)),
+    AggSig(as => s"var_samp(${boundedD(as(0))})", Seq(D)),
+    AggSig(as => s"var_pop(${boundedD(as(0))})", Seq(D)),
+    AggSig(as => s"bool_and(${as(0)})", Seq(B)),
+    AggSig(as => s"bool_or(${as(0)})", Seq(B)),
+    AggSig(as => s"count(*) FILTER (WHERE ${as(0)})", Seq(B)),
+    AggSig(as => s"sum(${boundedL(as(0))}) FILTER (WHERE ${as(1)})", Seq(L, B)),
+    AggSig(as => s"min(${as(0)}) FILTER (WHERE ${as(1)})", Seq(S, B)),
+    AggSig(as => s"corr(${boundedD(as(0))}, ${boundedD(as(1))})", Seq(D, D)),
+    AggSig(as => s"covar_samp(${boundedD(as(0))}, ${boundedD(as(1))})", Seq(D, D)))
+
+  /** Aggregate case `i` for `seed`: two random aggregates (their inner
+    * arguments are depth-2 scalar trees from the main surface), either
+    * grouped by a random key with a deterministic ORDER BY (explicit
+    * NULLS FIRST — DuckDB defaults NULLS LAST where Spark defaults FIRST)
+    * or, 20% of the time, a global ungrouped aggregate. The full SQL text
+    * is replayed verbatim by tools/fuzz_check.py. */
+  def aggCaseSql(seed: Long, i: Int): String = {
+    val rnd = new Random(seed * 2000003L + i)
+    val aggs = Seq.fill(2) {
+      val s = aggSigs(rnd.nextInt(aggSigs.length))
+      s.build(s.args.map(a => gen(rnd, a, 2)))
+    }
+    val aggList = aggs.zipWithIndex.map { case (a, j) => s"$a AS r$j" }.mkString(", ")
+    if (rnd.nextDouble() < 0.2) s"SELECT $aggList FROM t"
+    else {
+      val g = groupKeys(rnd.nextInt(groupKeys.length))
+      s"SELECT $g AS g, $aggList FROM t GROUP BY $g ORDER BY g NULLS FIRST"
+    }
+  }
 }

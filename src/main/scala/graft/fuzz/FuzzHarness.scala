@@ -139,14 +139,56 @@ object FuzzHarness {
     } finally w.close()
     (ok, err)
   }
+
+  /** Aggregate-case twin of [[run]]: evaluates [[ExprGen.aggCaseSql]]
+    * GROUP BY queries and dumps full-SQL records (`"sql"` field + one
+    * `"tys"` entry and canon cell per output column) that
+    * tools/fuzz_check.py replays verbatim — grouped rows are made
+    * comparable row-by-row by the ORDER BY the generator embeds. */
+  def runAgg(base: SparkSession, seed: Long, n: Int, outDir: String): (Int, Int) = {
+    val session = OdfSessions.newRequestSession(base)
+    new File(outDir).mkdirs()
+    writeAndRegisterFixture(session, outDir)
+    val w = new BufferedWriter(new java.io.OutputStreamWriter(
+      new java.io.FileOutputStream(s"$outDir/cases.jsonl"),
+      java.nio.charset.StandardCharsets.UTF_8))
+    var ok = 0; var err = 0
+    try {
+      for (i <- 0 until n) {
+        val sql = ExprGen.aggCaseSql(seed, i)
+        val rec =
+          try {
+            val df = session.sql(sql)
+            val tys = df.schema.fields
+              .map(f => "\"" + jsonEscape(f.dataType.sql) + "\"").mkString(",")
+            val rows = df.collect().map(r =>
+              (0 until r.length)
+                .map(j => "\"" + jsonEscape(canon(r.get(j))) + "\"")
+                .mkString("[", ",", "]"))
+            ok += 1
+            s"""{"i":$i,"sql":"${jsonEscape(sql)}","ok":true,"tys":[$tys],"rows":[${rows.mkString(",")}]}"""
+          } catch {
+            case e: Throwable =>
+              err += 1
+              val msg = Option(e.getMessage).getOrElse(e.getClass.getName).linesIterator
+                .take(1).mkString.take(200)
+              s"""{"i":$i,"sql":"${jsonEscape(sql)}","ok":false,"err":"${jsonEscape(msg)}"}"""
+          }
+        w.write(rec); w.newLine()
+      }
+    } finally w.close()
+    (ok, err)
+  }
 }
 
-/** Manual sweep entry point: `runMain graft.fuzz.FuzzDump <outDir> [seed] [n]`. */
+/** Manual sweep entry point:
+  * `runMain graft.fuzz.FuzzDump <outDir> [seed] [n] [scalar|agg]`. */
 object FuzzDump {
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("/tmp/fuzz")
     val seed = args.lift(1).map(_.toLong).getOrElse(20260813L)
     val n = args.lift(2).map(_.toInt).getOrElse(2000)
+    val mode = args.lift(3).getOrElse("scalar")
     val spark = OdfSessions.configureBase(SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -155,8 +197,10 @@ object FuzzDump {
       .appName("graft-fuzz").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
     val t0 = System.nanoTime()
-    val (ok, err) = FuzzHarness.run(spark, seed, n, outDir)
-    println(f"[fuzz] $n cases (seed $seed): $ok evaluated, $err engine errors, " +
+    val (ok, err) =
+      if (mode == "agg") FuzzHarness.runAgg(spark, seed, n, outDir)
+      else FuzzHarness.run(spark, seed, n, outDir)
+    println(f"[fuzz] $n $mode cases (seed $seed): $ok evaluated, $err engine errors, " +
       f"${(System.nanoTime() - t0) / 1e9}%.1f s -> $outDir/cases.jsonl")
     spark.stop()
   }

@@ -316,6 +316,27 @@ class DataFusionCompatSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(interp == -math.Pi)
   }
 
+  test("corr is NULL on zero-variance input (DataFusion), not an ANSI error") {
+    // aggregate-differential-fuzzer find: Spark's Corr evaluates
+    // ck / sqrt(xMk * yMk) unguarded, so a constant column raises
+    // DIVIDE_BY_ZERO under ANSI — DataFusion 51 / DuckDB / Postgres all
+    // return NULL (correlation of a constant is undefined)
+    val r = spark.sql(
+      """SELECT corr(x, y),                              -- zero x-variance
+        |       corr(y, y),                              -- ordinary value
+        |       corr(CAST(x AS DOUBLE), CAST(NULL AS DOUBLE)) -- no pairs
+        |FROM VALUES (1.0e0, 2.0e0), (1.0e0, 3.0e0), (1.0e0, 7.0e0) v(x, y)""".stripMargin)
+      .collect()(0)
+    assert(r.isNullAt(0), "constant input -> NULL, not DIVIDE_BY_ZERO")
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12, "corr(y, y) = 1")
+    assert(r.isNullAt(2), "no complete pairs -> NULL")
+    // bigint inputs implicit-cast like the builtin
+    val r2 = spark.sql(
+      "SELECT corr(a, b) FROM VALUES (1L, 10L), (2L, 20L), (3L, 30L) v(a, b)")
+      .collect()(0)
+    assert(math.abs(r2.getDouble(0) - 1.0) < 1e-12)
+  }
+
   test("GraftExtensions injects aliases but NOT the semantic overrides") {
     // getOrCreate would hand back the compat-registered session above —
     // drop it so a FRESH session (with extensions applied) is built

@@ -124,9 +124,17 @@ def main():
     for line in open(f"{dump}/cases.jsonl"):
         case = json.loads(line)
         n += 1
-        sql = f"SELECT id, ({case['expr']}) AS r FROM t ORDER BY id"
+        # Two record shapes: scalar cases carry "expr" (replayed inside the
+        # canonical per-row SELECT), aggregate/GROUP BY cases carry the full
+        # "sql" text plus per-output-column "tys" and list-shaped rows.
+        full_sql = "sql" in case
+        label = case["sql"] if full_sql else case["expr"]
+        sql = case["sql"] if full_sql else \
+            f"SELECT id, ({case['expr']}) AS r FROM t ORDER BY id"
         try:
-            duck_rows = [canon_duck(r[1]) for r in con.execute(sql).fetchall()]
+            fetched = con.execute(sql).fetchall()
+            duck_rows = [[canon_duck(v) for v in r] for r in fetched] if full_sql \
+                else [[canon_duck(r[1])] for r in fetched]
             duck_err = None
         except Exception as e:
             duck_rows, duck_err = None, str(e).split("\n")[0][:200]
@@ -137,23 +145,29 @@ def main():
             continue
         if case["ok"] != (duck_err is None):
             divergences.append(
-                (case["i"], case["expr"],
+                (case["i"], label,
                  f"one-sided error: spark={'ok' if case['ok'] else case['err']} "
                  f"duck={'ok' if duck_err is None else duck_err}"))
             continue
 
-        spark_rows = [parse_spark(s, case["ty"]) for s in case["rows"]]
+        tys = case["tys"] if full_sql else [case["ty"]]
+        raw_rows = case["rows"] if full_sql else [[s] for s in case["rows"]]
+        spark_rows = [[parse_spark(s, ty) for s, ty in zip(row, tys)]
+                      for row in raw_rows]
         if len(spark_rows) != len(duck_rows):
             divergences.append(
-                (case["i"], case["expr"],
+                (case["i"], label,
                  f"row count {len(spark_rows)} vs {len(duck_rows)}"))
             continue
-        bad = next(((ri, sv, dv) for ri, (sv, dv) in
-                    enumerate(zip(spark_rows, duck_rows)) if not values_eq(sv, dv)), None)
+        bad = next(((ri, ci, sv, dv)
+                    for ri, (srow, drow) in enumerate(zip(spark_rows, duck_rows))
+                    for ci, (sv, dv) in enumerate(zip(srow, drow))
+                    if not values_eq(sv, dv)), None)
         if bad is not None:
             divergences.append(
-                (case["i"], case["expr"],
-                 f"row id={bad[0]}: spark={bad[1]!r} duck={bad[2]!r} (ty={case['ty']})"))
+                (case["i"], label,
+                 f"row {bad[0]} col {bad[1]}: spark={bad[2]!r} duck={bad[3]!r} "
+                 f"(ty={tys[bad[1]]})"))
         else:
             agree += 1
 
