@@ -51,6 +51,15 @@ import org.apache.spark.unsafe.types.{CalendarInterval, UTF8String}
   *   - aggregate name aliases: `approx_distinct` (HLL++),
   *     `approx_median`, `approx_percentile_cont` (t-digest centroids arg
   *     accepted and ignored — Spark's accuracy knob has different units).
+  *
+  * Known bounded deviation (pinned, not fixed): Spark's string→floating
+  * CAST accepts Java float literal syntax — `'2d'`, `'1.5f'` suffixes and
+  * hex floats via `java.lang.Double.parseDouble` — where DataFusion's
+  * strict Rust parse (and DuckDB) yield NULL/error. CAST is parser syntax,
+  * not a registry name, so overriding it would take a plan rule on every
+  * request-session query for a syntax tail no realistic transform relies
+  * on; the differential fuzzer documents it instead (ExprGen's SL type
+  * keeps cast sources leaf-only).
   */
 object DataFusionCompat {
 

@@ -45,6 +45,19 @@ object ExprGen {
   case object A extends Ty // ARRAY<BIGINT> (sourced from columns/list fns only:
                            // array literal syntax differs between the engines)
   case object T extends Ty // TIMESTAMP
+  case object SL extends Ty // VARCHAR restricted to LEAVES (columns/string
+                            // literals — no sigs return SL, so gen() never
+                            // nests an expression here). Used where a
+                            // DERIVED string could hit a pinned dialect
+                            // difference: Spark's string→number casts accept
+                            // Java float syntax ('2d', '1.5f', hex floats —
+                            // java.lang.Double.parseDouble) that DataFusion's
+                            // strict Rust parse and DuckDB reject, so e.g.
+                            // TRY_CAST(to_hex(45) AS DOUBLE) is 2.0 in Spark
+                            // and NULL in both others. Forking Spark's Cast
+                            // for that syntax tail isn't worth a plan-rule on
+                            // every query — documented in DataFusionCompat's
+                            // header; cast sources here stay leaf-only.
 
   final case class Sig(build: Seq[String] => String, args: Seq[Ty], out: Ty)
   private def fn(name: String, out: Ty, args: Ty*): Sig =
@@ -55,7 +68,7 @@ object ExprGen {
   /** Fixture columns per type (see [[FuzzFixture]]). */
   private val cols: Map[Ty, Seq[String]] = Map(
     L -> Seq("l1", "l2"), D -> Seq("d1", "d2"), S -> Seq("s1", "s2"),
-    B -> Seq("b1"), A -> Seq("a1"), T -> Seq("ts1"))
+    B -> Seq("b1"), A -> Seq("a1"), T -> Seq("ts1"), SL -> Seq("s1", "s2"))
 
   /** Boundary-heavy literal pools. Arithmetic overflow / division by zero
     * are allowed to happen: both engines raise, and the comparator treats
@@ -73,6 +86,10 @@ object ExprGen {
       // accepts STRING as a VARCHAR alias
       "CAST(NULL AS STRING)"),
     B -> Seq("TRUE", "FALSE", "CAST(NULL AS BOOLEAN)"),
+    // no decimal-form strings: TRY_CAST('1.5' AS BIGINT) ROUNDS to 2 in
+    // DuckDB where Spark's integral parse yields NULL (oracle deviation)
+    SL -> Seq("''", "'a'", "'abc'", "'123'", "'-42'", "'not a number'",
+      "' 7 '", "CAST(NULL AS STRING)"),
     A -> Seq.empty, // arrays come from columns / array-returning functions
     T -> Seq("TIMESTAMP '2020-06-15 12:34:56'", "TIMESTAMP '1969-12-31 23:59:59'",
       "TIMESTAMP '2000-02-29 00:00:00'", "TIMESTAMP '1905-03-04 05:06:07'",
@@ -89,7 +106,11 @@ object ExprGen {
     Sig(as => s"(${as(0)} % nullif(${as(1)}, 0))", Seq(L, L), L),
     op("+", D, D, D), op("-", D, D, D), op("*", D, D, D),
     Sig(as => s"(${as(0)} / nullif(${as(1)}, 0.0e0))", Seq(D, D), D),
-    fn("abs", L, L), fn("abs", D, D),
+    // + 0.0 clears the sign of zero: DuckDB's abs PRESERVES -0.0 (probe:
+    // atan2(-0.0, abs(-0.0)) = -π there) where Rust f64::abs / Spark clear
+    // it — only atan2 downstream can see the difference, and direct ±0.0
+    // atan2 arguments (where all engines agree) keep covering it
+    fn("abs", L, L), Sig(as => s"(abs(${as(0)}) + 0.0e0)", Seq(D), D),
     // floor/ceil of DOUBLE return BIGINT in Spark and saturate (NaN→0,
     // ±huge→Long.Min/Max) where DuckDB stays DOUBLE: bound the argument to
     // (−1e9, 1e9) via fmod and null-route the NaN fmod leaves behind
@@ -100,7 +121,8 @@ object ExprGen {
     Sig(as => s"CAST(ceil(nullif(${as(0)} % 1.0e9, CAST('NaN' AS DOUBLE))) AS BIGINT)", Seq(D), L),
     fn("round", D, D), Sig(as => s"round(${as(0)}, 2)", Seq(D), D),
     // abs-guarded: DuckDB sqrt(-x) errors where Spark/DataFusion give NaN
-    Sig(as => s"sqrt(abs(${as(0)}))", Seq(D), D),
+    // (+ 0.0 for the same sign-of-zero oracle quirk as the abs sig)
+    Sig(as => s"sqrt(abs(${as(0)}) + 0.0e0)", Seq(D), D),
     fn("exp", D, D), // sign excluded: DuckDB sign(NaN)=0, Spark/DataFusion NaN
     fn("power", D, D, D), // total in both: NaN^0=1, (-x)^0.5=NaN, 0^-1=Inf
     // log domain ≤ 0 errors in DuckDB where Spark yields NULL: abs+ε keeps
@@ -178,8 +200,11 @@ object ExprGen {
     Sig(as => s"(NOT ${as(0)})", Seq(B), B),
     // --- casts ---------------------------------------------------------------
     Sig(as => s"CAST(${as(0)} AS DOUBLE)", Seq(L), D),
-    Sig(as => s"TRY_CAST(${as(0)} AS BIGINT)", Seq(S), L),
-    Sig(as => s"TRY_CAST(${as(0)} AS DOUBLE)", Seq(S), D),
+    // SL (leaf-only strings): a DERIVED string can hit Spark's Java-float
+    // cast syntax ('2d' → 2.0; DataFusion/DuckDB → NULL) — pinned dialect
+    // difference, see the SL doc above
+    Sig(as => s"TRY_CAST(${as(0)} AS BIGINT)", Seq(SL), L),
+    Sig(as => s"TRY_CAST(${as(0)} AS DOUBLE)", Seq(SL), D),
     // --- date/time (dialect date_part/date_trunc match DuckDB, incl. the
     //     0-based 'dow' DataFusionCompat maps explicitly) -----------------------
     Sig(as => s"date_part('year', ${as(0)})", Seq(T), L),

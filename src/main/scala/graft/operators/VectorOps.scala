@@ -293,4 +293,49 @@ object VectorOps {
       .filter(col("cos") >= threshold)
       .select(col("id1"), col("id2"), col("cos"))
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540: k-means the embedding space, prune near-duplicate
+    * pairs WITHIN each cluster): [[kmeansFit]] clusters the corpus,
+    * candidate pairs come only from co-clustered rows (the SemDeDup trade —
+    * cross-cluster duplicates are assumed separated by the clustering,
+    * which holds for scale-copies and paraphrase-grade cosines because
+    * near-identical directions get identical centroid argmaxes), exact
+    * cosine ≥ `threshold` verifies, connected components close duplicate
+    * GROUPS (A≈B≈C chains), and the min-id member represents each group.
+    *
+    * Returns every corpus id labeled `(id, rep)` — `rep == id` for kept
+    * rows, the representative's id for pruned ones; the deduped corpus is
+    * `filter(col(id) === col("rep"))` against the labeling.
+    *
+    * Scale shape: clustering is one (cluster, dim) partial-sum shuffle per
+    * Lloyd round plus a map-stage assignment (centroids are plan
+    * literals); pair generation is an equi-join on cluster id —
+    * O(Σ cluster²) cosine evaluations, not O(n²) — so pick `k` to a target
+    * cluster size (n / 10k keeps a cluster's pair block inside one shuffle
+    * task; SemDeDup's own k grows linearly with corpus size for the same
+    * reason). A degenerate cluster (mass-duplicated embedding) is bounded
+    * by the same [[Dedup.capBuckets]] guard as the MinHash band buckets —
+    * its rows skip candidate generation rather than serializing one task,
+    * at the cost of missing their duplicates (the cap is a refusal bound,
+    * 10× above any balanced cluster, not a tuning knob). CC runs on the
+    * above-threshold pair graph only — O(duplicates), not O(corpus). */
+  def semanticDedupLabels(
+      corpus: DataFrame, id: String, vec: String,
+      k: Int, threshold: Double, kmeansIters: Int = 3,
+      maxClusterSize: Int = 100000): DataFrame = {
+    graft.functions.NativeHashes.register(corpus.sparkSession)
+    val cents = kmeansFit(corpus, vec, k, kmeansIters, idCol = id)
+    val assigned = assignClusters(
+      corpus.select(col(id).as("id"), col(vec).as("v")), cents, "v")
+    val capped = Dedup.capBuckets(assigned, Seq("cluster"), maxClusterSize)
+    val l = capped.select(col("cluster"), col("id").as("id1"), col("v").as("v1"))
+    val r = capped.select(col("cluster"), col("id").as("id2"), col("v").as("v2"))
+    val pairs = l.join(r, Seq("cluster"))
+      .filter(col("id1") < col("id2"))
+      .filter(round(cosine(col("v1"), col("v2")), 6) >= threshold)
+      .select(col("id1"), col("id2"))
+    Dedup.connectedComponentsMin(corpus.select(col(id).as("id")), pairs)
+      .select(col("id").as(id), col("rep"))
+  }
 }

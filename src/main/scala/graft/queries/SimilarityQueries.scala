@@ -227,6 +227,55 @@ object SimilarityQueries {
     ),
 
     QueryDef(
+      "q_semantic_dedup",
+      // SemDeDup (cluster → within-cluster cosine pairs → CC → min-id rep):
+      // corpus ∪ half-scaled copies of vec_id < 100. Halving is exact in
+      // float, so each copy's cosine with its original is exactly 1 AND its
+      // per-centroid scores are exactly half the original's — identical
+      // argmax, so the pair always co-clusters and the within-cluster pass
+      // finds it regardless of where k-means put the centroids. Natural
+      // max cosine in this corpus is ~0.44 (q_embedding_neardup), so at
+      // threshold 0.999 the duplicate groups are exactly the planted
+      // (orig, copy) pairs and min-id keeps the original — making the
+      // pruned-id set value-checkable in DuckDB without reproducing the
+      // clustering: the oracle prunes id2 of the brute-force pair set
+      // (components are disjoint pairs on this corpus, pinned like the
+      // other measured-then-pinned operating points).
+      (s, dir) => {
+        val base = emb(s, dir).select(col("vec_id"), col("embedding"))
+        val planted = base.filter(col("vec_id") < 100)
+          .select((col("vec_id") + 100000).as("vec_id"),
+            transform(col("embedding"), x => x * lit(0.5f)).as("embedding"))
+        val labels = VectorOps.semanticDedupLabels(
+          base.unionAll(planted), "vec_id", "embedding", k = 8, threshold = 0.999)
+        labels.agg(
+          count(lit(1)).as("n_total"),
+          sum(when(col("vec_id") === col("rep"), lit(1L)).otherwise(lit(0L))).as("n_kept"),
+          concat_ws(",", transform(
+            array_sort(collect_list(when(col("vec_id") =!= col("rep"), col("vec_id")))),
+            x => x.cast("string"))).as("pruned_ids"))
+      },
+      Some("""WITH corpus AS (
+             |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+             |  UNION ALL
+             |  SELECT vec_id + 100000,
+             |         list_transform(embedding, x -> (x * 0.5::FLOAT)::FLOAT)::DOUBLE[]
+             |  FROM embeddings WHERE vec_id < 100),
+             |pairs AS (
+             |  SELECT a.vec_id AS id1, b.vec_id AS id2
+             |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+             |  WHERE round(list_dot_product(a.e, b.e) /
+             |        (sqrt(list_dot_product(a.e, a.e)) *
+             |         sqrt(list_dot_product(b.e, b.e))), 6) >= 0.999),
+             |pruned AS (SELECT DISTINCT id2 FROM pairs)
+             |SELECT (SELECT count(*) FROM corpus) AS n_total,
+             |       (SELECT count(*) FROM corpus) - (SELECT count(*) FROM pruned) AS n_kept,
+             |       (SELECT array_to_string(
+             |          list_transform(list_sort(list(id2)), x -> CAST(x AS VARCHAR)), ',')
+             |        FROM pruned) AS pruned_ids""".stripMargin),
+    ),
+
+    QueryDef(
       "q_embedding_cluster",
       // Corpus topic clustering: distributed spherical k-means (Lloyd over
       // the full corpus, centroids as plan literals) + cluster accounting.

@@ -23,16 +23,22 @@ import org.scalatest.BeforeAndAfterAll
   * tolerance 1e-12 for libm tails).
   *
   * Divergences found by this harness during development were FIXED in the
-  * engine, not suppressed: `list_extract`/`array_element`/`list_element`
-  * index 0 / out-of-bounds / BIGINT-index handling (DataFusionCompat
-  * elementTotal — Spark's ElementAt throws where DataFusion yields NULL).
+  * engine where the contract (DataFusion) disagrees with Spark:
+  * `list_extract`/`array_element`/`list_element` index 0 / out-of-bounds /
+  * BIGINT-index handling (elementTotal — Spark's ElementAt throws where
+  * DataFusion yields NULL); `atan2` negative-zero normalization
+  * (Atan2Ieee); `corr` ANSI DIVIDE_BY_ZERO on zero variance
+  * (CorrNullOnZeroVariance, found by the aggregate harness). One Spark
+  * parser-level deviation is PINNED instead of forked (string→float casts
+  * accept Java float syntax — DataFusionCompat header, ExprGen's SL type).
   * Oracle-only deviations (DuckDB quirks vs the DataFusion semantics this
-  * engine implements) are guarded at the generator with per-Sig comments —
-  * see ExprGen's header for the list.
+  * engine implements — sqrt/log domains, abs sign-of-zero, list NULL
+  * ordering) are guarded at the generator with per-Sig comments.
   *
   * The seed is fixed so CI is deterministic; sweep fresh seeds manually
-  * with `runMain graft.fuzz.FuzzDump <dir> <seed> <n>` (5000 cases across
-  * seeds 20260813/7/424242 were green at round 10).
+  * with `runMain graft.fuzz.FuzzDump <dir> <seed> <n> [scalar|agg]`
+  * (scalar: 11k cases across seeds 20260813/7/424242/777/555001/42424243,
+  * agg: 1100 across 101/31337/909090 — green at round 10).
   */
 class FuzzDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
 

@@ -551,6 +551,36 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pure == 300, s"only $pure/300 vectors in their class's cluster")
   }
 
+  test("semantic dedup: planted scale-copies pruned to min-id reps, chains close via CC") {
+    // 3-orthogonal-cluster corpus (k-means-test shape, but jitter amplitude
+    // 3 so natural same-cluster cosines stay ~0.96, clear of the 0.999
+    // threshold), plus: a half-scale copy of every vec_id < 30 (cosine
+    // exactly 1 with its original) and a quarter-scale SECOND copy of
+    // vec_id < 10 — those form 3-member chains the CC must collapse to ONE
+    // representative
+    val base = spark.range(0, 300).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(7)), d =>
+        (when(d === (col("id") % 3).cast("int") * 2, 10.0).otherwise(0.0)
+          + (pmod(xxhash64(col("id"), d), lit(300)).cast("double") / 100.0))
+          .cast("float")).as("embedding"))
+    def scaled(off: Long, n: Long, f: Float) = base.filter(col("vec_id") < n)
+      .select((col("vec_id") + off).as("vec_id"),
+        transform(col("embedding"), x => x * lit(f)).as("embedding"))
+    val corpus = base
+      .unionAll(scaled(1000, 30, 0.5f))
+      .unionAll(scaled(2000, 10, 0.25f))
+    val labels = VectorOps.semanticDedupLabels(
+      corpus, "vec_id", "embedding", k = 3, threshold = 0.999).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 340)
+    // every copy maps to its original; chains (orig, +1000, +2000) collapse
+    (0L until 30L).foreach(i => assert(labels(1000 + i) == i, s"copy of $i"))
+    (0L until 10L).foreach(i => assert(labels(2000 + i) == i, s"2nd copy of $i"))
+    // everything else is its own representative
+    assert(labels.count { case (id, rep) => id == rep } == 300)
+  }
+
   test("weighted sample: heavy rows dominate, membership is partitioning-independent") {
     import spark.implicits._
     // 500 heavy rows (w=1000) + 500 light rows (w=10): a draw lands heavy
