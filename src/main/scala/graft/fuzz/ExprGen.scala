@@ -358,6 +358,88 @@ object ExprGen {
     AggSig(as => s"corr(${boundedD(as(0))}, ${boundedD(as(1))})", Seq(D, D)),
     AggSig(as => s"covar_samp(${boundedD(as(0))}, ${boundedD(as(1))})", Seq(D, D)))
 
+  // --- window-function surface ----------------------------------------------
+
+  /** Window ORDER BY keys. Each is followed by `, id` (unique) so every
+    * partition has a TOTAL order — rank/lag/frame results are then
+    * deterministic in both engines. `+ 0.0e0` on the double key folds
+    * -0.0 into +0.0: Spark's double ordering distinguishes the two
+    * (java.lang.Double.compare) where DuckDB compares them equal, which
+    * would flip rank ties and RANGE peer groups. NaN orders greatest in
+    * both. */
+  private val winOrderKeys: Seq[String] =
+    Seq("id", "l1", "(d1 + 0.0e0)", "s1", "ts1", "(l2 % 5)")
+
+  /** Frames whose semantics the engines share; "" = the standard default
+    * (RANGE UNBOUNDED PRECEDING..CURRENT ROW in both once ORDER BY is
+    * present). */
+  private val winFrames: Seq[String] = Seq(
+    "",
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+    " ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING",
+    " ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING",
+    " RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW")
+
+  /** Curated window-function surface: ranking/distribution functions
+    * (frame-insensitive — generated without an explicit frame), offset
+    * functions (lag/lead ignore frames in both engines), and frame-driven
+    * aggregates/positional functions (always given an explicit frame so
+    * first/last/nth and the running aggregates exercise frame semantics).
+    * Sum/avg inputs reuse the aggregate-mode guards. */
+  private final case class WinSig(
+      build: (Seq[String], String) => String, args: Seq[Ty],
+      framed: Boolean, tieOk: Boolean = false)
+  private val winSigs: Seq[WinSig] = Seq(
+    WinSig((_, ov) => s"row_number() OVER ($ov)", Seq.empty, framed = false),
+    // rank family: tieOk — their VALUES are well-defined under ties (that
+    // is exactly what separates rank from row_number), so these drop the
+    // id tiebreak and exercise real peer groups
+    WinSig((_, ov) => s"rank() OVER ($ov)", Seq.empty, framed = false, tieOk = true),
+    WinSig((_, ov) => s"dense_rank() OVER ($ov)", Seq.empty, framed = false, tieOk = true),
+    WinSig((_, ov) => s"percent_rank() OVER ($ov)", Seq.empty, framed = false, tieOk = true),
+    WinSig((_, ov) => s"cume_dist() OVER ($ov)", Seq.empty, framed = false, tieOk = true),
+    WinSig((_, ov) => s"ntile(4) OVER ($ov)", Seq.empty, framed = false),
+    WinSig((as, ov) => s"lag(${as(0)}) OVER ($ov)", Seq(L), framed = false),
+    WinSig((as, ov) => s"lag(${as(0)}, 2, -1) OVER ($ov)", Seq(L), framed = false),
+    WinSig((as, ov) => s"lag(${as(0)}, 1, '?') OVER ($ov)", Seq(S), framed = false),
+    WinSig((as, ov) => s"lead(${as(0)}) OVER ($ov)", Seq(L), framed = false),
+    WinSig((as, ov) => s"lead(${as(0)}, 3, 0) OVER ($ov)", Seq(L), framed = false),
+    WinSig((as, ov) => s"first_value(${as(0)}) OVER ($ov)", Seq(S), framed = true),
+    WinSig((as, ov) => s"last_value(${as(0)}) OVER ($ov)", Seq(L), framed = true),
+    WinSig((as, ov) => s"nth_value(${as(0)}, 2) OVER ($ov)", Seq(L), framed = true),
+    WinSig((as, ov) => s"sum(${boundedL(as(0))}) OVER ($ov)", Seq(L), framed = true),
+    WinSig((as, ov) => s"avg(${boundedD(as(0))}) OVER ($ov)", Seq(D), framed = true),
+    WinSig((as, ov) => s"count(${as(0)}) OVER ($ov)", Seq(S), framed = true),
+    WinSig((as, ov) => s"count(*) OVER ($ov)", Seq.empty, framed = true),
+    WinSig((as, ov) => s"min(${as(0)}) OVER ($ov)", Seq(T), framed = true),
+    WinSig((as, ov) => s"max(${as(0)}) OVER ($ov)", Seq(L), framed = true))
+
+  /** Window case `i` for `seed`: two random window expressions, each with
+    * its own PARTITION BY (the aggregate grouping keys) + ORDER BY — made
+    * TOTAL by an id tiebreak except for the tie-tolerant rank family —
+    * plus an explicit frame where the function is frame-sensitive,
+    * projected next to the row id and ORDER BY id for row-by-row
+    * comparison. 20% of specs drop the partition clause (whole-frame
+    * windows). */
+  def windowCaseSql(seed: Long, i: Int): String = {
+    val rnd = new Random(seed * 3000017L + i)
+    def overClause(tieOk: Boolean): String = {
+      val part =
+        if (rnd.nextDouble() < 0.2) ""
+        else s"PARTITION BY ${groupKeys(rnd.nextInt(groupKeys.length))} "
+      val ord = winOrderKeys(rnd.nextInt(winOrderKeys.length))
+      val tiebreak = if (tieOk) "" else ", id"
+      s"${part}ORDER BY $ord NULLS FIRST$tiebreak"
+    }
+    val ws = Seq.fill(2) {
+      val sig = winSigs(rnd.nextInt(winSigs.length))
+      val frame = if (sig.framed) winFrames(rnd.nextInt(winFrames.length)) else ""
+      sig.build(sig.args.map(a => gen(rnd, a, 2)), overClause(sig.tieOk) + frame)
+    }
+    val wList = ws.zipWithIndex.map { case (w, j) => s"$w AS r$j" }.mkString(", ")
+    s"SELECT id, $wList FROM t ORDER BY id"
+  }
+
   /** Aggregate case `i` for `seed`: two random aggregates (their inner
     * arguments are depth-2 scalar trees from the main surface), either
     * grouped by a random key with a deterministic ORDER BY (explicit

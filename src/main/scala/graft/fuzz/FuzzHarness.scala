@@ -145,7 +145,18 @@ object FuzzHarness {
     * `"tys"` entry and canon cell per output column) that
     * tools/fuzz_check.py replays verbatim — grouped rows are made
     * comparable row-by-row by the ORDER BY the generator embeds. */
-  def runAgg(base: SparkSession, seed: Long, n: Int, outDir: String): (Int, Int) = {
+  def runAgg(base: SparkSession, seed: Long, n: Int, outDir: String): (Int, Int) =
+    runFullSql(base, seed, n, outDir, ExprGen.aggCaseSql)
+
+  /** Window-function twin: [[ExprGen.windowCaseSql]] cases (ranking /
+    * offset / framed-aggregate windows over deterministic ORDER BY
+    * specs), same record shape as [[runAgg]]. */
+  def runWin(base: SparkSession, seed: Long, n: Int, outDir: String): (Int, Int) =
+    runFullSql(base, seed, n, outDir, ExprGen.windowCaseSql)
+
+  private def runFullSql(
+      base: SparkSession, seed: Long, n: Int, outDir: String,
+      caseSql: (Long, Int) => String): (Int, Int) = {
     val session = OdfSessions.newRequestSession(base)
     new File(outDir).mkdirs()
     writeAndRegisterFixture(session, outDir)
@@ -155,7 +166,7 @@ object FuzzHarness {
     var ok = 0; var err = 0
     try {
       for (i <- 0 until n) {
-        val sql = ExprGen.aggCaseSql(seed, i)
+        val sql = caseSql(seed, i)
         val rec =
           try {
             val df = session.sql(sql)
@@ -182,7 +193,7 @@ object FuzzHarness {
 }
 
 /** Manual sweep entry point:
-  * `runMain graft.fuzz.FuzzDump <outDir> [seed] [n] [scalar|agg]`. */
+  * `runMain graft.fuzz.FuzzDump <outDir> [seed] [n] [scalar|agg|win]`. */
 object FuzzDump {
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("/tmp/fuzz")
@@ -197,9 +208,11 @@ object FuzzDump {
       .appName("graft-fuzz").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
     val t0 = System.nanoTime()
-    val (ok, err) =
-      if (mode == "agg") FuzzHarness.runAgg(spark, seed, n, outDir)
-      else FuzzHarness.run(spark, seed, n, outDir)
+    val (ok, err) = mode match {
+      case "agg" => FuzzHarness.runAgg(spark, seed, n, outDir)
+      case "win" => FuzzHarness.runWin(spark, seed, n, outDir)
+      case _ => FuzzHarness.run(spark, seed, n, outDir)
+    }
     println(f"[fuzz] $n $mode cases (seed $seed): $ok evaluated, $err engine errors, " +
       f"${(System.nanoTime() - t0) / 1e9}%.1f s -> $outDir/cases.jsonl")
     spark.stop()

@@ -36,9 +36,10 @@ import org.scalatest.BeforeAndAfterAll
   * ordering) are guarded at the generator with per-Sig comments.
   *
   * The seed is fixed so CI is deterministic; sweep fresh seeds manually
-  * with `runMain graft.fuzz.FuzzDump <dir> <seed> <n> [scalar|agg]`
+  * with `runMain graft.fuzz.FuzzDump <dir> <seed> <n> [scalar|agg|win]`
   * (scalar: 11k cases across seeds 20260813/7/424242/777/555001/42424243,
-  * agg: 1100 across 101/31337/909090 — green at round 10).
+  * agg: 1100 across 101/31337/909090, win: 1100 across 202/787878/13131 —
+  * green at round 10).
   */
 class FuzzDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
 
@@ -79,6 +80,20 @@ class FuzzDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (ok, err) = FuzzHarness.runAgg(spark, seed = 20260813L, n = 300, outDir = dir)
     assert(ok + err == 300)
     assert(err < 30, s"$err/300 aggregate cases errored in the engine — generator degenerate?")
+    val out = new StringBuilder
+    val rc = Process(Seq("python3", "tools/fuzz_check.py", dir, "--max-print", "10"),
+      new File("."))
+      .!(ProcessLogger(l => out.append(l).append('\n'), l => out.append(l).append('\n')))
+    assert(rc == 0, s"differential divergences:\n$out")
+    assert(out.toString.contains("300 cases"), s"comparator ran wrong case count:\n$out")
+  }
+
+  test("300 random window-function queries agree with DuckDB value-by-value") {
+    assume(duckdbAvailable, "python3+duckdb not on PATH — differential half skipped")
+    val dir = Files.createTempDirectory("graft-fuzz-win").toFile.getAbsolutePath
+    val (ok, err) = FuzzHarness.runWin(spark, seed = 20260813L, n = 300, outDir = dir)
+    assert(ok + err == 300)
+    assert(err < 30, s"$err/300 window cases errored in the engine — generator degenerate?")
     val out = new StringBuilder
     val rc = Process(Seq("python3", "tools/fuzz_check.py", dir, "--max-print", "10"),
       new File("."))
