@@ -42,8 +42,16 @@ object JsonFunctions {
     Concat(Literal("$") +: segments)
   }
 
+  /** Path extraction with DataFusion's JSON-null semantics: a path landing
+    * on a JSON `null` yields SQL NULL (datafusion-functions-json's getters
+    * return None for the null variant; DuckDB agrees), but Spark's
+    * GetJsonObject renders a null ARRAY ELEMENT as the 4-char string
+    * 'null' — found by the JSON differential fuzzer. The NullIf folds it.
+    * Known corner (pinned): a JSON STRING value "null" is
+    * indistinguishable from a JSON null in GetJsonObject's output, so it
+    * also maps to SQL NULL here — DataFusion would return the text. */
   private def get(args: Seq[Expression]): Expression =
-    GetJsonObject(args.head, jsonPath(args.tail))
+    new NullIf(GetJsonObject(args.head, jsonPath(args.tail)), Literal("null"))
 
   /** Key existence on the parent container: object-key membership for string
     * keys, index-in-bounds for integer keys. `get_json_object` cannot be used

@@ -358,6 +358,121 @@ object ExprGen {
     AggSig(as => s"corr(${boundedD(as(0))}, ${boundedD(as(1))})", Seq(D, D)),
     AggSig(as => s"covar_samp(${boundedD(as(0))}, ${boundedD(as(1))})", Seq(D, D)))
 
+  // --- JSON dialect surface -------------------------------------------------
+  //
+  // DuckDB's JSON function names and shapes differ from the engine's
+  // DataFusion-json layer (json_extract_string + json-path strings vs
+  // json_get_* + vararg key segments), so JSON cases carry PAIRED SQL: the
+  // engine text plus a hand-mapped DuckDB equivalent ("duck_sql" in the
+  // record) — the same oracle-translation discipline as the fixed query
+  // inventory, generated per-case. Mappings mirror the ENGINE's
+  // implementation semantics (JsonFunctions.scala: typed getters are TRY
+  // casts of the extracted string; contains is key-existence on the
+  // parent; length is array-length-else-object-size):
+  //   json_get/_str/_json/as_text → json_extract_string(j, '$path')
+  //     (string values come back UNQUOTED from both; json_get_json's
+  //     JSON-text rendering for strings is a documented engine alias)
+  //   json_get_int/_float/_bool  → TRY_CAST(json_extract_string(...))
+  //     (terminal-key pools keep value types cast-compatible: DuckDB
+  //     TRY_CAST('1.5' AS BIGINT) ROUNDS where Spark yields NULL, so
+  //     float-valued keys stay out of the int pool)
+  //   json_contains key → coalesce(list_contains(json_keys(j, parent), k), FALSE)
+  //   json_contains idx → coalesce(idx bounds vs json_array_length, FALSE)
+  //   json_length → CASE json_type WHEN ARRAY/OBJECT (else NULL)
+  // Fixture JSON keeps numbers in plain form (DuckDB re-renders '1.5e2' as
+  // '150.0') and keys unspaced (the engine's path builder doesn't quote).
+
+  /** Key pools by the value type they hold across every fixture row:
+    * a = int, b = string, c = bool, f = float, si = int-as-string,
+    * n = JSON null, zz = missing (present once), arr/obj = containers. */
+  private val jStrTerm = Seq("a", "b", "c", "f", "n", "si", "zz", "arr", "obj")
+  private val jIntTerm = Seq("a", "si", "n", "zz", "arr", "obj")
+  private val jFloatTerm = Seq("a", "f", "si", "n", "zz")
+  private val jBoolTerm = Seq("c", "n", "zz")
+  private val jLenTerm = Seq("arr", "obj", "a", "zz")
+
+  private final case class JPath(segs: List[Either[Int, String]]) {
+    def engineArgs: String = segs.map {
+      case Right(k) => s"'$k'"
+      case Left(i) => i.toString
+    }.mkString(", ")
+    def duckPath: String = "$" + segs.map {
+      case Right(k) => s".$k"
+      case Left(i) => s"[$i]"
+    }.mkString
+  }
+
+  /** Random path: 0–2 container hops (`.obj` or `.arr[i]`), then a
+    * terminal from the getter's pool. Paths that dead-end (missing key,
+    * scalar mid-path, out-of-bounds index) are the interesting cases —
+    * both engines must agree on the NULL. */
+  private def jsonPathGen(rnd: Random, terminals: Seq[String]): JPath = {
+    val segs = List.newBuilder[Either[Int, String]]
+    var hops = rnd.nextInt(3)
+    while (hops > 0) {
+      if (rnd.nextBoolean()) segs += Right("obj")
+      else { segs += Right("arr"); segs += Left(rnd.nextInt(4)) }
+      hops -= 1
+    }
+    segs += Right(terminals(rnd.nextInt(terminals.length)))
+    JPath(segs.result())
+  }
+
+  /** One (engineExpr, duckExpr) pair. */
+  private def jsonExprPair(rnd: Random): (String, String) = rnd.nextInt(9) match {
+    case 0 | 1 =>
+      val name = Seq("json_get_str", "json_as_text", "json_get", "json_get_json")(rnd.nextInt(4))
+      val p = jsonPathGen(rnd, jStrTerm)
+      (s"$name(j1, ${p.engineArgs})", s"json_extract_string(j1, '${p.duckPath}')")
+    case 2 => // array element (possibly out of bounds / heterogeneous)
+      val idx = rnd.nextInt(6)
+      (s"json_get_str(j1, 'arr', $idx)", s"json_extract_string(j1, '$$.arr[$idx]')")
+    case 3 =>
+      val p = jsonPathGen(rnd, jIntTerm)
+      (s"json_get_int(j1, ${p.engineArgs})",
+        s"TRY_CAST(json_extract_string(j1, '${p.duckPath}') AS BIGINT)")
+    case 4 =>
+      val p = jsonPathGen(rnd, jFloatTerm)
+      (s"json_get_float(j1, ${p.engineArgs})",
+        s"TRY_CAST(json_extract_string(j1, '${p.duckPath}') AS DOUBLE)")
+    case 5 =>
+      val p = jsonPathGen(rnd, jBoolTerm)
+      (s"json_get_bool(j1, ${p.engineArgs})",
+        s"TRY_CAST(json_extract_string(j1, '${p.duckPath}') AS BOOLEAN)")
+    case 6 => // key existence (a key holding JSON null still exists)
+      val hops = rnd.nextInt(2)
+      val parent = List.fill(hops)("obj")
+      val key = jStrTerm(rnd.nextInt(jStrTerm.length))
+      val engineArgs = (parent ++ List(key)).map(k => s"'$k'").mkString(", ")
+      val parentPath = "$" + parent.map("." + _).mkString
+      (s"json_contains(j1, $engineArgs)",
+        s"coalesce(list_contains(json_keys(j1, '$parentPath'), '$key'), FALSE)")
+    case 7 => // index-in-bounds existence, including a negative index
+      val idx = rnd.nextInt(7) - 1
+      (s"json_contains(j1, 'arr', $idx)",
+        s"coalesce(($idx >= 0 AND $idx < json_array_length(j1, '$$.arr')), FALSE)")
+    case _ =>
+      val p =
+        if (rnd.nextDouble() < 0.25) JPath(Nil) // root
+        else jsonPathGen(rnd, jLenTerm)
+      val engine =
+        if (p.segs.isEmpty) "json_length(j1)" else s"json_length(j1, ${p.engineArgs})"
+      (engine,
+        s"(CASE json_type(j1, '${p.duckPath}') " +
+          s"WHEN 'ARRAY' THEN CAST(json_array_length(j1, '${p.duckPath}') AS BIGINT) " +
+          s"WHEN 'OBJECT' THEN CAST(len(json_keys(j1, '${p.duckPath}')) AS BIGINT) END)")
+  }
+
+  /** JSON case `i` for `seed`: two paired expressions over the `j1`
+    * fixture column, ORDER BY id. Returns (engineSql, duckSql). */
+  def jsonCaseSql(seed: Long, i: Int): (String, String) = {
+    val rnd = new Random(seed * 4000037L + i)
+    val pairs = Seq.fill(2)(jsonExprPair(rnd))
+    val eng = pairs.zipWithIndex.map { case ((e, _), j) => s"$e AS r$j" }.mkString(", ")
+    val dk = pairs.zipWithIndex.map { case ((_, d), j) => s"$d AS r$j" }.mkString(", ")
+    (s"SELECT id, $eng FROM t ORDER BY id", s"SELECT id, $dk FROM t ORDER BY id")
+  }
+
   // --- window-function surface ----------------------------------------------
 
   /** Window ORDER BY keys. Each is followed by `, id` (unique) so every

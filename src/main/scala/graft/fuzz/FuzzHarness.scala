@@ -30,35 +30,51 @@ object FuzzHarness {
     * whose square overflows by a hair (3037000499² ≈ Long.Max + 5.8e9 —
     * both engines must agree on the overflow error), 2^53+1 as an array
     * element (double-lossy the same way in both), empty and NULL arrays,
-    * pre-epoch / leap-day / fractional-second timestamps. */
+    * pre-epoch / leap-day / fractional-second timestamps; `j1` JSON docs
+    * with a fixed key→type contract (ExprGen's pools), nested containers,
+    * heterogeneous arrays, JSON nulls vs missing keys, escaped quotes and
+    * unicode strings, an empty object, a top-level array, and a SQL NULL
+    * (numbers stay in plain form — DuckDB re-renders exponent forms). */
   private val fixtureSql: String = """
-    SELECT id, l1, l2, d1, d2, s1, s2, b1, a1, timestamp_micros(tsu) AS ts1
+    SELECT id, l1, l2, d1, d2, s1, s2, b1, a1, timestamp_micros(tsu) AS ts1, j1
     FROM VALUES
       (0L,  0L,    1L,  0.0e0,    1.5e0,   '',            'a',    true,
-       array(), 1577836800000000L),
+       array(), 1577836800000000L,
+       '{"a": 1, "b": "x", "c": true, "f": 1.5, "si": "123", "n": null, "arr": [1, 2, 3], "obj": {"a": 7, "b": "y", "arr": [4], "obj": {"a": 9}}}'),
       (1L,  1L,   -1L,  -0.0e0,   -2.25e0, 'a',           'b',    false,
-       array(1L), -1L),
+       array(1L), -1L,
+       '{"a": -42, "b": "", "c": false, "f": -0.25, "si": "-7", "arr": [], "obj": {"a": 0, "b": "z", "arr": [1, 2, 3, 4, 5], "obj": {}}}'),
       (2L, -1L,    2L,  1.0e0,    0.1e0,   'abc',         'ABC',  CAST(NULL AS BOOLEAN),
-       array(1L, 2L, 3L), 0L),
+       array(1L, 2L, 3L), 0L,
+       '{"b": "He said \\\"hi\\\"", "arr": [10, {"a": 5}, [1, 2]], "obj": {"b": "Héllo"}}'),
       (3L,  7L,    3L,  -1.5e0,   CAST('NaN' AS DOUBLE), 'Hello World', 'hello', true,
-       array(3L, 2L, 1L), 951825600000000L),
+       array(3L, 2L, 1L), 951825600000000L,
+       '{}'),
       (4L,  100L,  10L, 1.0e6,    CAST('Infinity' AS DOUBLE), 'a,b,c', ',', false,
-       array(0L, -1L, 7L), 1735689599500000L),
+       array(0L, -1L, 7L), 1735689599500000L,
+       '[1, 2, 3]'),
       (5L, -37L,   100L, 1.0e-6,  CAST('-Infinity' AS DOUBLE), ' pad ', '  ', true,
-       array(100L, 100L, -37L), 915246245678901L),
+       array(100L, 100L, -37L), 915246245678901L,
+       CAST(NULL AS STRING)),
       (6L,  1000000L, -5L, 2.5e0, 3.5e0,   '123',         '-42',  false,
-       array(9007199254740993L), 1171243445000000L),
+       array(9007199254740993L), 1171243445000000L,
+       '{"a": 1000000, "f": 100.0, "c": true, "si": "0", "n": null, "arr": [[1], [2, 3]], "obj": {"c": false, "f": 2.5, "si": "9"}}'),
       (7L,  3037000499L, 42L, -100.25e0, 1.0e308, 'Héllo Wörld', 'aaa', true,
-       array(5L, 5L, 5L, 5L), 1209600000000L),
+       array(5L, 5L, 5L, 5L), 1209600000000L,
+       '{"a": 0, "b": "a,b,c", "c": false, "f": 0.5, "arr": [7], "obj": {"a": -1, "n": null}}'),
       (8L,  CAST(NULL AS BIGINT), 6L, CAST(NULL AS DOUBLE), 2.0e0, 'not a number', '_%',
-       CAST(NULL AS BOOLEAN), array(2L, 4L, 8L), CAST(NULL AS BIGINT)),
+       CAST(NULL AS BOOLEAN), array(2L, 4L, 8L), CAST(NULL AS BIGINT),
+       '{"a": 13, "b": "_%", "f": 3.5, "si": "1000000", "arr": [0, -1, 7, 9], "obj": {"arr": []}}'),
       (9L,  13L,  CAST(NULL AS BIGINT), 0.5e0, CAST(NULL AS DOUBLE), CAST(NULL AS STRING),
-       'a_c', true, array(-5L), 386459112000000L),
+       'a_c', true, array(-5L), 386459112000000L,
+       '{"n": null, "zz": 1}'),
       (10L, 2L,    7L,  7.25e0,   -1.0e6,  'aaa',         CAST(NULL AS STRING), false,
-       CAST(NULL AS ARRAY<BIGINT>), 788918400000000L),
+       CAST(NULL AS ARRAY<BIGINT>), 788918400000000L,
+       '{"a": 7, "arr": [1, "two", 3.5, true, null], "obj": {"obj": {"obj": {"a": 1}}}}'),
       (11L, 4L,   -3L,  3.125e0,  0.25e0,  'xyz',         'x',    true,
-       array(42L), 946684800000000L)
-      AS v(id, l1, l2, d1, d2, s1, s2, b1, a1, tsu)"""
+       array(42L), 946684800000000L,
+       '{"b": "日本語", "c": true, "obj": {"si": "42"}}')
+      AS v(id, l1, l2, d1, d2, s1, s2, b1, a1, tsu, j1)"""
 
   /** Write the fixture parquet and register the read-back as temp view `t`
     * on `session`. Returns the read-back frame. */
@@ -146,17 +162,23 @@ object FuzzHarness {
     * tools/fuzz_check.py replays verbatim — grouped rows are made
     * comparable row-by-row by the ORDER BY the generator embeds. */
   def runAgg(base: SparkSession, seed: Long, n: Int, outDir: String): (Int, Int) =
-    runFullSql(base, seed, n, outDir, ExprGen.aggCaseSql)
+    runFullSql(base, seed, n, outDir, (s, i) => { val q = ExprGen.aggCaseSql(s, i); (q, q) })
 
   /** Window-function twin: [[ExprGen.windowCaseSql]] cases (ranking /
     * offset / framed-aggregate windows over deterministic ORDER BY
     * specs), same record shape as [[runAgg]]. */
   def runWin(base: SparkSession, seed: Long, n: Int, outDir: String): (Int, Int) =
-    runFullSql(base, seed, n, outDir, ExprGen.windowCaseSql)
+    runFullSql(base, seed, n, outDir, (s, i) => { val q = ExprGen.windowCaseSql(s, i); (q, q) })
+
+  /** JSON twin: [[ExprGen.jsonCaseSql]] PAIRED cases — DuckDB's JSON
+    * function surface differs, so each record carries its own mapped
+    * `duck_sql` replay text. */
+  def runJson(base: SparkSession, seed: Long, n: Int, outDir: String): (Int, Int) =
+    runFullSql(base, seed, n, outDir, ExprGen.jsonCaseSql)
 
   private def runFullSql(
       base: SparkSession, seed: Long, n: Int, outDir: String,
-      caseSql: (Long, Int) => String): (Int, Int) = {
+      caseSql: (Long, Int) => (String, String)): (Int, Int) = {
     val session = OdfSessions.newRequestSession(base)
     new File(outDir).mkdirs()
     writeAndRegisterFixture(session, outDir)
@@ -166,7 +188,9 @@ object FuzzHarness {
     var ok = 0; var err = 0
     try {
       for (i <- 0 until n) {
-        val sql = caseSql(seed, i)
+        val (sql, duckSql) = caseSql(seed, i)
+        val duckField =
+          if (duckSql == sql) "" else s""","duck_sql":"${jsonEscape(duckSql)}""""
         val rec =
           try {
             val df = session.sql(sql)
@@ -177,13 +201,13 @@ object FuzzHarness {
                 .map(j => "\"" + jsonEscape(canon(r.get(j))) + "\"")
                 .mkString("[", ",", "]"))
             ok += 1
-            s"""{"i":$i,"sql":"${jsonEscape(sql)}","ok":true,"tys":[$tys],"rows":[${rows.mkString(",")}]}"""
+            s"""{"i":$i,"sql":"${jsonEscape(sql)}"$duckField,"ok":true,"tys":[$tys],"rows":[${rows.mkString(",")}]}"""
           } catch {
             case e: Throwable =>
               err += 1
               val msg = Option(e.getMessage).getOrElse(e.getClass.getName).linesIterator
                 .take(1).mkString.take(200)
-              s"""{"i":$i,"sql":"${jsonEscape(sql)}","ok":false,"err":"${jsonEscape(msg)}"}"""
+              s"""{"i":$i,"sql":"${jsonEscape(sql)}"$duckField,"ok":false,"err":"${jsonEscape(msg)}"}"""
           }
         w.write(rec); w.newLine()
       }
@@ -193,7 +217,7 @@ object FuzzHarness {
 }
 
 /** Manual sweep entry point:
-  * `runMain graft.fuzz.FuzzDump <outDir> [seed] [n] [scalar|agg|win]`. */
+  * `runMain graft.fuzz.FuzzDump <outDir> [seed] [n] [scalar|agg|win|json]`. */
 object FuzzDump {
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("/tmp/fuzz")
@@ -211,6 +235,7 @@ object FuzzDump {
     val (ok, err) = mode match {
       case "agg" => FuzzHarness.runAgg(spark, seed, n, outDir)
       case "win" => FuzzHarness.runWin(spark, seed, n, outDir)
+      case "json" => FuzzHarness.runJson(spark, seed, n, outDir)
       case _ => FuzzHarness.run(spark, seed, n, outDir)
     }
     println(f"[fuzz] $n $mode cases (seed $seed): $ok evaluated, $err engine errors, " +

@@ -337,6 +337,27 @@ class DataFusionCompatSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(r2.getDouble(0) - 1.0) < 1e-12)
   }
 
+  test("JSON getters return SQL NULL for JSON null values, like DataFusion") {
+    // JSON-differential-fuzzer find: Spark's GetJsonObject renders a null
+    // ARRAY element as the string 'null' where datafusion-functions-json
+    // (and DuckDB) yield SQL NULL; JsonFunctions folds it. The known
+    // pinned corner: a JSON STRING "null" also folds (indistinguishable
+    // in GetJsonObject's output).
+    graft.functions.JsonFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT json_get_str('{"a": [1, null, 3]}', 'a', 1),
+        |       json_get_str('{"n": null}', 'n'),
+        |       json_get_int('{"a": [1, null]}', 'a', 1),
+        |       json_contains('{"n": null}', 'n'),
+        |       json_get_str('{"a": [1, null, 3]}', 'a', 2)""".stripMargin)
+      .collect()(0)
+    assert(r.isNullAt(0), "null array element -> SQL NULL")
+    assert(r.isNullAt(1), "null object value -> SQL NULL")
+    assert(r.isNullAt(2), "typed getter of null -> SQL NULL")
+    assert(r.getBoolean(3), "a key holding JSON null still EXISTS")
+    assert(r.getString(4) == "3")
+  }
+
   test("GraftExtensions injects aliases but NOT the semantic overrides") {
     // getOrCreate would hand back the compat-registered session above —
     // drop it so a FRESH session (with extensions applied) is built

@@ -102,6 +102,20 @@ class FuzzDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toString.contains("300 cases"), s"comparator ran wrong case count:\n$out")
   }
 
+  test("300 random JSON-path queries agree with DuckDB value-by-value") {
+    assume(duckdbAvailable, "python3+duckdb not on PATH — differential half skipped")
+    val dir = Files.createTempDirectory("graft-fuzz-json").toFile.getAbsolutePath
+    val (ok, err) = FuzzHarness.runJson(spark, seed = 20260813L, n = 300, outDir = dir)
+    assert(ok + err == 300)
+    assert(err < 30, s"$err/300 JSON cases errored in the engine — generator degenerate?")
+    val out = new StringBuilder
+    val rc = Process(Seq("python3", "tools/fuzz_check.py", dir, "--max-print", "10"),
+      new File("."))
+      .!(ProcessLogger(l => out.append(l).append('\n'), l => out.append(l).append('\n')))
+    assert(rc == 0, s"differential divergences:\n$out")
+    assert(out.toString.contains("300 cases"), s"comparator ran wrong case count:\n$out")
+  }
+
   test("generator is deterministic in the seed") {
     val a = (0 until 50).map(i => ExprGen.caseExpr(99L, i))
     val b = (0 until 50).map(i => ExprGen.caseExpr(99L, i))

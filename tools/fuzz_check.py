@@ -124,13 +124,16 @@ def main():
     for line in open(f"{dump}/cases.jsonl"):
         case = json.loads(line)
         n += 1
-        # Two record shapes: scalar cases carry "expr" (replayed inside the
-        # canonical per-row SELECT), aggregate/GROUP BY cases carry the full
-        # "sql" text plus per-output-column "tys" and list-shaped rows.
+        # Record shapes: scalar cases carry "expr" (replayed inside the
+        # canonical per-row SELECT); aggregate/window/JSON cases carry the
+        # full "sql" text plus per-output-column "tys" and list-shaped rows.
+        # JSON cases additionally carry "duck_sql" — a hand-mapped DuckDB
+        # equivalent (its function names differ) replayed INSTEAD of the
+        # engine text.
         full_sql = "sql" in case
         label = case["sql"] if full_sql else case["expr"]
-        sql = case["sql"] if full_sql else \
-            f"SELECT id, ({case['expr']}) AS r FROM t ORDER BY id"
+        sql = case.get("duck_sql") or (case["sql"] if full_sql else
+            f"SELECT id, ({case['expr']}) AS r FROM t ORDER BY id")
         try:
             fetched = con.execute(sql).fetchall()
             duck_rows = [[canon_duck(v) for v in r] for r in fetched] if full_sql \
