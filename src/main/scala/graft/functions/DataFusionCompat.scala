@@ -522,8 +522,18 @@ object DataFusionCompat {
     x
   }
 
+  /** DataFusion's lcm ERRORS on i64 overflow (DuckDB agrees: "lcm value
+    * is out of range") where a plain Long multiply silently wraps — found
+    * by the window fuzzer (nested lcm over 3037000499). multiplyExact
+    * raises ArithmeticException, surfaced like any ANSI arithmetic
+    * overflow; the |Long.MinValue| edge (its abs re-wraps) is guarded. */
   def lcmLong(a: Long, b: Long): Long =
-    if (a == 0 || b == 0) 0L else math.abs(a / gcdLong(a, b) * b)
+    if (a == 0 || b == 0) 0L
+    else {
+      val m = java.lang.Math.multiplyExact(a / gcdLong(a, b), b)
+      if (m == Long.MinValue) throw new ArithmeticException("long overflow in lcm")
+      math.abs(m)
+    }
 
   /** `gcd`/`lcm` (DataFusion math functions Spark lacks) — native binary
     * expressions, codegen'd via the object's static forwarders. */
@@ -583,6 +593,62 @@ object DataFusionCompat {
     }
     override protected def withNewChildrenInternal(l: Expression, r: Expression)
         : CorrNullOnZeroVariance = copy(x = l, y = r)
+  }
+
+  /** Rust-faithful `round(double)`: half away from zero AND sign-of-zero
+    * preserving — `f64::round(-0.4)` is -0.0 in DataFusion (and DuckDB),
+    * +0.0 out of Spark's BigDecimal-based Round; atan2 and division
+    * downstream can observe the sign (differential-fuzzer find, same
+    * family as [[Atan2Ieee]]). Values are otherwise identical, including
+    * the 0.49999999999999994 edge (the fraction test is exact: for
+    * |x| < 2^52, `abs(x) - floor(abs(x))` has no rounding error — unlike
+    * the classic `floor(x + 0.5)`, whose ADD rounds that edge up). */
+  case class RoundIeee(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override protected def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[Double]
+      val ab = java.lang.Math.abs(x)
+      val r =
+        if (ab >= 4.503599627370496e15) ab // >= 2^52: already integral (or Inf/NaN)
+        else {
+          val f = java.lang.Math.floor(ab)
+          if (ab - f >= 0.5) f + 1.0 else f
+        }
+      java.lang.Math.copySign(r, x)
+    }
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val a = ctx.freshName("ab")
+        val f = ctx.freshName("fl")
+        s"""
+           |double $a = java.lang.Math.abs($c);
+           |double $f = java.lang.Math.floor($a);
+           |${ev.value} = java.lang.Math.copySign(
+           |  ($a >= 4.503599627370496E15D) ? $a : (($a - $f >= 0.5D) ? $f + 1.0D : $f), $c);
+           |""".stripMargin
+      })
+    override protected def withNewChildInternal(c: Expression): RoundIeee =
+      copy(child = c)
+  }
+
+  /** Type dispatch for the `round` override: only the 1-arg FLOAT/DOUBLE
+    * form gets [[RoundIeee]]; everything else (ints, decimals, the 2-arg
+    * scale form) falls through to Spark's Round, whose values already
+    * match. (The 2-arg form's sign-of-zero corner — round(-1e-6, 2) is
+    * -0.0 in Rust — is left with Spark semantics: replicating DataFusion's
+    * multiply-round-divide there would diverge from decimal-correct
+    * rounding on cases like round(0.285, 2).) */
+  case class RoundCompat(children: Seq[Expression]) extends Expression with RuntimeReplaceable {
+    override lazy val replacement: Expression = children match {
+      case Seq(x) if x.dataType == DoubleType || x.dataType == FloatType =>
+        RoundIeee(Cast(x, DoubleType))
+      case _ => Round(children.head, children.lift(1).getOrElse(Literal(0)))
+    }
+    override def withNewChildrenInternal(c: IndexedSeq[Expression]): RoundCompat =
+      copy(children = c)
   }
 
   case class LcmLong(left: Expression, right: Expression) extends BinaryExpression {
@@ -753,6 +819,9 @@ object DataFusionCompat {
     // NULL (not ANSI DIVIDE_BY_ZERO) on zero-variance input; the analyzer
     // wraps the bare AggregateFunction and inserts the double casts
     "corr" -> (args => CorrNullOnZeroVariance(args(0), args(1))),
+    // sign-of-zero-preserving round for the 1-arg double form (Rust
+    // f64::round); other shapes keep Spark's Round
+    "round" -> (args => RoundCompat(args)),
   )
 
   /** Register the full DataFusion-dialect surface (aliases + semantic

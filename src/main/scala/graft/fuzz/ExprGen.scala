@@ -112,14 +112,22 @@ object ExprGen {
     // atan2 arguments (where all engines agree) keep covering it
     fn("abs", L, L), Sig(as => s"(abs(${as(0)}) + 0.0e0)", Seq(D), D),
     // floor/ceil of DOUBLE return BIGINT in Spark and saturate (NaN→0,
-    // ±huge→Long.Min/Max) where DuckDB stays DOUBLE: bound the argument to
-    // (−1e9, 1e9) via fmod and null-route the NaN fmod leaves behind
+    // ±huge→Long.Min/Max) where DuckDB stays DOUBLE: CASE-gate the
+    // argument into (−1e9, 1e9), NULL outside (NaN/±Inf fail the abs test
+    // and null-route too). A RANGE GATE, deliberately not `% 1e9`: fmod
+    // with an astronomically large quotient turns an upstream last-ulp
+    // libm difference into a completely different remainder (seed-111
+    // find: sqrt·atan2 of 1e308 fmod'd — ulp there is ~1e292), while a
+    // gate passes values through bit-unchanged or not at all.
     // CAST(.. AS BIGINT): Spark floor/ceil already return BIGINT but
     // DuckDB's stay DOUBLE, which its strictly-typed gcd/lcm/list_extract
     // refuse as an argument — the cast (exact: |value| < 1e9) aligns both
-    Sig(as => s"CAST(floor(nullif(${as(0)} % 1.0e9, CAST('NaN' AS DOUBLE))) AS BIGINT)", Seq(D), L),
-    Sig(as => s"CAST(ceil(nullif(${as(0)} % 1.0e9, CAST('NaN' AS DOUBLE))) AS BIGINT)", Seq(D), L),
-    fn("round", D, D), Sig(as => s"round(${as(0)}, 2)", Seq(D), D),
+    Sig(as => s"CAST(floor(CASE WHEN abs(${as(0)}) < 1.0e9 THEN ${as(0)} END) AS BIGINT)", Seq(D), L),
+    Sig(as => s"CAST(ceil(CASE WHEN abs(${as(0)}) < 1.0e9 THEN ${as(0)} END) AS BIGINT)", Seq(D), L),
+    fn("round", D, D), // 1-arg: dialect RoundIeee — sign-of-zero preserved in all 3 engines
+    // 2-arg round keeps Spark semantics (see RoundCompat): + 0.0 clears
+    // the -0.0 that Rust/DuckDB produce for |x| < 0.005 rounded to 2dp
+    Sig(as => s"(round(${as(0)}, 2) + 0.0e0)", Seq(D), D),
     // abs-guarded: DuckDB sqrt(-x) errors where Spark/DataFusion give NaN
     // (+ 0.0 for the same sign-of-zero oracle quirk as the abs sig)
     Sig(as => s"sqrt(abs(${as(0)}) + 0.0e0)", Seq(D), D),
@@ -131,12 +139,12 @@ object ExprGen {
     Sig(as => s"log2(abs(${as(0)}) + 1.0e-6)", Seq(D), D),
     Sig(as => s"ln(abs(${as(0)}) + 1.0e-6)", Seq(D), D),
     // trig: DuckDB errors on ±Inf input ("out of range for numeric
-    // function") where Spark gives NaN — fmod-bound the argument finite and
-    // null-route the NaN that fmod leaves for ±Inf/NaN inputs
-    Sig(as => s"sin(nullif(${as(0)} % 7.0e0, CAST('NaN' AS DOUBLE)))", Seq(D), D),
-    Sig(as => s"cos(nullif(${as(0)} % 7.0e0, CAST('NaN' AS DOUBLE)))", Seq(D), D),
+    // function") where Spark gives NaN — range-gate (NOT fmod: see the
+    // floor sig) the argument finite; NaN/±Inf null-route via the gate
+    Sig(as => s"sin(CASE WHEN abs(${as(0)}) < 1.0e6 THEN ${as(0)} END)", Seq(D), D),
+    Sig(as => s"cos(CASE WHEN abs(${as(0)}) < 1.0e6 THEN ${as(0)} END)", Seq(D), D),
     // asin over sin keeps the domain in [-1, 1] (DuckDB errors outside)
-    Sig(as => s"asin(sin(nullif(${as(0)} % 7.0e0, CAST('NaN' AS DOUBLE))))", Seq(D), D),
+    Sig(as => s"asin(sin(CASE WHEN abs(${as(0)}) < 1.0e6 THEN ${as(0)} END))", Seq(D), D),
     fn("atan", D, D), fn("atan2", D, D, D), // total in both (atan2(0,0)=0)
     fn("degrees", D, D), fn("radians", D, D),
     fn("gcd", L, L, L), fn("lcm", L, L, L), // dialect: registered by DataFusionCompat
@@ -308,15 +316,20 @@ object ExprGen {
     * 2^63 as HUGEINT) — `% 100001` bounds any 12-row sum to ~1.2e6, far
     * from either edge, so the sums agree exactly.
     *
-    * `boundedD`: two independent reasons. (1) DuckDB's variance family
+    * `boundedD`: three independent reasons. (1) DuckDB's variance family
     * ERRORS on NaN input ("VARPOP is out of range") where Spark propagates
-    * NaN — null-route NaN. (2) floating-point aggregation ORDER differs
-    * (Spark partial aggregates per partition; DuckDB its own order), so
-    * magnitudes must stay where the comparator's 1e-9 relative tolerance
-    * provably absorbs reassociation error — `% 1.0e6` caps them (±Inf
-    * becomes NaN under fmod and is null-routed by the same nullif). */
+    * NaN. (2) floating-point aggregation ORDER differs (Spark partial
+    * aggregates per partition; DuckDB its own order), so magnitudes must
+    * stay where the comparator's 1e-9 relative tolerance provably absorbs
+    * reassociation error. (3) the gate is a CASE RANGE TEST, not `% 1e6`:
+    * fmod of a huge value amplifies an upstream last-ulp libm difference
+    * into an arbitrary remainder (seed-111 find — a ~1e154 product's ulp
+    * is ~1e138, so `x % 1e6` was pure noise), while a range gate passes
+    * values through bit-unchanged or NULLs them (NaN/±Inf fail the abs
+    * test and null-route too; only a value within an ulp of exactly 1e6
+    * could straddle the gate, which no libm tail produces). */
   private def boundedL(e: String) = s"(($e) % 100001)"
-  private def boundedD(e: String) = s"nullif(($e) % 1.0e6, CAST('NaN' AS DOUBLE))"
+  private def boundedD(e: String) = s"(CASE WHEN abs($e) < 1.0e6 THEN ($e) END)"
 
   /** Curated aggregate surface — every entry semantics-shared by the
     * engines (probe-verified where risky):

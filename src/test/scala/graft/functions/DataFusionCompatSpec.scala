@@ -337,6 +337,34 @@ class DataFusionCompatSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(r2.getDouble(0) - 1.0) < 1e-12)
   }
 
+  test("round(double) keeps Rust f64::round semantics: sign of zero, half away, exact edge") {
+    // differential-fuzzer find (round(-0.0) via atan2): Spark's BigDecimal
+    // Round normalizes -0.0 → +0.0 where Rust/DataFusion/DuckDB preserve
+    // the sign. Values are otherwise identical — including half-away-from-
+    // zero and the 0.49999999999999994 edge the floor(x+0.5) idiom breaks.
+    val r = spark.sql(
+      """SELECT atan2(-0.0e0, round(-0.4e0)),  -- -pi iff round(-0.4) = -0.0
+        |       atan2(-0.0e0, round(-0.0e0)),
+        |       round(2.5e0), round(-2.5e0), round(0.5e0),
+        |       round(0.49999999999999994e0),
+        |       round(4.503599627370497e15),
+        |       round(CAST('NaN' AS DOUBLE)),
+        |       round(2L), round(2.345e0, 2)""".stripMargin)
+      .collect()(0)
+    assert(r.getDouble(0) == -math.Pi, "round(-0.4) must be -0.0")
+    assert(r.getDouble(1) == -math.Pi, "round(-0.0) must stay -0.0")
+    assert(r.getDouble(2) == 3.0 && r.getDouble(3) == -3.0 && r.getDouble(4) == 1.0)
+    assert(r.getDouble(5) == 0.0, "largest double < 0.5 rounds DOWN")
+    assert(r.getDouble(6) == 4.503599627370497e15, ">= 2^52 passes through")
+    assert(r.getDouble(7).isNaN)
+    assert(r.getLong(8) == 2L, "non-double forms keep Spark Round")
+    assert(math.abs(r.getDouble(9) - 2.35) < 1e-12, "2-arg form keeps Spark Round")
+    // interpreted eval agrees with codegen
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val i = DataFusionCompat.RoundIeee(Literal(-0.4d)).eval(null).asInstanceOf[Double]
+    assert(i == 0.0 && 1.0 / i < 0, "interpreted round(-0.4) = -0.0")
+  }
+
   test("JSON getters return SQL NULL for JSON null values, like DataFusion") {
     // JSON-differential-fuzzer find: Spark's GetJsonObject renders a null
     // ARRAY element as the string 'null' where datafusion-functions-json

@@ -27,19 +27,24 @@ import org.scalatest.BeforeAndAfterAll
   * `list_extract`/`array_element`/`list_element` index 0 / out-of-bounds /
   * BIGINT-index handling (elementTotal — Spark's ElementAt throws where
   * DataFusion yields NULL); `atan2` negative-zero normalization
-  * (Atan2Ieee); `corr` ANSI DIVIDE_BY_ZERO on zero variance
-  * (CorrNullOnZeroVariance, found by the aggregate harness). One Spark
-  * parser-level deviation is PINNED instead of forked (string→float casts
-  * accept Java float syntax — DataFusionCompat header, ExprGen's SL type).
-  * Oracle-only deviations (DuckDB quirks vs the DataFusion semantics this
-  * engine implements — sqrt/log domains, abs sign-of-zero, list NULL
-  * ordering) are guarded at the generator with per-Sig comments.
+  * (Atan2Ieee); `round(double)` negative-zero normalization (RoundIeee —
+  * Rust/DuckDB preserve the sign); `corr` ANSI DIVIDE_BY_ZERO on zero
+  * variance (CorrNullOnZeroVariance, found by the aggregate harness);
+  * JSON-null extraction (JsonFunctions, found by the JSON harness). One
+  * Spark parser-level deviation is PINNED instead of forked (string→float
+  * casts accept Java float syntax — DataFusionCompat header, ExprGen's SL
+  * type). Oracle-only deviations (DuckDB quirks vs the DataFusion
+  * semantics this engine implements — sqrt/log domains, abs sign-of-zero,
+  * list NULL ordering) are guarded at the generator with per-Sig
+  * comments. Harness-side lesson pinned in ExprGen: magnitude guards must
+  * be CASE range GATES, never fmod — fmod of a huge value turns an
+  * upstream last-ulp libm difference into an arbitrary remainder.
   *
   * The seed is fixed so CI is deterministic; sweep fresh seeds manually
-  * with `runMain graft.fuzz.FuzzDump <dir> <seed> <n> [scalar|agg|win]`
-  * (scalar: 11k cases across seeds 20260813/7/424242/777/555001/42424243,
-  * agg: 1100 across 101/31337/909090, win: 1100 across 202/787878/13131 —
-  * green at round 10).
+  * with `runMain graft.fuzz.FuzzDump <dir> <seed> <n> [scalar|agg|win|json]`
+  * (green at round 10: scalar seeds 20260813/7/424242/777/555001/
+  * 42424243/111/222, agg 101/31337/909090/111/222, win
+  * 202/787878/13131/111/222, json 55/606/909/111/222 — ~19k cases).
   */
 class FuzzDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
 
