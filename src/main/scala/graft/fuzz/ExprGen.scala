@@ -284,11 +284,14 @@ object ExprGen {
     s"SELECT id, ${gen(rnd, ty, 3)} AS r FROM t"
   }
 
-  /** Just the expression text of case `i` (for batched evaluation). */
-  def caseExpr(seed: Long, i: Int): String = {
+  /** Just the expression text of case `i` (for batched evaluation).
+    * `depth` widens composition coverage (deeper trees nest more dialect
+    * functions inside each other); 3 keeps a divergence readable, 4–5 for
+    * manual stress sweeps. */
+  def caseExpr(seed: Long, i: Int, depth: Int = 3): String = {
     val rnd = new Random(seed * 1000003L + i)
     val ty = Seq(L, D, S, B, A, T)(rnd.nextInt(6))
-    gen(rnd, ty, 3)
+    gen(rnd, ty, depth)
   }
 
   // --- aggregate / GROUP BY surface -----------------------------------------

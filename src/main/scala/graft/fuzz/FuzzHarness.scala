@@ -122,7 +122,8 @@ object FuzzHarness {
 
   /** Evaluate cases `[0, n)` for `seed` and write `cases.jsonl` +
     * `fixture.parquet` under `outDir`. Returns (okCount, errCount). */
-  def run(base: SparkSession, seed: Long, n: Int, outDir: String): (Int, Int) = {
+  def run(base: SparkSession, seed: Long, n: Int, outDir: String,
+      depth: Int = 3): (Int, Int) = {
     val session = OdfSessions.newRequestSession(base)
     new File(outDir).mkdirs()
     writeAndRegisterFixture(session, outDir)
@@ -134,7 +135,7 @@ object FuzzHarness {
     var ok = 0; var err = 0
     try {
       for (i <- 0 until n) {
-        val expr = ExprGen.caseExpr(seed, i)
+        val expr = ExprGen.caseExpr(seed, i, depth)
         val sql = s"SELECT id, ($expr) AS r FROM t ORDER BY id"
         val rec =
           try {
@@ -217,13 +218,15 @@ object FuzzHarness {
 }
 
 /** Manual sweep entry point:
-  * `runMain graft.fuzz.FuzzDump <outDir> [seed] [n] [scalar|agg|win|json]`. */
+  * `runMain graft.fuzz.FuzzDump <outDir> [seed] [n] [scalar|agg|win|json] [depth]`
+  * (depth applies to scalar mode; 3 default, 4-5 for stress sweeps). */
 object FuzzDump {
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("/tmp/fuzz")
     val seed = args.lift(1).map(_.toLong).getOrElse(20260813L)
     val n = args.lift(2).map(_.toInt).getOrElse(2000)
     val mode = args.lift(3).getOrElse("scalar")
+    val depth = args.lift(4).map(_.toInt).getOrElse(3)
     val spark = OdfSessions.configureBase(SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -236,7 +239,7 @@ object FuzzDump {
       case "agg" => FuzzHarness.runAgg(spark, seed, n, outDir)
       case "win" => FuzzHarness.runWin(spark, seed, n, outDir)
       case "json" => FuzzHarness.runJson(spark, seed, n, outDir)
-      case _ => FuzzHarness.run(spark, seed, n, outDir)
+      case _ => FuzzHarness.run(spark, seed, n, outDir, depth)
     }
     println(f"[fuzz] $n $mode cases (seed $seed): $ok evaluated, $err engine errors, " +
       f"${(System.nanoTime() - t0) / 1e9}%.1f s -> $outDir/cases.jsonl")
