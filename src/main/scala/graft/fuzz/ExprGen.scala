@@ -374,6 +374,77 @@ object ExprGen {
     AggSig(as => s"corr(${boundedD(as(0))}, ${boundedD(as(1))})", Seq(D, D)),
     AggSig(as => s"covar_samp(${boundedD(as(0))}, ${boundedD(as(1))})", Seq(D, D)))
 
+  // --- relational shapes (joins / set ops / sort-limit / distinct) ----------
+
+  /** Qualify the fixture column names inside a generated expression with a
+    * table alias — self-join contexts make bare names ambiguous. Column
+    * tokens never occur inside the literal pools' string contents, so a
+    * word-boundary rewrite is safe. */
+  private def qualify(expr: String, alias: String): String =
+    expr.replaceAll("\\b(l1|l2|d1|d2|s1|s2|b1|a1|ts1|j1)\\b", alias + ".$1")
+
+  /** Join ON conditions over the self-joined fixture: equi (unique and
+    * repeating keys), null-safe, boolean, and composite with an
+    * inequality. NULL keys never match `=` in either engine; IS NOT
+    * DISTINCT FROM matches them — both sides of that contract are here. */
+  private val joinConds: Seq[String] = Seq(
+    "a.l1 = b.l2",
+    "a.s1 = b.s2",
+    "(a.l1 % 3) = (b.l1 % 3)",
+    "a.l1 IS NOT DISTINCT FROM b.l2",
+    "a.s1 IS NOT DISTINCT FROM b.s1",
+    "a.b1 = b.b1 AND a.l1 < b.l1",
+    "a.l1 = b.l1 AND a.ts1 <= b.ts1")
+
+  /** Output-column pairs for set operations: no doubles (Spark's grouping
+    * treats -0.0/0.0 and NaN bit-patterns specially; integer/string/bool/
+    * timestamp equality is engine-independent). */
+  private val setOpCols: Seq[String] = Seq(
+    "l1, s1", "l2, s2", "id, b1", "(l1 % 3), substr(s1, 1, 2)", "l1 + l2, ts1")
+
+  /** Relational case `i` for `seed` — one of five shapes, all shared SQL
+    * text with DuckDB (semi/anti use EXISTS: DuckDB has no LEFT SEMI JOIN
+    * syntax). Row order is made comparable by ORDER BY over the output
+    * with explicit NULLS FIRST; residual ties are full-row-identical, so
+    * row-by-row compare is order-insensitive for them. */
+  def relCaseSql(seed: Long, i: Int): String = {
+    val rnd = new Random(seed * 5000011L + i)
+    rnd.nextInt(5) match {
+      case 0 => // join of every type; random residual predicate on the a side
+        val jt = Seq("JOIN", "LEFT JOIN", "RIGHT JOIN", "FULL JOIN")(rnd.nextInt(4))
+        val cond = joinConds(rnd.nextInt(joinConds.length))
+        val pred = qualify(gen(rnd, B, 2), "a")
+        // the WHERE nulls out a-side-NULL rows of RIGHT/FULL joins the
+        // same way in both engines (three-valued logic drops them)
+        s"SELECT a.id AS aid, b.id AS bid, ${qualify("l1", "a")} AS al1, " +
+          s"${qualify("s2", "b")} AS bs2 FROM t a $jt t b ON $cond " +
+          s"WHERE ($pred) IS NOT FALSE " +
+          "ORDER BY aid NULLS FIRST, bid NULLS FIRST"
+      case 1 => // semi/anti via EXISTS (correlated)
+        val neg = if (rnd.nextBoolean()) "NOT " else ""
+        val cond = joinConds(rnd.nextInt(joinConds.length))
+        s"SELECT id, l1, s1 FROM t a WHERE $neg" +
+          s"EXISTS (SELECT 1 FROM t b WHERE $cond) ORDER BY id"
+      case 2 => // set operations
+        val op = Seq("UNION", "UNION ALL", "INTERSECT", "EXCEPT",
+          "INTERSECT ALL", "EXCEPT ALL")(rnd.nextInt(6))
+        val cols = setOpCols(rnd.nextInt(setOpCols.length))
+        val p1 = gen(rnd, B, 2)
+        val p2 = gen(rnd, B, 2)
+        s"SELECT $cols FROM t WHERE ($p1) IS NOT FALSE $op " +
+          s"SELECT $cols FROM t WHERE ($p2) IS NOT FALSE " +
+          "ORDER BY 1 NULLS FIRST, 2 NULLS FIRST"
+      case 3 => // sort + limit/offset over a deterministic total order
+        val okey = winOrderKeys(rnd.nextInt(winOrderKeys.length))
+        val k = 1 + rnd.nextInt(8)
+        val off = rnd.nextInt(6)
+        s"SELECT id, l1 FROM t ORDER BY $okey NULLS FIRST, id LIMIT $k OFFSET $off"
+      case _ => // DISTINCT over a generated expression
+        val e = gen(rnd, Seq(L, S, B)(rnd.nextInt(3)), 2)
+        s"SELECT DISTINCT ($e) AS r FROM t ORDER BY r NULLS FIRST"
+    }
+  }
+
   // --- JSON dialect surface -------------------------------------------------
   //
   // DuckDB's JSON function names and shapes differ from the engine's

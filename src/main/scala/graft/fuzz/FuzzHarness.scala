@@ -171,6 +171,11 @@ object FuzzHarness {
   def runWin(base: SparkSession, seed: Long, n: Int, outDir: String): (Int, Int) =
     runFullSql(base, seed, n, outDir, (s, i) => { val q = ExprGen.windowCaseSql(s, i); (q, q) })
 
+  /** Relational-shape twin: [[ExprGen.relCaseSql]] joins / set ops /
+    * sort-limit / distinct — shared SQL text, same record shape. */
+  def runRel(base: SparkSession, seed: Long, n: Int, outDir: String): (Int, Int) =
+    runFullSql(base, seed, n, outDir, (s, i) => { val q = ExprGen.relCaseSql(s, i); (q, q) })
+
   /** JSON twin: [[ExprGen.jsonCaseSql]] PAIRED cases — DuckDB's JSON
     * function surface differs, so each record carries its own mapped
     * `duck_sql` replay text. */
@@ -218,7 +223,7 @@ object FuzzHarness {
 }
 
 /** Manual sweep entry point:
-  * `runMain graft.fuzz.FuzzDump <outDir> [seed] [n] [scalar|agg|win|json] [depth]`
+  * `runMain graft.fuzz.FuzzDump <outDir> [seed] [n] [scalar|agg|win|json|rel] [depth]`
   * (depth applies to scalar mode; 3 default, 4-5 for stress sweeps). */
 object FuzzDump {
   def main(args: Array[String]): Unit = {
@@ -239,6 +244,7 @@ object FuzzDump {
       case "agg" => FuzzHarness.runAgg(spark, seed, n, outDir)
       case "win" => FuzzHarness.runWin(spark, seed, n, outDir)
       case "json" => FuzzHarness.runJson(spark, seed, n, outDir)
+      case "rel" => FuzzHarness.runRel(spark, seed, n, outDir)
       case _ => FuzzHarness.run(spark, seed, n, outDir, depth)
     }
     println(f"[fuzz] $n $mode cases (seed $seed): $ok evaluated, $err engine errors, " +
