@@ -595,6 +595,30 @@ object DataFusionCompat {
         : CorrNullOnZeroVariance = copy(x = l, y = r)
   }
 
+  /** IEEE-754 pow, unlike `java.lang.Math.pow`, which returns NaN when
+    * |base| == 1 and the exponent is NaN or ±Inf — IEEE (and Rust's
+    * f64::powf behind DataFusion, and DuckDB's C pow) defines
+    * pow(+1, anything) = 1 and pow(-1, ±Inf) = 1. Found by the aggregate
+    * fuzzer (power(cos(0), NaN)). Every other case matches Java's pow. */
+  case class PowIeee(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "power"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      powIeee(a.asInstanceOf[Double], b.asInstanceOf[Double])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.DataFusionCompat.powIeee($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): PowIeee =
+      copy(left = l, right = r)
+  }
+
+  def powIeee(b: Double, e: Double): Double =
+    if (b == 1.0) 1.0
+    else if (b == -1.0 && java.lang.Double.isInfinite(e)) 1.0
+    else java.lang.Math.pow(b, e)
+
   /** Rust-faithful `round(double)`: half away from zero AND sign-of-zero
     * preserving — `f64::round(-0.4)` is -0.0 in DataFusion (and DuckDB),
     * +0.0 out of Spark's BigDecimal-based Round; atan2 and division
@@ -822,6 +846,9 @@ object DataFusionCompat {
     // sign-of-zero-preserving round for the 1-arg double form (Rust
     // f64::round); other shapes keep Spark's Round
     "round" -> (args => RoundCompat(args)),
+    // IEEE pow(±1, NaN/Inf) = 1 (Java's Math.pow yields NaN there)
+    "power" -> (args => PowIeee(Cast(args(0), DoubleType), Cast(args(1), DoubleType))),
+    "pow" -> (args => PowIeee(Cast(args(0), DoubleType), Cast(args(1), DoubleType))),
   )
 
   /** Register the full DataFusion-dialect surface (aliases + semantic

@@ -132,7 +132,9 @@ object ExprGen {
     // (+ 0.0 for the same sign-of-zero oracle quirk as the abs sig)
     Sig(as => s"sqrt(abs(${as(0)}) + 0.0e0)", Seq(D), D),
     fn("exp", D, D), // sign excluded: DuckDB sign(NaN)=0, Spark/DataFusion NaN
-    fn("power", D, D, D), // total in both: NaN^0=1, (-x)^0.5=NaN, 0^-1=Inf
+    // total in both: NaN^0=1, (-x)^0.5=NaN, 0^-1=Inf; the |1|^NaN/Inf=1
+    // IEEE corner goes through the dialect PowIeee (Java pow yields NaN)
+    fn("power", D, D, D),
     // log domain ≤ 0 errors in DuckDB where Spark yields NULL: abs+ε keeps
     // the argument positive (NaN/Inf pass through as NaN/Inf in both)
     Sig(as => s"log10(abs(${as(0)}) + 1.0e-6)", Seq(D), D),

@@ -337,6 +337,26 @@ class DataFusionCompatSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(r2.getDouble(0) - 1.0) < 1e-12)
   }
 
+  test("power follows IEEE at |base| = 1 with NaN/Inf exponents, not Java's NaN") {
+    // aggregate-fuzzer find (power(cos(0), NaN)): java.lang.Math.pow
+    // returns NaN when |base| == 1 and the exponent is NaN/±Inf; IEEE —
+    // and Rust's f64::powf behind DataFusion, and DuckDB — give 1.0
+    val r = spark.sql(
+      """SELECT power(1.0e0, CAST('NaN' AS DOUBLE)),
+        |       power(1.0e0, CAST('Infinity' AS DOUBLE)),
+        |       power(-1.0e0, CAST('-Infinity' AS DOUBLE)),
+        |       power(-1.0e0, CAST('NaN' AS DOUBLE)),  -- NaN in IEEE too
+        |       pow(2.0e0, 10.0e0),
+        |       power(2, 10)""".stripMargin)
+      .collect()(0)
+    assert(r.getDouble(0) == 1.0, "pow(1, NaN) = 1")
+    assert(r.getDouble(1) == 1.0, "pow(1, Inf) = 1")
+    assert(r.getDouble(2) == 1.0, "pow(-1, -Inf) = 1")
+    assert(r.getDouble(3).isNaN, "pow(-1, NaN) stays NaN")
+    assert(r.getDouble(4) == 1024.0)
+    assert(r.getDouble(5) == 1024.0, "integer args cast through")
+  }
+
   test("round(double) keeps Rust f64::round semantics: sign of zero, half away, exact edge") {
     // differential-fuzzer find (round(-0.0) via atan2): Spark's BigDecimal
     // Round normalizes -0.0 → +0.0 where Rust/DataFusion/DuckDB preserve

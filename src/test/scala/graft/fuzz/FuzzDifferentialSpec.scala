@@ -28,7 +28,9 @@ import org.scalatest.BeforeAndAfterAll
   * BIGINT-index handling (elementTotal — Spark's ElementAt throws where
   * DataFusion yields NULL); `atan2` negative-zero normalization
   * (Atan2Ieee); `round(double)` negative-zero normalization (RoundIeee —
-  * Rust/DuckDB preserve the sign); `corr` ANSI DIVIDE_BY_ZERO on zero
+  * Rust/DuckDB preserve the sign); `power(±1, NaN/Inf)` (PowIeee — Java's
+  * Math.pow yields NaN where IEEE defines 1); `lcm` silent i64 overflow
+  * (DataFusion/DuckDB raise); `corr` ANSI DIVIDE_BY_ZERO on zero
   * variance (CorrNullOnZeroVariance, found by the aggregate harness);
   * JSON-null extraction (JsonFunctions, found by the JSON harness). One
   * Spark parser-level deviation is PINNED instead of forked (string→float
