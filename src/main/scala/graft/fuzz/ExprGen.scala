@@ -376,6 +376,40 @@ object ExprGen {
     AggSig(as => s"corr(${boundedD(as(0))}, ${boundedD(as(1))})", Seq(D, D)),
     AggSig(as => s"covar_samp(${boundedD(as(0))}, ${boundedD(as(1))})", Seq(D, D)))
 
+  // --- multi-step CTE chains (the ODF transform model, fuzzed) --------------
+
+  /** Chained-view case: 1–3 CTEs, each re-projecting the full fixture
+    * schema with one or two columns REPLACED by generated expressions of
+    * the same type and a generated residual predicate — the same
+    * shape as the reference's multi-step SQL transform model (engine
+    * A5: each step is a view over the previous). Keeping every column
+    * name alive at every step lets the generator's full surface apply at
+    * any depth of the chain. */
+  def cteCaseSql(seed: Long, i: Int): String = {
+    val rnd = new Random(seed * 6000023L + i)
+    val allCols = Seq("l1", "l2", "d1", "d2", "s1", "s2", "b1", "a1", "ts1", "j1")
+    val mutTy: Map[String, Ty] = Map(
+      "l1" -> L, "l2" -> L, "d1" -> D, "d2" -> D, "s1" -> S, "s2" -> S, "b1" -> B)
+    val steps = 1 + rnd.nextInt(3)
+    var prev = "t"
+    val ctes = (0 until steps).map { k =>
+      val mutable = mutTy.keys.toSeq.sorted
+      val c1 = mutable(rnd.nextInt(mutable.length))
+      val c2 = mutable(rnd.nextInt(mutable.length))
+      val chosen = Set(c1, c2)
+      val proj = allCols.map { c =>
+        if (chosen(c)) s"(${gen(rnd, mutTy(c), 2)}) AS $c" else c
+      }.mkString(", ")
+      val pred = gen(rnd, B, 2)
+      val name = s"v$k"
+      val cte = s"$name AS (SELECT id, $proj FROM $prev WHERE ($pred) IS NOT FALSE)"
+      prev = name
+      cte
+    }
+    s"WITH ${ctes.mkString(", ")} " +
+      s"SELECT id, l1, l2, d1, s1, s2, b1 FROM $prev ORDER BY id"
+  }
+
   // --- relational shapes (joins / set ops / sort-limit / distinct) ----------
 
   /** Qualify the fixture column names inside a generated expression with a

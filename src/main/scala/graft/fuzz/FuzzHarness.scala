@@ -176,6 +176,11 @@ object FuzzHarness {
   def runRel(base: SparkSession, seed: Long, n: Int, outDir: String): (Int, Int) =
     runFullSql(base, seed, n, outDir, (s, i) => { val q = ExprGen.relCaseSql(s, i); (q, q) })
 
+  /** Multi-step CTE twin: [[ExprGen.cteCaseSql]] chained views — the
+    * reference's transform model shape, shared SQL text. */
+  def runCte(base: SparkSession, seed: Long, n: Int, outDir: String): (Int, Int) =
+    runFullSql(base, seed, n, outDir, (s, i) => { val q = ExprGen.cteCaseSql(s, i); (q, q) })
+
   /** JSON twin: [[ExprGen.jsonCaseSql]] PAIRED cases — DuckDB's JSON
     * function surface differs, so each record carries its own mapped
     * `duck_sql` replay text. */
@@ -223,7 +228,7 @@ object FuzzHarness {
 }
 
 /** Manual sweep entry point:
-  * `runMain graft.fuzz.FuzzDump <outDir> [seed] [n] [scalar|agg|win|json|rel] [depth]`
+  * `runMain graft.fuzz.FuzzDump <outDir> [seed] [n] [scalar|agg|win|json|rel|cte] [depth]`
   * (depth applies to scalar mode; 3 default, 4-5 for stress sweeps). */
 object FuzzDump {
   def main(args: Array[String]): Unit = {
@@ -245,6 +250,7 @@ object FuzzDump {
       case "win" => FuzzHarness.runWin(spark, seed, n, outDir)
       case "json" => FuzzHarness.runJson(spark, seed, n, outDir)
       case "rel" => FuzzHarness.runRel(spark, seed, n, outDir)
+      case "cte" => FuzzHarness.runCte(spark, seed, n, outDir)
       case _ => FuzzHarness.run(spark, seed, n, outDir, depth)
     }
     println(f"[fuzz] $n $mode cases (seed $seed): $ok evaluated, $err engine errors, " +
