@@ -36,7 +36,12 @@ object Bench {
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Dev convenience: SPARK_GRAFT_ONLY=q_a,q_b restricts the sweep to the
+    // named queries (unset = full suite; the driver never sets it).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       if (warm) run(name, fn)
       val times = (1 to reps).map { _ =>
         // steady-state hygiene: don't charge this query for the previous
