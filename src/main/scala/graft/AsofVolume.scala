@@ -69,7 +69,7 @@ object AsofVolume {
     // --- segmented default: same answer, spread tasks ---
     val seg = StageShuffleListener.install(spark)
     val sumSeg = time("segmented (default 128), 500k rows, 90% one key")(
-      checksum(TemporalJoins.asofBackward(left, right, "k", "t", "rt")))
+      checksum(TemporalJoins.asofBackward(left, right, "k", "t", "rt", smallInputRows = 0L)))
     seg.drain(minTotalRows = 400000)
     spark.sparkContext.removeSparkListener(seg)
     for ((sid, (mx, sum, n)) <- seg.stages.take(6))

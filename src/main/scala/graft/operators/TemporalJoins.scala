@@ -47,11 +47,20 @@ object TemporalJoins {
     * meaningful as-of order to exploit anyway).
     *
     * Returns left columns followed by `rightTime` and the right payload
-    * columns (caller guarantees no name clashes). */
+    * columns (caller guarantees no name clashes).
+    *
+    * `smallInputRows` gates the segmentation: below it the plain per-key
+    * window runs instead — on a small input the segment grid buys nothing
+    * (even a fully-skewed key sorts in one task in well under a second at
+    * 2M rows) while its carry pass costs three extra jobs (measured 3× on
+    * the 100k-row sf0.1 bench). The row count rides the same single
+    * aggregation job that already computes the time bounds, so the gate
+    * itself is free. Pass 0 to force segmentation (volume rehearsals). */
   def asofBackward(
       left: DataFrame, right: DataFrame,
       key: String, leftTime: String, rightTime: String,
-      targetSegments: Int = 128): DataFrame = {
+      targetSegments: Int = 128,
+      smallInputRows: Long = 2000000L): DataFrame = {
     val rPayload = right.columns.filterNot(c => c == key || c == rightTime).toSeq
     val lStruct = struct(left.columns.toSeq.map(col): _*)
     val rStruct = struct((rightTime +: rPayload).map(col): _*)
@@ -74,17 +83,39 @@ object TemporalJoins {
         left.columns.toSeq.map(c => col(s"__l.`$c`").as(c)) ++
           (rightTime +: rPayload).map(f => col(s"__match.`$f`").as(f)): _*)
 
+    // Free small-input shortcut: Catalyst's size estimate (file bytes for
+    // parquet scans, propagated through the union) routes clearly-small
+    // inputs to the single-level window without running ANY extra job —
+    // the bounds aggregation below re-executes the whole input (including
+    // any shuffle feeding it) just to pick a grid the small path never
+    // uses. 32 B/row is deliberately tight for compressed columnar data:
+    // an under-estimate merely sends a somewhat-larger-than-threshold
+    // input down the single-level path, which stays correct (one task
+    // sorts a few million rows at worst); an over-estimate only costs the
+    // exact count below. smallInputRows = 0 disables both gates.
+    val statsBytes = unioned.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (targetSegments > 1 && statsBytes < BigInt(smallInputRows) * 32) {
+      val w = Window.partitionBy(col("__k"))
+        .orderBy(col("__t"), col("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      return project(unioned.withColumn(
+        "__match", last(col("__r"), ignoreNulls = true).over(w)))
+    }
+
     // One cheap min/max job picks the segment grid. `cast(double)` is
     // monotone for every orderable time type we accept (numerics,
     // date/timestamp → epoch seconds), and the double is used ONLY for
     // binning — ordering inside a bin stays on the original column.
     val bounds = unioned
-      .agg(min(col("__t").cast("double")), max(col("__t").cast("double"))).head()
+      .agg(min(col("__t").cast("double")), max(col("__t").cast("double")),
+        count(lit(1))).head()
     val span = if (bounds.isNullAt(0)) 0.0 else bounds.getDouble(1) - bounds.getDouble(0)
+    val totalRows = bounds.getLong(2)
 
-    if (targetSegments <= 1 || span <= 0.0) {
-      // Empty input or a single distinct timestamp: segmentation cannot
-      // spread anything — run the plain per-key window.
+    if (targetSegments <= 1 || span <= 0.0 || totalRows < smallInputRows) {
+      // Empty input, a single distinct timestamp, or a small input:
+      // segmentation cannot spread anything worth three extra jobs — run
+      // the plain per-key window.
       val w = Window.partitionBy(col("__k"))
         .orderBy(col("__t"), col("__side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -389,7 +389,8 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ra = (0 until 300).map(i => (if (i < 270) 1L else (i % 7 + 2).toLong, ts(i + 41), i.toDouble))
       .toDF("k", "rt", "price").groupBy("k", "rt").agg(max("price").as("price"))
     def runWith(segments: Int): Set[(Long, Long, Int, Option[Any], Option[Any])] =
-      TemporalJoins.asofBackward(la, ra, "k", "t", "rt", targetSegments = segments)
+      TemporalJoins.asofBackward(la, ra, "k", "t", "rt", targetSegments = segments,
+          smallInputRows = 0L)
         .collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("t"), r.getAs[Int]("lid"),
           Option(r.get(r.fieldIndex("rt"))), Option(r.get(r.fieldIndex("price"))))).toSet
     val single = runWith(1) // plain per-key window (reference semantics)
@@ -398,9 +399,15 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"missing=${(single -- segmented).take(5)} extra=${(segmented -- single).take(5)}")
     // and the segmented plan must not sort the hot key in one partition:
     // the main window's partition spec carries both __k and __seg
-    val plan = TemporalJoins.asofBackward(la, ra, "k", "t", "rt")
+    val plan = TemporalJoins.asofBackward(la, ra, "k", "t", "rt", smallInputRows = 0L)
       .queryExecution.optimizedPlan.toString
-    assert(plan.contains("__seg"), "segmented path must be the default plan")
+    assert(plan.contains("__seg"), "segmented path must be the plan above the gate")
+    // below the small-input gate the default skips segmentation entirely:
+    // no extra jobs, no carry join, just the per-key window
+    val gated = TemporalJoins.asofBackward(la, ra, "k", "t", "rt")
+      .queryExecution.optimizedPlan.toString
+    assert(!gated.contains("__seg"),
+      "small inputs must take the single-level window, not pay the carry pass")
   }
 
   test("multimodal audio: real PCM WAV decoded (rate/frames/duration/RMS); non-WAV is NULL") {
