@@ -29,13 +29,14 @@ object OdfDemo {
     // The raw table lacks ODF system columns — use the raw-query (ingest
     // preprocessing) path to shape it into a ledger slice first.
     val ingested = dir.resolve("events-ledger.parquet").toString
+    val tsExpr = graft.sources.Tables.eventTsSql(spark, s"$sfDir/events.parquet")
     val raw = engine.executeRawQuery(RawQueryRequest(
       inputDataPaths = Seq(s"$sfDir/events.parquet"),
       queries = Seq(SqlQueryStep.output(
-        """SELECT CAST(ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS BIGINT) AS offset,
+        s"""SELECT CAST(ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS BIGINT) AS offset,
           |       CAST(0 AS INT) AS op,
           |       CAST('2024-06-01T00:00:00Z' AS TIMESTAMP) AS system_time,
-          |       timestamp_micros(ts DIV 1000) AS event_time,
+          |       $tsExpr AS event_time,
           |       event_id, user_id, event_type, value, props
           |FROM input""".stripMargin)),
       outputDataPath = ingested,

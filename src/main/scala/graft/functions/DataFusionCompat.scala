@@ -667,8 +667,13 @@ object DataFusionCompat {
     * rounding on cases like round(0.285, 2).) */
   case class RoundCompat(children: Seq[Expression]) extends Expression with RuntimeReplaceable {
     override lazy val replacement: Expression = children match {
-      case Seq(x) if x.dataType == DoubleType || x.dataType == FloatType =>
-        RoundIeee(Cast(x, DoubleType))
+      case Seq(x) if x.dataType == DoubleType =>
+        RoundIeee(x)
+      // DataFusion's round(Float32) returns Float32 — cast the DOUBLE
+      // intermediate back so the schema matches (values are exact: a
+      // half-up-rounded float magnitude always round-trips via double)
+      case Seq(x) if x.dataType == FloatType =>
+        Cast(RoundIeee(Cast(x, DoubleType)), FloatType)
       case _ => Round(children.head, children.lift(1).getOrElse(Literal(0)))
     }
     override def withNewChildrenInternal(c: IndexedSeq[Expression]): RoundCompat =

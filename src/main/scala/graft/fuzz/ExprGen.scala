@@ -384,12 +384,21 @@ object ExprGen {
     * shape as the reference's multi-step SQL transform model (engine
     * A5: each step is a view over the previous). Keeping every column
     * name alive at every step lets the generator's full surface apply at
-    * any depth of the chain. */
+    * any depth of the chain.
+    *
+    * s1/s2 are deliberately NOT mutable: rebinding them to DERIVED
+    * strings would defeat the SL leaf-only guard — a later step's
+    * TRY_CAST(s1 AS DOUBLE) could then consume e.g. lower(to_hex(x)) =
+    * '1d', which Spark parses as 1.0 (Java float suffix) while DuckDB
+    * yields NULL, resurfacing the pinned cast deviation as a spurious
+    * divergence. Mutated strings still appear (S-typed expressions in
+    * projections and predicates reference s1/s2); only the *bindings*
+    * of the SL leaf columns stay pristine across steps. */
   def cteCaseSql(seed: Long, i: Int): String = {
     val rnd = new Random(seed * 6000023L + i)
     val allCols = Seq("l1", "l2", "d1", "d2", "s1", "s2", "b1", "a1", "ts1", "j1")
     val mutTy: Map[String, Ty] = Map(
-      "l1" -> L, "l2" -> L, "d1" -> D, "d2" -> D, "s1" -> S, "s2" -> S, "b1" -> B)
+      "l1" -> L, "l2" -> L, "d1" -> D, "d2" -> D, "b1" -> B)
     val steps = 1 + rnd.nextInt(3)
     var prev = "t"
     val ctes = (0 until steps).map { k =>

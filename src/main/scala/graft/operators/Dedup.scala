@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   *     parameters;
   *   - verification (exact Jaccard / Hamming) runs only on candidate pairs.
   */
-object Dedup {
+object Dedup extends org.apache.spark.internal.Logging {
 
   /** Exact dedup: one representative (min of `tieBreak`) per `key`, with the
     * duplicate count. A single hash-aggregate — map-side partial combine
@@ -109,7 +109,19 @@ object Dedup {
     * `checkpointInput = false` skips the internal materialization — for
     * callers whose input is a cheap derivation (e.g. an explode) of an
     * already-checkpointed frame, where re-running that derivation for the
-    * count side costs less than writing a second, larger checkpoint. */
+    * count side costs less than writing a second, larger checkpoint.
+    *
+    * EXECUTES EAGERLY: unlike most frame builders here, calling this runs
+    * Spark jobs immediately (the input checkpoint and the over-cap-key
+    * count that sizes the broadcast-vs-bloom decision) — construct it only
+    * when the result will actually be consumed.
+    *
+    * Oracle scope: the DuckDB oracle SQL for queries built on this models
+    * only the deterministic df/size cap (the broadcast anti-join path).
+    * The bloom fallback's hash-dependent false positives are OUT of oracle
+    * scope — it activates only above `maxBroadcastKeys` hot keys, far past
+    * any oracle-checked corpus; if it ever fires on one, the logged
+    * warning below is the tell for a hash-dependent oracle divergence. */
   private[graft] def capBuckets(
       df: DataFrame, keys: Seq[String], cap: Int,
       checkpointInput: Boolean = true,
@@ -128,6 +140,9 @@ object Dedup {
       val cond = keys.map(k => col(k) <=> col(s"__hot_$k")).reduce(_ && _)
       in.join(broadcast(hotR), cond, "left_anti")
     } else {
+      logWarning(
+        s"capBuckets: >$maxBroadcastKeys over-cap keys — using bloom fallback " +
+          "(hash-dependent recall thinning; out of oracle scope)")
       val keyHash = xxhash64(keys.map(col): _*)
       val bytes = BloomJoin.keyBloom(hot.select(keyHash.as("k")), "k", bloomFpp)
       graft.functions.NativeHashes.register(in.sparkSession)

@@ -25,13 +25,14 @@ object OdfQueries {
     val engine = new Engine(s)
 
     val ledger = tmp.resolve("events-ledger.parquet").toString
+    val tsExpr = graft.sources.Tables.eventTsSql(s, s"$dir/events.parquet")
     val raw = engine.executeRawQuery(RawQueryRequest(
       inputDataPaths = Seq(s"$dir/events.parquet"),
       queries = Seq(SqlQueryStep.output(
         s"""SELECT CAST(ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS BIGINT) AS offset,
            |       CAST(0 AS INT) AS op,
            |       CAST('$SystemTimeIngest' AS TIMESTAMP) AS system_time,
-           |       timestamp_micros(ts DIV 1000) AS event_time,
+           |       $tsExpr AS event_time,
            |       event_id, user_id, event_type, value, props
            |FROM input""".stripMargin)),
       outputDataPath = ledger,

@@ -77,6 +77,12 @@ def parse_spark(s, ty):
 
 
 def num_eq(a, b):
+    # Exact-integer results compare exactly: BIGINT outputs beyond 2^53
+    # (e.g. products of pool longs) would otherwise tolerate million-scale
+    # differences under float conversion + rel_tol. Tolerance applies only
+    # to float-typed (or mixed-type-skew) comparisons.
+    if isinstance(a, int) and isinstance(b, int):
+        return a == b
     fa, fb = float(a), float(b)
     if math.isnan(fa) or math.isnan(fb):
         return math.isnan(fa) and math.isnan(fb)
