@@ -42,8 +42,11 @@ object Inputs {
         // footers, so a column added in a later slice exists everywhere and
         // reads as NULL from older slices. Cost is one footer per file
         // (a parallel metadata job), not data.
+        // quoted(): a vocabulary offset name containing dots/backticks must
+        // resolve verbatim, not as a struct-field path (contract fuzz find)
         spark.read.option("mergeSchema", "true").parquet(input.dataPaths: _*)
-          .filter(col(input.vocab.offsetColumn).between(lit(iv.start), lit(iv.end)))
+          .filter(col(Normalize.quoted(input.vocab.offsetColumn))
+            .between(lit(iv.start), lit(iv.end)))
       case None =>
         // A2: empty input — schema file gives the shape, filter(false) the
         // emptiness; Catalyst's PruneFilters folds this to an empty relation
@@ -103,7 +106,14 @@ object Inputs {
     } finally reader.close()
   }
 
-  /** A4: expose the slice as a bare table reference for the SQL steps. */
+  /** A4: expose the slice as a bare table reference for the SQL steps.
+    * The alias is backtick-quoted before registration: `createOrReplaceTempView`
+    * parses its argument as an identifier, so an alias that is a SQL keyword
+    * or contains non-identifier characters (unicode, dots) would otherwise be
+    * rejected — DataFusion's `register_table` (engine.rs:266-270) accepts any
+    * alias string, and the ODF contract puts no lexical bound on it
+    * (contract fuzz find). */
   def register(spark: SparkSession, input: TransformRequestInput): Unit =
-    inputDataFrame(spark, input).createOrReplaceTempView(input.queryAlias)
+    inputDataFrame(spark, input)
+      .createOrReplaceTempView(Normalize.quoted(input.queryAlias))
 }

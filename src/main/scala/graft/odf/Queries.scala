@@ -34,12 +34,14 @@ object Queries {
   ): Either[InvalidQuery, Unit] =
     try {
       val df = spark.sql(JsonOperatorRewrite(step.query)) // eager parse + analysis
-      df.createOrReplaceTempView(step.alias.getOrElse(OutputViewName))
+      // quoted(): step aliases come from the request and may be keywords or
+      // contain non-identifier characters — same contract as input aliases
+      df.createOrReplaceTempView(Normalize.quoted(step.alias.getOrElse(OutputViewName)))
       Right(())
     } catch {
+      // ParseException extends AnalysisException, so this covers syntax
+      // errors too — matching the reference's create_logical_plan surface
       case e: AnalysisException => Left(InvalidQuery(e.getMessage))
-      case e: org.apache.spark.sql.catalyst.parser.ParseException =>
-        Left(InvalidQuery(e.getMessage))
     }
 
   /** Register all steps in order, then return the output view's DataFrame. */

@@ -1,0 +1,323 @@
+package graft.odf
+
+import java.nio.file.{Files, Path}
+import java.sql.Timestamp
+import java.time.Instant
+
+import scala.util.Random
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.types._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Request-level property fuzzer for the engine-native ODF contract (A7-A17).
+  *
+  * The differential SQL fuzzer ([[graft.fuzz.FuzzHarness]]) covers the
+  * delegated-SQL surface (engine.rs:287); this spec fuzzes the layer above
+  * it — the `TransformRequest` contract itself (engine.rs:127-184):
+  *
+  *   - random dataset vocabularies (unicode names, SQL keywords, dots,
+  *     backticks, case-sensitive spellings — input and output vocab drawn
+  *     independently),
+  *   - random offset intervals (full / partial / no-data schema-file
+  *     fallback) over multi-slice inputs, optionally with schema evolution
+  *     in the last slice,
+  *   - random explicit-watermark sets across 1-2 inputs (the second input
+  *     registered but unreferenced — it must still contribute to the
+  *     min-of-max watermark, engine.rs:310-324),
+  *   - random next offsets, system times, op propagation (including a
+  *     narrow Int16 op that result normalization must widen,
+  *     engine.rs:351-362),
+  *
+  * each checked against a trivial in-memory model (pure Scala over the
+  * generated rows: interval filter → predicate → projection; offsets dense
+  * from nextOffset; op/system-time constants; watermark = min of per-input
+  * max) plus golden invariants on the written parquet (column order, logical
+  * types, TIMESTAMP(MILLIS,true) physical annotation on a sample).
+  *
+  * A second loop fuzzes the rejection surface (engine.rs:375-476): mutated
+  * output steps that collide with system columns, mistype the op or
+  * event-time column, drop the event-time column, or fail to parse — each
+  * must surface as [[InvalidQuery]] WITHOUT writing the output file.
+  *
+  * Cases are sampled with fixed seeds (no scalatest-scalacheck bridge in the
+  * offline dependency set, same convention as [[PropertiesSpec]]).
+  */
+class EngineContractProps extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-odf-contract-props")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  lazy val engine = new Engine(spark)
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** SQL identifier quoting for generated queries. */
+  private def q(n: String): String = "`" + n.replace("`", "``") + "`"
+
+  // Disjoint name pools (so the four picked names are always distinct):
+  // defaults, case-sensitive spellings, dots, unicode, SQL keywords, a
+  // backtick. Spaces are excluded — parquet-mr rejects them in field names.
+  private val offsetNames = Seq("offset", "OFFSET_COL", "off.set", "смещение", "order")
+  private val opNames = Seq("op", "op.type", "оп", "select", "OpCol")
+  private val stNames = Seq("system_time", "sys.time", "системное_время", "group", "SysTime")
+  private val etNames = Seq("event_time", "event.time", "時刻", "where", "et`col")
+  private val aliasPool = Seq("in0", "events_in", "вход", "join", "Input")
+
+  private val instPool: Seq[Instant] = Seq(
+    "2024-01-01T00:00:00Z", "2024-03-15T12:30:00Z", "2024-06-01T06:00:00Z",
+    "2024-09-09T09:09:09Z", "2025-01-01T00:00:01Z").map(Instant.parse)
+
+  private def writeSlice(schema: StructType, rows: Seq[Row], path: Path): Unit = {
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    ParquetSink.writeSingleFile(df, path.toString)
+    ()
+  }
+
+  private case class LRow(offset: Long, et: Instant, v: Long, w: String)
+
+  /** One random success-path request, executed and checked against the model. */
+  private def runOne(seed: Long, dir: Path): Unit = {
+    val rnd = new Random(seed)
+    def pick[T](xs: Seq[T]): T = xs(rnd.nextInt(xs.length))
+
+    val iv = DatasetVocabulary(pick(offsetNames), pick(opNames), pick(stNames), pick(etNames))
+    val ov = DatasetVocabulary(pick(offsetNames), pick(opNames), pick(stNames), pick(etNames))
+    val alias = pick(aliasPool)
+    val n = 1 + rnd.nextInt(12)
+    val base = Seq(0L, 1L, 1000L)(rnd.nextInt(3))
+    val opVal = rnd.nextInt(4)
+    val opNarrow = rnd.nextBoolean()
+    val evolve = rnd.nextInt(4) == 0
+    val nSlices = 1 + rnd.nextInt(3)
+    val et0 = pick(instPool)
+    val sysTime = pick(instPool)
+    val rows = (0 until n).map(i => LRow(base + i, et0.plusSeconds(60L * i), i.toLong, s"w$i"))
+
+    // Contiguous random slice boundaries; empty slices allowed (an empty
+    // parquet file in a multi-file scan is a legitimate ledger state).
+    val cutPoints = (Seq.fill(nSlices - 1)(rnd.nextInt(n + 1)).sorted :+ n).+:(0)
+    val slices = cutPoints.sliding(2).map { case Seq(a, b) => rows.slice(a, b) }.toSeq
+
+    val opType: DataType = if (opNarrow) ShortType else IntegerType
+    def baseFields: Seq[StructField] = Seq(
+      StructField(iv.offsetColumn, LongType, nullable = false),
+      StructField(iv.operationTypeColumn, opType, nullable = false),
+      StructField(iv.systemTimeColumn, TimestampType, nullable = false),
+      StructField(iv.eventTimeColumn, TimestampType, nullable = false),
+      StructField("v", LongType, nullable = false),
+      StructField("w", StringType, nullable = false))
+    val ingestTime = Timestamp.from(Instant.parse("2023-12-01T00:00:00Z"))
+    val paths = slices.zipWithIndex.map { case (slice, k) =>
+      val last = k == slices.length - 1
+      val fields = if (evolve && last) baseFields :+ StructField("extra", LongType, nullable = true)
+      else baseFields
+      val opBox: Long => Any = if (opNarrow) _ => opVal.toShort else _ => opVal
+      val sliceRows = slice.map { r =>
+        val core = Seq[Any](r.offset, opBox(r.v), ingestTime, Timestamp.from(r.et), r.v, r.w)
+        Row.fromSeq(if (evolve && last) core :+ (r.v * 10) else core)
+      }
+      val p = dir.resolve(s"slice$k.parquet")
+      writeSlice(StructType(fields.toIndexedSeq), sliceRows, p)
+      p.toString
+    }
+
+    val mode = rnd.nextInt(4) // 0 full, 1-2 partial, 3 no-data fallback
+    val (dataPaths, interval) = mode match {
+      case 3 => (Nil, None)
+      case 0 => (paths, Some(OffsetInterval(base, base + n - 1)))
+      case _ =>
+        val a = base + rnd.nextInt(n)
+        val b = math.min(a + rnd.nextInt(n), base + n - 1)
+        (paths, Some(OffsetInterval(a, b)))
+    }
+
+    def wmSet(): Seq[Watermark] = Seq.fill(rnd.nextInt(4))(
+      Watermark(sysTime, pick(instPool).plusSeconds(rnd.nextInt(1000).toLong)))
+    val wm1 = wmSet()
+    val ghost = rnd.nextInt(3) == 0
+    val wm2 = if (ghost) wmSet() else Nil
+
+    val ghostPath = dir.resolve("ghost.parquet")
+    if (ghost) writeSlice(
+      StructType(Seq(
+        StructField("offset", LongType, nullable = false),
+        StructField("op", IntegerType, nullable = false),
+        StructField("system_time", TimestampType, nullable = false),
+        StructField("event_time", TimestampType, nullable = false),
+        StructField("gv", LongType, nullable = false)).toIndexedSeq),
+      Seq(Row(0L, 0, ingestTime, ingestTime, 1L)), ghostPath)
+
+    val filterMod = 2 + rnd.nextInt(4)
+    val filterRes = rnd.nextInt(filterMod)
+    val twoSteps = rnd.nextBoolean()
+    val addConst = if (twoSteps) rnd.nextInt(100).toLong else 0L
+    val propagate = rnd.nextInt(3) == 0
+
+    val opSel1 = if (propagate) s", ${q(iv.operationTypeColumn)} AS op_tmp" else ""
+    val opSelN = if (propagate) ", op_tmp" else ""
+    val opOut = if (propagate) s", op_tmp AS ${q(ov.operationTypeColumn)}" else ""
+    val s1 = s"SELECT ${q(iv.eventTimeColumn)} AS et_tmp, v, w$opSel1 " +
+      s"FROM ${q(alias)} WHERE v % $filterMod != $filterRes"
+    val steps =
+      if (twoSteps) Seq(
+        SqlQueryStep.named("step1", s1),
+        SqlQueryStep.named("step2", s"SELECT et_tmp, v + $addConst AS v, w$opSelN FROM step1"),
+        SqlQueryStep.output(s"SELECT et_tmp AS ${q(ov.eventTimeColumn)}, v AS v2, w$opOut FROM step2"))
+      else Seq(
+        SqlQueryStep.named("step1", s1),
+        SqlQueryStep.output(s"SELECT et_tmp AS ${q(ov.eventTimeColumn)}, v AS v2, w$opOut FROM step1"))
+
+    val nextOffset = Seq(0L, 7L, 123456789L)(rnd.nextInt(3))
+    val outPath = dir.resolve("out.parquet").toString
+    val inputs = Seq(
+      TransformRequestInput(
+        datasetId = "did:odf:fuzz-in", datasetAlias = alias, queryAlias = alias,
+        vocab = iv, offsetInterval = interval, dataPaths = dataPaths,
+        schemaFile = paths.head, explicitWatermarks = wm1)) ++
+      (if (ghost) Seq(TransformRequestInput(
+        datasetId = "did:odf:fuzz-ghost", datasetAlias = "ghost_t", queryAlias = "ghost_t",
+        vocab = DatasetVocabulary(), offsetInterval = Some(OffsetInterval(0, 0)),
+        dataPaths = Seq(ghostPath.toString), schemaFile = ghostPath.toString,
+        explicitWatermarks = wm2))
+      else Nil)
+
+    val res = engine.executeTransform(TransformRequest(
+      datasetId = "did:odf:fuzz-out", datasetAlias = "fuzz_out",
+      systemTime = sysTime, vocab = ov, queries = steps, queryInputs = inputs,
+      nextOffset = nextOffset, newDataPath = outPath))
+
+    // --- in-memory model -------------------------------------------------
+    val selected = (interval match {
+      case None => Nil
+      case Some(iv0) => rows.filter(r => r.offset >= iv0.start && r.offset <= iv0.end)
+    }).filter(_.v % filterMod != filterRes)
+    val expectedN = selected.size.toLong
+    val expectedInterval =
+      if (expectedN > 0) Some(OffsetInterval(nextOffset, nextOffset + expectedN - 1)) else None
+    val perInputMax = Seq(
+      wm1.map(_.eventTime).maxOption,
+      if (ghost) wm2.map(_.eventTime).maxOption else None).flatten
+    val expectedWm = if (perInputMax.isEmpty) None else Some(perInputMax.min)
+
+    val ctx = s"seed=$seed iv=$iv ov=$ov mode=$mode slices=$nSlices evolve=$evolve " +
+      s"propagate=$propagate narrow=$opNarrow"
+    assert(res == Right(TransformResponseSuccess(expectedInterval, expectedWm)), s"$ctx res=$res")
+
+    // --- written-parquet invariants -------------------------------------
+    val out = spark.read.parquet(outPath)
+    assert(out.schema.fieldNames.toSeq == Seq(
+      ov.offsetColumn, ov.operationTypeColumn, ov.systemTimeColumn, ov.eventTimeColumn,
+      "v2", "w"), ctx)
+    assert(out.schema.fields.map(_.dataType).toSeq == Seq(
+      LongType, IntegerType, TimestampType, TimestampType, LongType, StringType), ctx)
+
+    val got = out.collect()
+    assert(got.length.toLong == expectedN, ctx)
+    assert(got.map(_.getLong(0)).sorted.toSeq ==
+      (nextOffset until nextOffset + expectedN), s"$ctx offsets not dense")
+    val expectedOp = if (propagate) opVal else OperationType.Append
+    assert(got.forall(_.getInt(1) == expectedOp), ctx)
+    assert(got.forall(_.getTimestamp(2) == Timestamp.from(sysTime)), ctx)
+    val gotData = got.map(r => (r.getTimestamp(3), r.getLong(4), r.getString(5))).toSeq
+    val expData = selected.map(r => (Timestamp.from(r.et), r.v + addConst, r.w))
+    assert(gotData.sortBy(t => (t._2, t._3)) == expData.sortBy(t => (t._2, t._3)),
+      s"$ctx data multiset mismatch")
+    // Ledger order is scan order; with a single slice, scan order is file
+    // order, so offsets must preserve the generated row order exactly.
+    if (nSlices == 1)
+      assert(got.sortBy(_.getLong(0)).map(_.getLong(4)).toSeq == expData.map(_._2), s"$ctx order")
+
+    // Physical-footer spot check (sampled — one footer read per 25 cases):
+    // system_time must be annotated TIMESTAMP(MILLIS, adjustedToUTC=true).
+    if (seed % 25 == 0 && expectedN > 0) {
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      import org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+      val in = HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(outPath), spark.sessionState.newHadoopConf())
+      val reader = ParquetFileReader.open(in)
+      try {
+        val sch = reader.getFooter.getFileMetaData.getSchema
+        val t = sch.getType(sch.getFieldIndex(ov.systemTimeColumn))
+        t.asPrimitiveType().getLogicalTypeAnnotation match {
+          case ts: TimestampLogicalTypeAnnotation =>
+            assert(ts.isAdjustedToUTC && ts.getUnit.toString == "MILLIS", ctx)
+          case other => fail(s"$ctx system_time logical type: $other")
+        }
+      } finally reader.close()
+    }
+  }
+
+  /** One mutated request against the rejection surface. Input reuses a fixed
+    * default-vocabulary ledger; only the output step is wrecked. */
+  private def runMutation(seed: Long, kind: Int, slice: Path, dir: Path): Unit = {
+    val rnd = new Random(seed)
+    def pick[T](xs: Seq[T]): T = xs(rnd.nextInt(xs.length))
+    val ov = DatasetVocabulary(pick(offsetNames), pick(opNames), pick(stNames), pick(etNames))
+    val et = s"event_time AS ${q(ov.eventTimeColumn)}"
+    val (outSql, expectFragment) = kind match {
+      case 0 => (s"SELECT $et, v AS v2, 1 AS ${q(ov.offsetColumn)} FROM t",
+        "conflicts with the system column")
+      case 1 => (s"SELECT $et, v AS v2, 1 AS ${q(ov.systemTimeColumn)} FROM t",
+        "conflicts with the system column")
+      case 2 => (s"SELECT $et, v AS v2, CAST(0 AS BIGINT) AS ${q(ov.operationTypeColumn)} FROM t",
+        "should be Int32")
+      case 3 => (s"SELECT v AS v2, w FROM t", "was not found amongst")
+      case 4 => (s"SELECT v AS ${q(ov.eventTimeColumn)}, w FROM t",
+        "should be either Date or Timestamp")
+      case _ => (s"SELEKT broken FROM t", "") // parse error — any message
+    }
+    val outPath = dir.resolve(s"mut$seed.parquet").toString
+    val res = engine.executeTransform(TransformRequest(
+      datasetId = "did:odf:mut", datasetAlias = "mut",
+      systemTime = instPool.head, vocab = ov,
+      queries = Seq(
+        SqlQueryStep.named("t", "SELECT event_time, v, w FROM fuzz_src"),
+        SqlQueryStep.output(outSql)),
+      queryInputs = Seq(TransformRequestInput(
+        datasetId = "did:odf:src", datasetAlias = "fuzz_src", queryAlias = "fuzz_src",
+        vocab = DatasetVocabulary(), offsetInterval = Some(OffsetInterval(0, 2)),
+        dataPaths = Seq(slice.toString), schemaFile = slice.toString,
+        explicitWatermarks = Nil)),
+      nextOffset = 0L, newDataPath = outPath))
+    res match {
+      case Left(InvalidQuery(msg)) =>
+        assert(msg.contains(expectFragment), s"seed=$seed kind=$kind ov=$ov msg=$msg")
+      case other => fail(s"seed=$seed kind=$kind ov=$ov expected InvalidQuery, got $other")
+    }
+    assert(Files.notExists(java.nio.file.Paths.get(outPath)),
+      s"seed=$seed kind=$kind: output written despite rejection")
+  }
+
+  test("contract fuzz: 450 random TransformRequests match the in-memory model") {
+    val root = Files.createTempDirectory("odf-contract-fuzz")
+    for (seed <- 0L until 450L) {
+      val dir = Files.createDirectory(root.resolve(s"case$seed"))
+      runOne(seed, dir)
+    }
+  }
+
+  test("rejection fuzz: 60 mutated requests all surface InvalidQuery, no file written") {
+    val root = Files.createTempDirectory("odf-contract-mut")
+    val slice = root.resolve("src.parquet")
+    writeSlice(
+      StructType(Seq(
+        StructField("offset", LongType, nullable = false),
+        StructField("op", IntegerType, nullable = false),
+        StructField("system_time", TimestampType, nullable = false),
+        StructField("event_time", TimestampType, nullable = false),
+        StructField("v", LongType, nullable = false),
+        StructField("w", StringType, nullable = false)).toIndexedSeq),
+      (0 until 3).map(i => Row(i.toLong, 0, Timestamp.from(instPool.head),
+        Timestamp.from(instPool.head.plusSeconds(i.toLong)), i.toLong, s"w$i")),
+      slice)
+    for (seed <- 0L until 60L) runMutation(seed, (seed % 6).toInt, slice, root)
+  }
+}
