@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   *     matching buckets — the 100 TB pattern where a full scan per query is
   *     unaffordable.
   */
-object VectorOps {
+object VectorOps extends org.apache.spark.internal.Logging {
 
   /** Dot product in double precision, sequential fold (generic: any numeric
     * array type). */
@@ -314,28 +314,132 @@ object VectorOps {
     * O(Σ cluster²) cosine evaluations, not O(n²) — so pick `k` to a target
     * cluster size (n / 10k keeps a cluster's pair block inside one shuffle
     * task; SemDeDup's own k grows linearly with corpus size for the same
-    * reason). A degenerate cluster (mass-duplicated embedding) is bounded
-    * by the same [[Dedup.capBuckets]] guard as the MinHash band buckets —
-    * its rows skip candidate generation rather than serializing one task,
-    * at the cost of missing their duplicates (the cap is a refusal bound,
-    * 10× above any balanced cluster, not a tuning knob). CC runs on the
-    * above-threshold pair graph only — O(duplicates), not O(corpus). */
+    * reason).
+    *
+    * Degenerate-mass defense, three layers (r11 — replaces the silent
+    * over-cap drop):
+    *   1. EXACT PRE-COLLAPSE: identical (non-zero) embeddings reduce to one
+    *      delegate + linear star edges before clustering — members are
+    *      mutual duplicates by definition (cosine = 1), so connectivity is
+    *      preserved and the one blob no direction-based method can split
+    *      never reaches pair generation.
+    *   2. HOT-CLUSTER SUB-SPLIT: a cluster of DISTINCT vectors above
+    *      `maxClusterSize` is hyperplane-sub-bucketed (bits sized from the
+    *      largest hot cluster) so its pair block becomes Σ subbucket².
+    *      Positive scale-copies share every hyperplane sign, so exact-ray
+    *      duplicates are never separated; angular pairs lose ≈ bits·θ/π
+    *      recall (θ ≈ 0.0014 rad at threshold 0.999 — sub-1% at 12 bits),
+    *      the same trade the LSH near-dup operator makes.
+    *   3. RESIDUAL CAP, MEASURED: a (cluster, sub-bucket) still over cap
+    *      (a near-identical-direction mass of distinct vectors) is dropped
+    *      from pair generation as before, but the drop is now RETURNED
+    *      ([[SemanticDedupResult]]) and logged, never silent.
+    *
+    * CC runs on the above-threshold pair graph plus the exact star edges —
+    * O(duplicates), not O(corpus). */
   def semanticDedupLabels(
       corpus: DataFrame, id: String, vec: String,
       k: Int, threshold: Double, kmeansIters: Int = 3,
-      maxClusterSize: Int = 100000): DataFrame = {
+      maxClusterSize: Int = 100000): DataFrame =
+    semanticDedupLabelsWithStats(
+      corpus, id, vec, k, threshold, kmeansIters, maxClusterSize).labels
+
+  /** [[semanticDedupLabels]] plus the hot-bucket drop accounting.
+    * `droppedRows` counts corpus rows whose residual (cluster, sub-bucket)
+    * exceeded `maxClusterSize` even after the exact pre-collapse and the
+    * hyperplane sub-split — those rows keep `rep == id` (never pruned) and
+    * represent the operator's only recall loss bound. Executes eagerly
+    * (sizing + stats jobs), like [[Dedup.capBuckets]]. */
+  def semanticDedupLabelsWithStats(
+      corpus: DataFrame, id: String, vec: String,
+      k: Int, threshold: Double, kmeansIters: Int = 3,
+      maxClusterSize: Int = 100000): SemanticDedupResult = {
     graft.functions.NativeHashes.register(corpus.sparkSession)
-    val cents = kmeansFit(corpus, vec, k, kmeansIters, idCol = id)
-    val assigned = assignClusters(
-      corpus.select(col(id).as("id"), col(vec).as("v")), cents, "v")
-    val capped = Dedup.capBuckets(assigned, Seq("cluster"), maxClusterSize)
-    val l = capped.select(col("cluster"), col("id").as("id1"), col("v").as("v1"))
-    val r = capped.select(col("cluster"), col("id").as("id2"), col("v").as("v2"))
-    val pairs = l.join(r, Seq("cluster"))
+    val rows = corpus.select(col(id).as("id"), col(vec).as("v"))
+
+    // 1. Exact pre-collapse. Zero vectors are excluded: cosine(0, 0) is
+    // NaN (never >= threshold), so identical zero vectors are NOT
+    // duplicates under the pair semantics and must not collapse. The
+    // groupBy's map-side partial aggregation bounds the blob (each task
+    // emits one row per distinct vector); the re-association join streams
+    // a blob through one task linearly — no sort, no pair block.
+    val nonZero = aggregate(col("v"), lit(0.0d),
+      (acc, x) => acc + x.cast("double") * x.cast("double")) > lit(0.0)
+    val dupReps = rows.filter(nonZero)
+      .groupBy(col("v")).agg(min(col("id")).as("gid"), count(lit(1)).as("__n"))
+      .filter(col("__n") > 1)
+      .select(col("v").as("gv"), col("gid"))
+    val joined = rows.join(dupReps, col("v") === col("gv"), "left")
+    val exactEdges = joined.filter(col("gid").isNotNull && col("gid") =!= col("id"))
+      .select(col("gid").as("id1"), col("id").as("id2"))
+    val distinctRows = joined.filter(col("gid").isNull || col("gid") === col("id"))
+      .select(col("id"), col("v"))
+
+    // 2. Cluster the delegates; sub-split hot clusters.
+    val cents = kmeansFit(distinctRows, "v", k, kmeansIters, idCol = "id")
+    val assigned = assignClusters(distinctRows, cents, "v").localCheckpoint(false)
+    val sizes = assigned.groupBy(col("cluster")).count().localCheckpoint(false)
+    val maxHot = sizes.agg(max(when(col("count") > maxClusterSize, col("count"))))
+      .head.getAs[Any](0) match { case null => 0L; case n: Long => n }
+    // Bits start at ceil(log2(overload)) + 1 and ESCALATE (+2 per round, to
+    // 12): ±1-weight hyperplane buckets are not uniform on low-dimensional
+    // or correlated data, so a single computed width can leave one bucket
+    // holding half the cluster — each escalation is one cheap count job on
+    // the checkpointed assignment, and only genuinely same-direction mass
+    // survives 12 bits (4096 sub-buckets) to reach the measured cap below.
+    val keyed =
+      if (maxHot == 0L) assigned.withColumn("sub", lit(0))
+      else {
+        val over = maxHot.toDouble / math.max(1, maxClusterSize)
+        val dims = cents(0).length
+        val hotDf = sizes.filter(col("count") > maxClusterSize)
+          .select(col("cluster"), lit(true).as("__hot"))
+        val withHot = assigned.join(broadcast(hotDf), Seq("cluster"), "left")
+        def keyedWith(bits: Int) = withHot
+          .withColumn("sub", when(col("__hot"),
+            hyperplaneBucket(col("v"), dims, bits)).otherwise(lit(0)))
+          .drop("__hot")
+        def maxSubBucket(df: DataFrame): Long = df
+          .groupBy(col("cluster"), col("sub")).count()
+          .agg(max(col("count"))).head.getLong(0)
+        var bits = math.min(12, math.max(1, math.ceil(math.log(over) / math.log(2)).toInt + 1))
+        var cur = keyedWith(bits)
+        while (maxSubBucket(cur) > maxClusterSize && bits < 12) {
+          bits = math.min(12, bits + 2)
+          cur = keyedWith(bits)
+        }
+        cur
+      }
+
+    // 3. Residual cap with accounting (over-cap keys are <= n/cap — tiny;
+    // broadcast anti-join, same shape as Dedup.capBuckets' primary path).
+    val bucketSizes = keyed.groupBy(col("cluster"), col("sub")).count()
+    val overCap = bucketSizes.filter(col("count") > maxClusterSize).localCheckpoint(false)
+    val dropRow = overCap.agg(
+      count(lit(1)), coalesce(sum(col("count")), lit(0L))).head
+    val (droppedBuckets, droppedRows) = (dropRow.getLong(0), dropRow.getLong(1))
+    if (droppedBuckets > 0) logWarning(
+      s"semanticDedup: $droppedRows rows in $droppedBuckets near-identical-direction " +
+        s"sub-buckets exceed maxClusterSize=$maxClusterSize even after exact collapse " +
+        "and hyperplane sub-split — they skip pair generation (recall loss, measured)")
+    val capped = keyed.join(
+      broadcast(overCap.select(col("cluster"), col("sub"))),
+      Seq("cluster", "sub"), "left_anti")
+
+    val l = capped.select(col("cluster"), col("sub"), col("id").as("id1"), col("v").as("v1"))
+    val r = capped.select(col("cluster"), col("sub"), col("id").as("id2"), col("v").as("v2"))
+    val pairs = l.join(r, Seq("cluster", "sub"))
       .filter(col("id1") < col("id2"))
       .filter(round(cosine(col("v1"), col("v2")), 6) >= threshold)
       .select(col("id1"), col("id2"))
-    Dedup.connectedComponentsMin(corpus.select(col(id).as("id")), pairs)
+    val labels = Dedup.connectedComponentsMin(
+      corpus.select(col(id).as("id")), pairs.unionAll(exactEdges))
       .select(col("id").as(id), col("rep"))
+    SemanticDedupResult(labels, droppedBuckets, droppedRows)
   }
 }
+
+/** Labeling plus the hot-bucket drop accounting from
+  * [[VectorOps.semanticDedupLabelsWithStats]]. */
+final case class SemanticDedupResult(
+    labels: DataFrame, droppedBuckets: Long, droppedRows: Long)

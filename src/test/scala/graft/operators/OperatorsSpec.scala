@@ -588,6 +588,70 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(labels.count { case (id, rep) => id == rep } == 300)
   }
 
+  test("semantic dedup: identical-embedding blob collapses exactly, nothing dropped") {
+    // 2000 copies of ONE embedding (the degenerate no direction-based
+    // split can separate) + 100 normal vectors, cap far below the blob.
+    // The exact pre-collapse must reduce the blob to one delegate + star
+    // edges: every member labeled with the min id, zero rows dropped, and
+    // no O(blob²) pair block anywhere.
+    val blobVec = typedLit((0 until 8).map(d => (d + 1).toFloat))
+    val blob = spark.range(0, 2000).select(col("id").as("vec_id"), blobVec.as("embedding"))
+    val normal = spark.range(10000, 10100).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(7)), d =>
+        (pmod(xxhash64(col("id"), d), lit(1000)).cast("double") / 100.0 + 0.1)
+          .cast("float")).as("embedding"))
+    val res = VectorOps.semanticDedupLabelsWithStats(
+      blob.unionAll(normal), "vec_id", "embedding",
+      k = 4, threshold = 0.999, maxClusterSize = 100)
+    assert(res.droppedRows == 0L && res.droppedBuckets == 0L)
+    val labels = res.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 2100)
+    (0L until 2000L).foreach(i => assert(labels(i) == 0L, s"blob member $i"))
+  }
+
+  test("semantic dedup: over-cap cluster of distinct vectors is sub-split, copies still found") {
+    // k=1 forces one 400-vector cluster over cap=100. The r10 policy
+    // dropped the whole cluster (planted pair missed, silently); the
+    // hyperplane sub-split must carve it into under-cap sub-buckets and
+    // still find the planted half-scale copy — positive scaling preserves
+    // every hyperplane sign, so the pair cannot be separated.
+    val base = spark.range(0, 400).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(7)), d =>
+        ((pmod(xxhash64(col("id"), d), lit(2000)).cast("double") - 1000.0) / 100.0)
+          .cast("float")).as("embedding"))
+    val copies = base.filter(col("vec_id") < 20).select(
+      (col("vec_id") + 5000).as("vec_id"),
+      transform(col("embedding"), x => x * lit(0.5f)).as("embedding"))
+    val res = VectorOps.semanticDedupLabelsWithStats(
+      base.unionAll(copies), "vec_id", "embedding",
+      k = 1, threshold = 0.999, maxClusterSize = 100)
+    assert(res.droppedRows == 0L && res.droppedBuckets == 0L,
+      s"sub-split left ${res.droppedRows} rows over cap")
+    val labels = res.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 20L).foreach(i => assert(labels(5000 + i) == i, s"copy of $i"))
+    assert(labels.count { case (id, rep) => id == rep } == 400)
+  }
+
+  test("semantic dedup: near-identical-direction mass reports its drop instead of silence") {
+    // 300 DISTINCT scale-copies of one direction: exact collapse can't
+    // merge them (different magnitudes) and hyperplanes can't split them
+    // (same signs at every bit) — the residual cap must fire and say so.
+    val ray = spark.range(0, 300).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(7)), d =>
+        ((d + 1).cast("double") * (col("id") + 1).cast("double") / 100.0)
+          .cast("float")).as("embedding"))
+    val res = VectorOps.semanticDedupLabelsWithStats(
+      ray, "vec_id", "embedding", k = 1, threshold = 0.999, maxClusterSize = 50)
+    assert(res.droppedBuckets == 1L && res.droppedRows == 300L,
+      s"expected measured drop, got buckets=${res.droppedBuckets} rows=${res.droppedRows}")
+    // dropped rows are never pruned — kept as their own representatives
+    val labels = res.labels.collect()
+    assert(labels.length == 300 && labels.forall(r => r.getLong(0) == r.getLong(1)))
+  }
+
   test("weighted sample: heavy rows dominate, membership is partitioning-independent") {
     import spark.implicits._
     // 500 heavy rows (w=1000) + 500 light rows (w=10): a draw lands heavy
