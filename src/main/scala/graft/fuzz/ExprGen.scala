@@ -260,15 +260,56 @@ object ExprGen {
 
   /** One random expression of type `ty`; leaves get likelier as depth runs
     * out. */
-  def gen(rnd: Random, ty: Ty, depth: Int): String = {
+  // --- expression trees (divergence-minimizer substrate) --------------------
+
+  /** Generated expression tree: the same grammar as [[gen]] (which
+    * delegates here, with an identical random stream), kept structural so
+    * [[FuzzHarness.shrink]] can replace subtrees with typed leaves. */
+  sealed trait Node {
+    def ty: Ty
+    def sql: String
+    /** Operator (non-leaf) node count — the size a shrink minimizes. */
+    def internalNodes: Int
+  }
+  final case class LeafNode(ty: Ty, sql: String) extends Node {
+    def internalNodes: Int = 0
+  }
+  final case class OpNode(sig: Sig, children: Seq[Node]) extends Node {
+    def ty: Ty = sig.out
+    def sql: String = sig.build(children.map(_.sql))
+    def internalNodes: Int = 1 + children.map(_.internalNodes).sum
+  }
+
+  def genTree(rnd: Random, ty: Ty, depth: Int): Node = {
     val leafBias = if (depth <= 0) 1.0 else 0.35
     val fns = byOut.getOrElse(ty, Seq.empty)
-    if (fns.isEmpty || rnd.nextDouble() < leafBias) leaf(rnd, ty)
+    if (fns.isEmpty || rnd.nextDouble() < leafBias) LeafNode(ty, leaf(rnd, ty))
     else {
       val sig = fns(rnd.nextInt(fns.length))
-      sig.build(sig.args.map(a => gen(rnd, a, depth - 1)))
+      OpNode(sig, sig.args.map(a => genTree(rnd, a, depth - 1)))
     }
   }
+
+  def gen(rnd: Random, ty: Ty, depth: Int): String = genTree(rnd, ty, depth).sql
+
+  /** Tree form of [[caseExpr]] — identical random stream, so
+    * `caseTree(s, i, d).sql == caseExpr(s, i, d)`. */
+  def caseTree(seed: Long, i: Int, depth: Int = 3): Node = {
+    val rnd = new Random(seed * 1000003L + i)
+    val ty = Seq(L, D, S, B, A, T)(rnd.nextInt(6))
+    genTree(rnd, ty, depth)
+  }
+
+  /** Replacement leaves per type for the minimizer — shared-dialect
+    * spellings only, so a shrunk case replays in DuckDB unchanged. */
+  val shrinkLeaves: Map[Ty, Seq[String]] = Map(
+    L -> Seq("1", "0", "CAST(NULL AS BIGINT)", "l1"),
+    D -> Seq("1.5e0", "0.0e0", "CAST(NULL AS DOUBLE)", "d1", "d2"),
+    S -> Seq("'a'", "''", "CAST(NULL AS STRING)", "s1"),
+    SL -> Seq("'a'", "''", "CAST(NULL AS STRING)", "s1"),
+    B -> Seq("TRUE", "FALSE", "CAST(NULL AS BOOLEAN)", "b1"),
+    A -> Seq("a1"),
+    T -> Seq("TIMESTAMP '2020-06-15 12:34:56'", "CAST(NULL AS TIMESTAMP)", "ts1"))
 
   private def leaf(rnd: Random, ty: Ty): String = {
     val cs = cols.getOrElse(ty, Seq.empty)

@@ -160,4 +160,49 @@ class FuzzDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
     // and actually varies across cases
     assert(a.distinct.size > 30, s"only ${a.distinct.size}/50 distinct expressions")
   }
+
+  test("tree generation renders the identical SQL as the string generator") {
+    for (i <- 0 until 100; d <- Seq(3, 4))
+      assert(ExprGen.caseTree(424242L, i, d).sql == ExprGen.caseExpr(424242L, i, d))
+  }
+
+  test("minimizer shrinks a planted raw-pow divergence to <= 2 operator nodes") {
+    import graft.fuzz.ExprGen.{D, LeafNode, Node, OpNode, Sig}
+    import graft.odf.OdfSessions
+    // Two request sessions over the same fixture content; in one, the
+    // dialect's IEEE-correct power (PowIeee) is shadowed by raw
+    // java.lang.Math.pow — the exact engine bug round 10 fixed (pow(±1,
+    // NaN/Inf) is 1 in IEEE 754 / DataFusion / DuckDB, NaN in Java).
+    val good = OdfSessions.newRequestSession(spark)
+    val bad = OdfSessions.newRequestSession(spark)
+    val dirG = Files.createTempDirectory("graft-shrink-good").toFile.getAbsolutePath
+    val dirB = Files.createTempDirectory("graft-shrink-bad").toFile.getAbsolutePath
+    FuzzHarness.writeAndRegisterFixture(good, dirG)
+    FuzzHarness.writeAndRegisterFixture(bad, dirB)
+    bad.udf.register("power", (a: java.lang.Double, b: java.lang.Double) =>
+      if (a == null || b == null) null
+      else java.lang.Double.valueOf(java.lang.Math.pow(a, b)))
+
+    def diverges(n: Node): Boolean =
+      FuzzHarness.evalExpr(bad, n.sql) != FuzzHarness.evalExpr(good, n.sql)
+
+    // Plant: power(-1, d2) — d2's fixture rows include NaN and ±Inf, where
+    // the raw path yields NaN and IEEE yields 1 — buried inside a random
+    // depth-3 filler tree the minimizer must strip away.
+    val powSig = Sig(as => s"power(${as(0)}, ${as(1)})", Seq(D, D), D)
+    val plusSig = Sig(as => s"(${as(0)} + ${as(1)})", Seq(D, D), D)
+    val filler = Iterator.from(0)
+      .map(i => ExprGen.caseTree(31337L, i, 3))
+      .find(t => t.ty == D && t.internalNodes >= 3).get
+    val planted: Node = OpNode(plusSig, Seq(
+      OpNode(powSig, Seq(LeafNode(D, "(0.0e0 - 1.0e0)"), LeafNode(D, "d2"))),
+      filler))
+    assert(diverges(planted), "planted divergence did not reproduce")
+
+    val minimal = FuzzHarness.shrink(planted, diverges)
+    assert(diverges(minimal), "shrink lost the divergence")
+    assert(minimal.sql.contains("power("), s"shrink removed the culprit: ${minimal.sql}")
+    assert(minimal.internalNodes <= 2,
+      s"shrunk to ${minimal.internalNodes} op nodes, expected <= 2: ${minimal.sql}")
+  }
 }
