@@ -417,6 +417,65 @@ object ExprGen {
     AggSig(as => s"corr(${boundedD(as(0))}, ${boundedD(as(1))})", Seq(D, D)),
     AggSig(as => s"covar_samp(${boundedD(as(0))}, ${boundedD(as(1))})", Seq(D, D)))
 
+  // --- decimal / interval surface (mode 7) ----------------------------------
+
+  /** DECIMAL(p,s) arithmetic + INTERVAL timestamp-arithmetic case (SURVEY
+    * §1.3 notes decimals and intervals are reachable-but-untested in the
+    * reference). Curated per the established per-construct discipline;
+    * probes recorded:
+    *   - DuckDB rejects `INTERVAL -3 DAY` at parse → negative shifts are
+    *     spelled with binary `-`, the shared form.
+    *   - DuckDB TRY_CAST(NaN AS DECIMAL) ERRORS where Spark yields NULL →
+    *     decimal atoms derive from integer columns and literals only,
+    *     never doubles.
+    *   - decimal rounding is away-from-zero in both (probe:
+    *     round(-2.5) = -3); month/leap-day interval clamping agrees
+    *     (2000-02-29 + 1 YEAR = 2001-02-28; 2020-01-31 + 1 MONTH =
+    *     2020-02-29).
+    *   - precision budget: atoms cap at DECIMAL(12,2) and `*` composes
+    *     atoms only, so no subtree precision exceeds 38 — past 38 Spark
+    *     ROUNDS (decimalOperations.allowPrecisionLoss) where DuckDB errors
+    *     at plan time, an intentional non-shared region.
+    *   - the final projection TRY_CASTs to DECIMAL(38,6); tree scales max
+    *     out at 4, so the cast never rounds — it only normalizes the
+    *     declared type for the comparator (which compares decimals
+    *     exactly, not via float tolerance). */
+  def decCaseSql(seed: Long, i: Int): String = {
+    val rnd = new Random(seed * 8000081L + i)
+    def pick[T](xs: Seq[T]): T = xs(rnd.nextInt(xs.length))
+    val decAtoms = Seq(
+      "CAST(l2 AS DECIMAL(12,2))",
+      "CAST((l1 % 1000) AS DECIMAL(12,2))",
+      "1.25", "-7.50", "123.456", "0.00", "99.99",
+      "CAST(NULL AS DECIMAL(12,2))")
+    def decExpr(depth: Int): String =
+      if (depth <= 0) pick(decAtoms)
+      else rnd.nextInt(8) match {
+        case 0 => s"(${decExpr(depth - 1)} + ${decExpr(depth - 1)})"
+        case 1 => s"(${decExpr(depth - 1)} - ${decExpr(depth - 1)})"
+        case 2 => s"(${pick(decAtoms)} * ${pick(decAtoms)})"
+        case 3 => s"(- ${decExpr(depth - 1)})"
+        case 4 => s"abs(${decExpr(depth - 1)})"
+        case 5 => s"round(${decExpr(depth - 1)}, ${rnd.nextInt(3)})"
+        case 6 => s"floor(${decExpr(depth - 1)})"
+        case _ => s"(${decExpr(depth - 1)} % nullif(${pick(decAtoms)}, 0))"
+      }
+    val units = Seq("SECOND", "MINUTE", "HOUR", "DAY", "MONTH", "YEAR")
+    val tsAtoms = Seq("ts1") ++ litPool(T)
+    def tsExpr(steps: Int): String =
+      if (steps <= 0) pick(tsAtoms)
+      else s"(${tsExpr(steps - 1)} ${pick(Seq("+", "-"))} " +
+        s"INTERVAL ${1 + rnd.nextInt(90)} ${pick(units)})"
+    val d = decExpr(2)
+    val b =
+      if (rnd.nextBoolean())
+        s"(${decExpr(1)} ${pick(Seq("<", "<=", "=", ">", ">="))} ${decExpr(1)})"
+      else s"(${tsExpr(1)} ${pick(Seq("<", ">", "="))} ${pick(tsAtoms)})"
+    val t = tsExpr(1 + rnd.nextInt(2))
+    s"SELECT id, TRY_CAST(($d) AS DECIMAL(38,6)) AS rd, ($b) AS rb, ($t) AS rt " +
+      "FROM t ORDER BY id"
+  }
+
   // --- multi-step CTE chains (the ODF transform model, fuzzed) --------------
 
   /** Chained-view case: 1–3 CTEs, each re-projecting the full fixture

@@ -254,6 +254,11 @@ object FuzzHarness {
   def runCte(base: SparkSession, seed: Long, n: Int, outDir: String): (Int, Int) =
     runFullSql(base, seed, n, outDir, (s, i) => { val q = ExprGen.cteCaseSql(s, i); (q, q) })
 
+  /** Decimal/interval twin: [[ExprGen.decCaseSql]] DECIMAL(p,s) arithmetic
+    * and INTERVAL timestamp shifts — shared SQL text. */
+  def runDec(base: SparkSession, seed: Long, n: Int, outDir: String): (Int, Int) =
+    runFullSql(base, seed, n, outDir, (s, i) => { val q = ExprGen.decCaseSql(s, i); (q, q) })
+
   /** JSON twin: [[ExprGen.jsonCaseSql]] PAIRED cases — DuckDB's JSON
     * function surface differs, so each record carries its own mapped
     * `duck_sql` replay text. */
@@ -373,6 +378,7 @@ object FuzzDump {
       case "json" => FuzzHarness.runJson(spark, seed, n, outDir)
       case "rel" => FuzzHarness.runRel(spark, seed, n, outDir)
       case "cte" => FuzzHarness.runCte(spark, seed, n, outDir)
+      case "dec" => FuzzHarness.runDec(spark, seed, n, outDir)
       case _ => FuzzHarness.run(spark, seed, n, outDir, depth)
     }
     println(f"[fuzz] $n $mode cases (seed $seed): $ok evaluated, $err engine errors, " +

@@ -44,11 +44,13 @@ import org.scalatest.BeforeAndAfterAll
   *
   * The seed is fixed so CI is deterministic; sweep fresh seeds manually
   * with `runMain graft.fuzz.FuzzDump <dir> <seed> <n>
-  * [scalar|agg|win|json|rel|cte] [depth]` (green at round 10: scalar
+  * [scalar|agg|win|json|rel|cte|dec] [depth]` (green at round 10: scalar
   * seeds 20260813/7/424242/777/555001/42424243/111/222/2222(depth 5) +
   * a 1500-case depth-4 sweep at 4444, agg 101/31337/909090/111/222/606,
   * win 202/787878/13131/111/222/404, json 55/606/909/111/222/777,
-  * rel 77/888/3131/999, cte 42/1717/2929 — ~25k cases).
+  * rel 77/888/3131/999, cte 42/1717/2929 — ~25k cases; round 11 adds
+  * dec 20260813(300)/555001(400)/7777(400) — 1100 cases, plus a
+  * 200-case scalar sanity sweep at 999123 after the tree refactor).
   */
 class FuzzDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
 
@@ -145,6 +147,20 @@ class FuzzDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (ok, err) = FuzzHarness.runCte(spark, seed = 20260813L, n = 300, outDir = dir)
     assert(ok + err == 300)
     assert(err < 30, s"$err/300 CTE cases errored in the engine — generator degenerate?")
+    val out = new StringBuilder
+    val rc = Process(Seq("python3", "tools/fuzz_check.py", dir, "--max-print", "10"),
+      new File("."))
+      .!(ProcessLogger(l => out.append(l).append('\n'), l => out.append(l).append('\n')))
+    assert(rc == 0, s"differential divergences:\n$out")
+    assert(out.toString.contains("300 cases"), s"comparator ran wrong case count:\n$out")
+  }
+
+  test("300 random decimal/interval cases agree with DuckDB value-by-value") {
+    assume(duckdbAvailable, "python3+duckdb not on PATH — differential half skipped")
+    val dir = Files.createTempDirectory("graft-fuzz-dec").toFile.getAbsolutePath
+    val (ok, err) = FuzzHarness.runDec(spark, seed = 20260813L, n = 300, outDir = dir)
+    assert(ok + err == 300)
+    assert(err < 30, s"$err/300 decimal cases errored in the engine — generator degenerate?")
     val out = new StringBuilder
     val rc = Process(Seq("python3", "tools/fuzz_check.py", dir, "--max-print", "10"),
       new File("."))

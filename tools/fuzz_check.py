@@ -48,7 +48,7 @@ def canon_duck(v):
     if isinstance(v, datetime.date):
         return ("us", (v - EPOCH_D).days * 86400000000)
     if isinstance(v, Decimal):
-        return float(v)
+        return v  # kept exact: Decimal-vs-Decimal compares without tolerance
     if isinstance(v, list):
         return [canon_duck(x) for x in v]
     return v
@@ -71,7 +71,9 @@ def parse_spark(s, ty):
         return s == "true"
     if any(k in t for k in ("BIGINT", "INT", "SMALLINT", "TINYINT")):
         return int(s)
-    if any(k in t for k in ("DOUBLE", "FLOAT", "DECIMAL")):
+    if "DECIMAL" in t:
+        return Decimal(s)  # exact — float() would mask unit-size errors at 1e9+
+    if any(k in t for k in ("DOUBLE", "FLOAT")):
         return float(s)  # parses "NaN", "Infinity", "1.0E-6"
     return s  # STRING / VARCHAR
 
@@ -101,6 +103,10 @@ def values_eq(a, b):
         return a is None and b is None
     if isinstance(a, bool) or isinstance(b, bool):
         return isinstance(a, bool) and isinstance(b, bool) and a == b
+    if isinstance(a, Decimal) and isinstance(b, Decimal):
+        return a == b  # exact; Decimal("1.50") == Decimal("1.5")
+    if isinstance(a, Decimal) or isinstance(b, Decimal):
+        return num_eq(float(a), float(b))  # type skew (floor -> int, etc.)
     if isinstance(a, tuple) or isinstance(b, tuple):  # ("us", micros)
         # DuckDB TIMESTAMP vs Spark TIMESTAMP (or DATE vs midnight)
         if isinstance(a, tuple) and isinstance(b, tuple):
