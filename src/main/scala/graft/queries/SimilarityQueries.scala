@@ -65,7 +65,7 @@ object SimilarityQueries {
     * checkpoint RDD references). Called by the batch mains after their
     * last query; available to long-lived hosts on data change. */
   def clearExactTopKCache(): Unit = exactTopKCache.clear()
-  private[queries] def exactTopKCacheSize: Int = exactTopKCache.size()
+  private[graft] def exactTopKCacheSize: Int = exactTopKCache.size()
 
   /** Exact+bound compare for the approximate ANN paths: per query, the
     * EXACT top-k id set (sorted, comma-joined — fully DuckDB-reproducible)

@@ -3,6 +3,8 @@ package graft.odf
 import java.nio.file.Files
 import java.util.concurrent.{CompletableFuture, TimeUnit}
 
+import scala.jdk.CollectionConverters._
+
 import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.datatype.jsr310.JavaTimeModule
 import com.fasterxml.jackson.module.scala.DefaultScalaModule
@@ -238,6 +240,76 @@ class GrpcServerSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   // --- flatbuffers payload codec (engine.fbs; grpc.rs:84-86) ---
+
+  test("soak: 60 sequential transforms through one server JVM — flat heap, no leaked state") {
+    // The long-lived service property the r10 lifecycle fixes promise:
+    // request sessions, codegen caches, and sink temp dirs must not
+    // accumulate across requests. 60 full transform round-trips over one
+    // socket-per-call h2c client; the first 5 warm JIT/codegen, then heap
+    // is measured (GC-settled) around the remaining 55.
+    val dir = Files.createTempDirectory("graft-grpc-soak")
+    val schema = StructType(Seq(
+      StructField("offset", LongType, nullable = false),
+      StructField("op", IntegerType, nullable = false),
+      StructField("system_time", TimestampType, nullable = false),
+      StructField("event_time", TimestampType, nullable = false),
+      StructField("city", StringType, nullable = false),
+      StructField("population", LongType, nullable = false)))
+    val st = java.sql.Timestamp.from(java.time.Instant.parse("2023-02-01T00:00:00Z"))
+    val et = java.sql.Timestamp.from(java.time.Instant.parse("2023-01-01T00:00:00Z"))
+    val rows = (0 until 50).map(i => Row(i.toLong, 0, st, et, s"city$i", 1000L + i))
+    ParquetSink.writeSingleFile(
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema),
+      dir.resolve("input.parquet").toString)
+
+    def runRound(round: Int): Unit = {
+      val req = TransformRequest(
+        datasetId = "did:odf:soak", datasetAlias = "soak",
+        systemTime = java.time.Instant.parse("2023-03-01T00:00:00Z"),
+        vocab = DatasetVocabulary(),
+        queries = Seq(
+          SqlQueryStep.named("s1",
+            s"select event_time, city, population + $round as population from foo"),
+          SqlQueryStep.output(s"select * from s1 where population % 7 != ${round % 7}")),
+        queryInputs = Seq(TransformRequestInput(
+          datasetId = "did:odf:foo", datasetAlias = "foo", queryAlias = "foo",
+          vocab = DatasetVocabulary(),
+          offsetInterval = Some(OffsetInterval(0, 49)),
+          dataPaths = Seq(dir.resolve("input.parquet").toString),
+          schemaFile = dir.resolve("input.parquet").toString,
+          explicitWatermarks = Nil)),
+        nextOffset = round.toLong * 100,
+        newDataPath = dir.resolve(s"out$round.parquet").toString)
+      val (status, body) = jsonCall("/engine.Engine/ExecuteTransform", req)
+      assert(status == 0 && body.contains("\"success\""), s"round $round: $status $body")
+      Files.delete(dir.resolve(s"out$round.parquet"))
+    }
+
+    def settledHeap(): Long = {
+      (1 to 3).foreach { _ => System.gc(); Thread.sleep(100) }
+      val rt = Runtime.getRuntime
+      rt.totalMemory() - rt.freeMemory()
+    }
+
+    (0 until 5).foreach(runRound)
+    val before = settledHeap()
+    (5 until 60).foreach(runRound)
+    val after = settledHeap()
+    val growthMb = (after - before) / (1024.0 * 1024.0)
+    info(f"heap after 5 warm rounds: ${before / 1048576}%d MB; after 60: " +
+      f"${after / 1048576}%d MB (growth $growthMb%.1f MB over 55 rounds)")
+    assert(growthMb < 256.0, f"heap grew $growthMb%.1f MB across 55 requests — leak?")
+
+    // no cross-request state left behind: the ANN memo cache was never
+    // touched by the engine path, no cached/checkpointed RDD blocks
+    // survive, and the sink cleaned up every .tmp-spark staging dir
+    assert(graft.queries.SimilarityQueries.exactTopKCacheSize == 0)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"leaked persistent RDDs: ${spark.sparkContext.getPersistentRDDs.keys}")
+    val leftover = java.nio.file.Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.contains(".tmp-spark")).toSeq
+    assert(leftover.isEmpty, s"sink staging dirs not cleaned: $leftover")
+  }
 
   private def sampleTransformRequest(dir: java.nio.file.Path): TransformRequest =
     TransformRequest(
