@@ -304,6 +304,61 @@ class EngineContractProps extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  /** One random raw-query (ingest-preprocessing, A17) request: the path
+    * registers inputs as `input` with NO offset filtering, applies the view
+    * chain, normalizes with the DEFAULT vocabulary, and skips validation
+    * and system columns entirely (engine.rs:56-125). The model is the
+    * filtered projection over all concatenated input files. */
+  private def runRawOne(seed: Long, dir: Path): Unit = {
+    val rnd = new Random(seed)
+    def pick[T](xs: Seq[T]): T = xs(rnd.nextInt(xs.length))
+    val n = 1 + rnd.nextInt(15)
+    val nSlices = 1 + rnd.nextInt(3)
+    val et0 = pick(instPool)
+    val rows = (0 until n).map(i => LRow(i.toLong, et0.plusSeconds(60L * i), i.toLong, s"w$i"))
+    val schema = StructType(Seq(
+      StructField("event_time", TimestampType, nullable = false),
+      StructField("v", LongType, nullable = false),
+      StructField("w", StringType, nullable = false)).toIndexedSeq)
+    val cutPoints = (Seq.fill(nSlices - 1)(rnd.nextInt(n + 1)).sorted :+ n).+:(0)
+    val paths = cutPoints.sliding(2).zipWithIndex.map { case (Seq(a, b), k) =>
+      val p = dir.resolve(s"raw$k.parquet")
+      writeSlice(schema, rows.slice(a, b).map(r =>
+        Row(Timestamp.from(r.et), r.v, r.w)), p)
+      p.toString
+    }.toSeq
+    val filterMod = 2 + rnd.nextInt(4)
+    val filterRes = rnd.nextInt(filterMod)
+    val mult = 1 + rnd.nextInt(5)
+    val twoSteps = rnd.nextBoolean()
+    val steps =
+      if (twoSteps) Seq(
+        SqlQueryStep.named("a", s"SELECT event_time, v * $mult AS v2, w FROM input"),
+        SqlQueryStep.output(s"SELECT event_time, v2, w FROM a WHERE v2 % $filterMod != $filterRes"))
+      else Seq(
+        SqlQueryStep.output(
+          s"SELECT event_time, v * $mult AS v2, w FROM input WHERE (v * $mult) % $filterMod != $filterRes"))
+    val outPath = dir.resolve("raw-out.parquet").toString
+    val res = engine.executeRawQuery(RawQueryRequest(paths, steps, outPath))
+    val selected = rows.filter(r => (r.v * mult) % filterMod != filterRes)
+    assert(res == Right(RawQueryResponseSuccess(selected.size.toLong)),
+      s"seed=$seed slices=$nSlices res=$res")
+    val out = spark.read.parquet(outPath)
+    // raw path adds NOTHING: no system columns, no reordering, no offsets
+    assert(out.schema.fieldNames.toSeq == Seq("event_time", "v2", "w"), s"seed=$seed")
+    val got = out.collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getString(2))).toSeq
+    val exp = selected.map(r => (Timestamp.from(r.et), r.v * mult, r.w))
+    assert(got.sortBy(t => (t._2, t._3)) == exp.sortBy(t => (t._2, t._3)), s"seed=$seed")
+  }
+
+  test("raw-query fuzz: 100 random ingest requests match the in-memory model") {
+    val root = Files.createTempDirectory("odf-contract-raw")
+    for (seed <- 0L until 100L) {
+      val dir = Files.createDirectory(root.resolve(s"case$seed"))
+      runRawOne(seed, dir)
+    }
+  }
+
   test("rejection fuzz: 60 mutated requests all surface InvalidQuery, no file written") {
     val root = Files.createTempDirectory("odf-contract-mut")
     val slice = root.resolve("src.parquet")
