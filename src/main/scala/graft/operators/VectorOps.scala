@@ -319,10 +319,12 @@ object VectorOps extends org.apache.spark.internal.Logging {
     * Degenerate-mass defense, three layers (r11 — replaces the silent
     * over-cap drop):
     *   1. EXACT PRE-COLLAPSE: identical (non-zero) embeddings reduce to one
-    *      delegate + linear star edges before clustering — members are
+    *      delegate + linear star edges after cluster assignment (riding the
+    *      assignment checkpoint) and before pair generation — members are
     *      mutual duplicates by definition (cosine = 1), so connectivity is
     *      preserved and the one blob no direction-based method can split
-    *      never reaches pair generation.
+    *      never reaches pair generation. A hash probe gates the collapse:
+    *      corpora with no repeated vector hash skip it entirely.
     *   2. HOT-CLUSTER SUB-SPLIT: a cluster of DISTINCT vectors above
     *      `maxClusterSize` is hyperplane-sub-bucketed (bits sized from the
     *      largest hot cluster) so its pair block becomes Σ subbucket².
@@ -357,44 +359,75 @@ object VectorOps extends org.apache.spark.internal.Logging {
     graft.functions.NativeHashes.register(corpus.sparkSession)
     val rows = corpus.select(col(id).as("id"), col(vec).as("v"))
 
-    // 1. Exact pre-collapse. Zero vectors are excluded: cosine(0, 0) is
+    // 1. Cluster the full corpus (as SemDeDup does — exact duplicates only
+    // add weight to their own centroid) and CHECKPOINT the assignment:
+    // every later pass (dup probe, collapse, sizing, pair generation)
+    // replays stored partitions instead of re-scanning the corpus and
+    // re-deriving embeddings.
+    val cents = kmeansFit(rows, "v", k, kmeansIters, idCol = "id")
+    val assigned = assignClusters(rows, cents, "v").localCheckpoint(false)
+
+    // 2. Exact pre-collapse. Zero vectors are excluded: cosine(0, 0) is
     // NaN (never >= threshold), so identical zero vectors are NOT
-    // duplicates under the pair semantics and must not collapse. The
-    // groupBy's map-side partial aggregation bounds the blob (each task
-    // emits one row per distinct vector); the re-association join streams
-    // a blob through one task linearly — no sort, no pair block.
+    // duplicates under the pair semantics and must not collapse.
+    //
+    // Fast-path probe first: a 64-bit-hash groupBy over the checkpoint
+    // (map-side combine, one LONG key per distinct vector — the vectors
+    // themselves never shuffle) asks whether ANY hash repeats. Corpora
+    // without exact duplicates — the common case — skip the collapse
+    // entirely.
     val nonZero = aggregate(col("v"), lit(0.0d),
       (acc, x) => acc + x.cast("double") * x.cast("double")) > lit(0.0)
-    val dupReps = rows.filter(nonZero)
-      .groupBy(col("v")).agg(min(col("id")).as("gid"), count(lit(1)).as("__n"))
-      .filter(col("__n") > 1)
-      .select(col("v").as("gv"), col("gid"))
-    val joined = rows.join(dupReps, col("v") === col("gv"), "left")
-    val exactEdges = joined.filter(col("gid").isNotNull && col("gid") =!= col("id"))
-      .select(col("gid").as("id1"), col("id").as("id2"))
-    val distinctRows = joined.filter(col("gid").isNull || col("gid") === col("id"))
-      .select(col("id"), col("v"))
-
-    // 2. Cluster the delegates; sub-split hot clusters.
-    val cents = kmeansFit(distinctRows, "v", k, kmeansIters, idCol = "id")
-    val assigned = assignClusters(distinctRows, cents, "v").localCheckpoint(false)
-    val sizes = assigned.groupBy(col("cluster")).count().localCheckpoint(false)
-    val maxHot = sizes.agg(max(when(col("count") > maxClusterSize, col("count"))))
-      .head.getAs[Any](0) match { case null => 0L; case n: Long => n }
-    // Bits start at ceil(log2(overload)) + 1 and ESCALATE (+2 per round, to
-    // 12): ±1-weight hyperplane buckets are not uniform on low-dimensional
-    // or correlated data, so a single computed width can leave one bucket
-    // holding half the cluster — each escalation is one cheap count job on
-    // the checkpointed assignment, and only genuinely same-direction mass
-    // survives 12 bits (4096 sub-buckets) to reach the measured cap below.
-    val keyed =
-      if (maxHot == 0L) assigned.withColumn("sub", lit(0))
+    val anyDupHash = assigned.filter(nonZero)
+      .groupBy(xxhash64(col("v")).as("__h")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).limit(1).count() > 0
+    // Precise path only when the probe fires: the groupBy's map-side
+    // partial aggregation bounds the blob (each task emits one row per
+    // distinct vector); the re-association join streams a blob through
+    // one task linearly — no sort, no pair block. Hash collisions cannot
+    // corrupt results (the join compares full vectors); a collision can
+    // only trigger this path spuriously.
+    val (exactEdges, distinctAssigned) =
+      if (!anyDupHash)
+        (rows.select(col("id").as("id1"), col("id").as("id2")).limit(0), assigned)
       else {
+        val dupReps = assigned.filter(nonZero)
+          .groupBy(col("v")).agg(min(col("id")).as("gid"), count(lit(1)).as("__n"))
+          .filter(col("__n") > 1)
+          .select(col("v").as("gv"), col("gid"))
+        val joined = assigned.join(dupReps, col("v") === col("gv"), "left")
+        (joined.filter(col("gid").isNotNull && col("gid") =!= col("id"))
+          .select(col("gid").as("id1"), col("id").as("id2")),
+          joined.filter(col("gid").isNull || col("gid") === col("id"))
+            .select(col("id"), col("v"), col("cluster")))
+      }
+
+    // 3. Size the (post-collapse) clusters in ONE driver job (<= k rows —
+    // a map-side-combined count); the sub-split + residual-cap machinery
+    // is built only when some cluster is actually over cap, so the common
+    // balanced case pays the sizing count and nothing else.
+    val sizesArr: Array[(Int, Long)] = distinctAssigned.groupBy(col("cluster")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1))
+    val maxHot = sizesArr.collect { case (_, n) if n > maxClusterSize => n }
+      .maxOption.getOrElse(0L)
+
+    val (capped, droppedBuckets, droppedRows) =
+      if (maxHot == 0L) (distinctAssigned.withColumn("sub", lit(0)), 0L, 0L)
+      else {
+        // Bits start at ceil(log2(overload)) + 1 and ESCALATE (+2 per
+        // round, to 12): ±1-weight hyperplane buckets are not uniform on
+        // low-dimensional or correlated data, so a single computed width
+        // can leave one bucket holding half the cluster — each escalation
+        // is one cheap count job on the checkpointed assignment, and only
+        // genuinely same-direction mass survives 12 bits (4096
+        // sub-buckets) to reach the measured residual cap below.
+        val spark = distinctAssigned.sparkSession
+        import spark.implicits._
         val over = maxHot.toDouble / math.max(1, maxClusterSize)
         val dims = cents(0).length
-        val hotDf = sizes.filter(col("count") > maxClusterSize)
-          .select(col("cluster"), lit(true).as("__hot"))
-        val withHot = assigned.join(broadcast(hotDf), Seq("cluster"), "left")
+        val hotIds = sizesArr.collect { case (c, n) if n > maxClusterSize => c }.toSeq
+        val hotDf = hotIds.toDF("cluster").withColumn("__hot", lit(true))
+        val withHot = distinctAssigned.join(broadcast(hotDf), Seq("cluster"), "left")
         def keyedWith(bits: Int) = withHot
           .withColumn("sub", when(col("__hot"),
             hyperplaneBucket(col("v"), dims, bits)).otherwise(lit(0)))
@@ -403,28 +436,26 @@ object VectorOps extends org.apache.spark.internal.Logging {
           .groupBy(col("cluster"), col("sub")).count()
           .agg(max(col("count"))).head.getLong(0)
         var bits = math.min(12, math.max(1, math.ceil(math.log(over) / math.log(2)).toInt + 1))
-        var cur = keyedWith(bits)
-        while (maxSubBucket(cur) > maxClusterSize && bits < 12) {
+        var keyed = keyedWith(bits)
+        while (maxSubBucket(keyed) > maxClusterSize && bits < 12) {
           bits = math.min(12, bits + 2)
-          cur = keyedWith(bits)
+          keyed = keyedWith(bits)
         }
-        cur
+        // Residual cap with accounting (over-cap keys are <= n/cap — tiny;
+        // broadcast anti-join, same shape as Dedup.capBuckets' primary path).
+        val overCap = keyed.groupBy(col("cluster"), col("sub")).count()
+          .filter(col("count") > maxClusterSize).localCheckpoint(false)
+        val dropRow = overCap.agg(
+          count(lit(1)), coalesce(sum(col("count")), lit(0L))).head
+        val (nBuckets, nRows) = (dropRow.getLong(0), dropRow.getLong(1))
+        if (nBuckets > 0) logWarning(
+          s"semanticDedup: $nRows rows in $nBuckets near-identical-direction " +
+            s"sub-buckets exceed maxClusterSize=$maxClusterSize even after exact collapse " +
+            "and hyperplane sub-split — they skip pair generation (recall loss, measured)")
+        (keyed.join(
+          broadcast(overCap.select(col("cluster"), col("sub"))),
+          Seq("cluster", "sub"), "left_anti"), nBuckets, nRows)
       }
-
-    // 3. Residual cap with accounting (over-cap keys are <= n/cap — tiny;
-    // broadcast anti-join, same shape as Dedup.capBuckets' primary path).
-    val bucketSizes = keyed.groupBy(col("cluster"), col("sub")).count()
-    val overCap = bucketSizes.filter(col("count") > maxClusterSize).localCheckpoint(false)
-    val dropRow = overCap.agg(
-      count(lit(1)), coalesce(sum(col("count")), lit(0L))).head
-    val (droppedBuckets, droppedRows) = (dropRow.getLong(0), dropRow.getLong(1))
-    if (droppedBuckets > 0) logWarning(
-      s"semanticDedup: $droppedRows rows in $droppedBuckets near-identical-direction " +
-        s"sub-buckets exceed maxClusterSize=$maxClusterSize even after exact collapse " +
-        "and hyperplane sub-split — they skip pair generation (recall loss, measured)")
-    val capped = keyed.join(
-      broadcast(overCap.select(col("cluster"), col("sub"))),
-      Seq("cluster", "sub"), "left_anti")
 
     val l = capped.select(col("cluster"), col("sub"), col("id").as("id1"), col("v").as("v1"))
     val r = capped.select(col("cluster"), col("sub"), col("id").as("id2"), col("v").as("v2"))
