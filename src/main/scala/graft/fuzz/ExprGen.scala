@@ -494,29 +494,51 @@ object ExprGen {
     * divergence. Mutated strings still appear (S-typed expressions in
     * projections and predicates reference s1/s2); only the *bindings*
     * of the SL leaf columns stay pristine across steps. */
-  def cteCaseSql(seed: Long, i: Int): String = {
+  def cteCaseSql(seed: Long, i: Int): String = cteCaseTree(seed, i).sql
+
+  private val cteAllCols = Seq("l1", "l2", "d1", "d2", "s1", "s2", "b1", "a1", "ts1", "j1")
+  private val cteMutTy: Map[String, Ty] = Map(
+    "l1" -> L, "l2" -> L, "d1" -> D, "d2" -> D, "b1" -> B)
+
+  /** One CTE step: the columns it rebinds (in projection order) and its
+    * residual predicate. Structural so [[FuzzHarness.shrinkCte]] can drop
+    * steps / rebindings and shrink the embedded trees. */
+  final case class CteStep(muts: Seq[(String, Node)], pred: Node)
+
+  final case class CteCase(steps: Seq[CteStep]) {
+    def sql: String = {
+      var prev = "t"
+      val ctes = steps.zipWithIndex.map { case (st, k) =>
+        val m = st.muts.toMap
+        val proj = cteAllCols.map(c =>
+          m.get(c).map(n => s"(${n.sql}) AS $c").getOrElse(c)).mkString(", ")
+        val name = s"v$k"
+        val cte = s"$name AS (SELECT id, $proj FROM $prev WHERE (${st.pred.sql}) IS NOT FALSE)"
+        prev = name
+        cte
+      }
+      val body = s"SELECT id, l1, l2, d1, s1, s2, b1 FROM $prev ORDER BY id"
+      if (ctes.isEmpty) body else s"WITH ${ctes.mkString(", ")} $body"
+    }
+    /** Diagnosis size: steps + rebindings + operator nodes. */
+    def size: Int = steps.map(st =>
+      1 + st.muts.size + st.muts.map(_._2.internalNodes).sum + st.pred.internalNodes).sum
+  }
+
+  /** Tree form of [[cteCaseSql]] — identical random stream, so
+    * `cteCaseTree(s, i).sql == cteCaseSql(s, i)`. */
+  def cteCaseTree(seed: Long, i: Int): CteCase = {
     val rnd = new Random(seed * 6000023L + i)
-    val allCols = Seq("l1", "l2", "d1", "d2", "s1", "s2", "b1", "a1", "ts1", "j1")
-    val mutTy: Map[String, Ty] = Map(
-      "l1" -> L, "l2" -> L, "d1" -> D, "d2" -> D, "b1" -> B)
     val steps = 1 + rnd.nextInt(3)
-    var prev = "t"
-    val ctes = (0 until steps).map { k =>
-      val mutable = mutTy.keys.toSeq.sorted
+    CteCase((0 until steps).map { _ =>
+      val mutable = cteMutTy.keys.toSeq.sorted
       val c1 = mutable(rnd.nextInt(mutable.length))
       val c2 = mutable(rnd.nextInt(mutable.length))
       val chosen = Set(c1, c2)
-      val proj = allCols.map { c =>
-        if (chosen(c)) s"(${gen(rnd, mutTy(c), 2)}) AS $c" else c
-      }.mkString(", ")
-      val pred = gen(rnd, B, 2)
-      val name = s"v$k"
-      val cte = s"$name AS (SELECT id, $proj FROM $prev WHERE ($pred) IS NOT FALSE)"
-      prev = name
-      cte
-    }
-    s"WITH ${ctes.mkString(", ")} " +
-      s"SELECT id, l1, l2, d1, s1, s2, b1 FROM $prev ORDER BY id"
+      val muts = cteAllCols.flatMap(c =>
+        if (chosen(c)) Some(c -> genTree(rnd, cteMutTy(c), 2)) else None)
+      CteStep(muts, genTree(rnd, B, 2))
+    })
   }
 
   // --- relational shapes (joins / set ops / sort-limit / distinct) ----------

@@ -213,6 +213,75 @@ object FuzzHarness {
     cur
   }
 
+  /** Evaluate a full SQL case (its own ORDER BY) on `session`: canon per
+    * cell, or Left(first error line). */
+  def evalSql(session: SparkSession, sql: String): Either[String, Seq[Seq[String]]] =
+    try {
+      val df = session.sql(sql)
+      Right(df.collect().map(r => (0 until r.length).map(j => canon(r.get(j))).toSeq).toSeq)
+    } catch {
+      case e: Throwable =>
+        Left(Option(e.getMessage).getOrElse(e.getClass.getName)
+          .linesIterator.take(1).mkString.take(200))
+    }
+
+  /** [[shrink]] for multi-step CTE cases (the transform-model shape):
+    * structural reductions first — drop a whole step, drop a column
+    * rebinding, neutralize a predicate to TRUE — then the scalar shrink
+    * inside each surviving expression tree. Restarts after every accepted
+    * reduction; the result's remaining steps/rebindings/nodes are all
+    * load-bearing for the divergence. */
+  def shrinkCte(
+      root: ExprGen.CteCase,
+      diverges: ExprGen.CteCase => Boolean,
+      maxChecks: Int = 800): ExprGen.CteCase = {
+    var checks = 0
+    def check(c: ExprGen.CteCase): Boolean = {
+      checks += 1
+      checks <= maxChecks && diverges(c)
+    }
+    var cur = root
+    var improved = true
+    while (improved && checks < maxChecks) {
+      improved = false
+      for (k <- cur.steps.indices if !improved) {
+        val cand = cur.copy(steps = cur.steps.patch(k, Nil, 1))
+        if (check(cand)) { cur = cand; improved = true }
+      }
+      for (k <- cur.steps.indices if !improved;
+           j <- cur.steps(k).muts.indices if !improved) {
+        val st = cur.steps(k)
+        val cand = cur.copy(steps =
+          cur.steps.updated(k, st.copy(muts = st.muts.patch(j, Nil, 1))))
+        if (check(cand)) { cur = cand; improved = true }
+      }
+      for (k <- cur.steps.indices if !improved) {
+        val st = cur.steps(k)
+        if (st.pred.sql != "TRUE") {
+          val cand = cur.copy(steps =
+            cur.steps.updated(k, st.copy(pred = ExprGen.LeafNode(ExprGen.B, "TRUE"))))
+          if (check(cand)) { cur = cand; improved = true }
+        }
+      }
+      if (!improved) {
+        for (k <- cur.steps.indices if !improved;
+             j <- cur.steps(k).muts.indices if !improved) {
+          val st = cur.steps(k)
+          val (c0, n0) = st.muts(j)
+          val shrunk = shrink(n0, n => check(cur.copy(steps =
+            cur.steps.updated(k, st.copy(muts = st.muts.updated(j, (c0, n)))))),
+            math.max(0, maxChecks - checks))
+          if (shrunk.internalNodes < n0.internalNodes) {
+            cur = cur.copy(steps =
+              cur.steps.updated(k, st.copy(muts = st.muts.updated(j, (c0, shrunk)))))
+            improved = true
+          }
+        }
+      }
+    }
+    cur
+  }
+
   /** One scalar-case JSON record in the `cases.jsonl` shape (shared by
     * [[run]] and the shrink replay tool). */
   private[fuzz] def scalarRecord(session: SparkSession, i: Int, expr: String): (String, Boolean) =

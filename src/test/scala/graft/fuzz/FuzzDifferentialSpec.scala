@@ -221,4 +221,43 @@ class FuzzDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(minimal.internalNodes <= 2,
       s"shrunk to ${minimal.internalNodes} op nodes, expected <= 2: ${minimal.sql}")
   }
+
+  test("CTE reducer strips a planted divergence to one step, one rebinding, TRUE predicate") {
+    import graft.fuzz.ExprGen.{B, CteCase, CteStep, D, L, LeafNode, Node, OpNode, Sig}
+    import graft.odf.OdfSessions
+    val good = OdfSessions.newRequestSession(spark)
+    val bad = OdfSessions.newRequestSession(spark)
+    val dirG = Files.createTempDirectory("graft-cteshrink-good").toFile.getAbsolutePath
+    val dirB = Files.createTempDirectory("graft-cteshrink-bad").toFile.getAbsolutePath
+    FuzzHarness.writeAndRegisterFixture(good, dirG)
+    FuzzHarness.writeAndRegisterFixture(bad, dirB)
+    bad.udf.register("power", (a: java.lang.Double, b: java.lang.Double) =>
+      if (a == null || b == null) null
+      else java.lang.Double.valueOf(java.lang.Math.pow(a, b)))
+    def diverges(c: CteCase): Boolean =
+      FuzzHarness.evalSql(bad, c.sql) != FuzzHarness.evalSql(good, c.sql)
+
+    val powSig = Sig(as => s"power(${as(0)}, ${as(1)})", Seq(D, D), D)
+    val orSig = Sig(as => s"(${as(0)} OR ${as(1)})", Seq(B, B), B)
+    def filler(ty: ExprGen.Ty): Node = Iterator.from(0)
+      .map(i => ExprGen.caseTree(777L, i, 2))
+      .find(t => t.ty == ty && t.internalNodes >= 1).get
+    // row-preserving but non-trivial predicate: (b1 OR TRUE) is always TRUE
+    def keepAllPred: Node = OpNode(orSig, Seq(LeafNode(B, "b1"), LeafNode(B, "TRUE")))
+    val planted = CteCase(Seq(
+      CteStep(Seq(
+        "l1" -> filler(L),
+        "d1" -> OpNode(powSig, Seq(LeafNode(D, "(0.0e0 - 1.0e0)"), LeafNode(D, "d2"))),
+        "b1" -> filler(B)), keepAllPred),
+      CteStep(Seq("d2" -> filler(D)), keepAllPred)))
+    assert(diverges(planted), "planted CTE divergence did not reproduce")
+
+    val minimal = FuzzHarness.shrinkCte(planted, diverges)
+    assert(diverges(minimal), "CTE shrink lost the divergence")
+    assert(minimal.steps.length == 1, s"steps: ${minimal.sql}")
+    assert(minimal.steps.head.muts.map(_._1) == Seq("d1"), s"rebindings: ${minimal.sql}")
+    assert(minimal.steps.head.pred.sql == "TRUE", s"predicate: ${minimal.sql}")
+    assert(minimal.steps.head.muts.head._2.internalNodes <= 2, s"tree: ${minimal.sql}")
+    assert(minimal.sql.contains("power("), s"culprit gone: ${minimal.sql}")
+  }
 }
