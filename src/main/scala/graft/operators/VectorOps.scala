@@ -468,6 +468,88 @@ object VectorOps extends org.apache.spark.internal.Logging {
       .select(col("id").as(id), col("rep"))
     SemanticDedupResult(labels, droppedBuckets, droppedRows)
   }
+  /** Incremental SemDeDup: label an INCOMING slice against an existing
+    * (already-deduped) corpus without ever re-pairing the existing corpus
+    * with itself — the growing-corpus production shape, the semantic twin
+    * of [[BloomJoin]]'s exact incremental dedup.
+    *
+    *   - Centroids fit on the EXISTING corpus only, so rep assignment of
+    *     history is stable across increments (a new slice never
+    *     re-clusters what previous runs already labeled).
+    *   - Candidate pairs are (existing ∪ incoming) × incoming within a
+    *     cluster: the existing×existing block — at steady state almost
+    *     all of the quadratic work — is never generated.
+    *   - Anchor priority: a duplicate component containing any existing
+    *     id takes the MIN EXISTING id as rep (history is immutable;
+    *     incoming rows prune toward the old corpus, never the reverse);
+    *     an all-incoming component takes its min id, matching
+    *     [[semanticDedupLabels]]. Transitive incoming chains reach their
+    *     anchor through connected components over the (touched-existing ∪
+    *     incoming) node set — O(duplicates), never O(existing corpus).
+    *   - Skew: each side's over-cap clusters are dropped from pairing
+    *     with a LOGGED row count (one ≤ k-row sizing collect per side) —
+    *     the cap is [[Dedup.capBuckets]]'s refusal bound, not a knob.
+    *
+    * `existing` must be non-empty (bootstrap the first increment with
+    * [[semanticDedupLabels]]); ids must be globally unique across both
+    * frames. Returns `(id, rep)` for INCOMING ids only. */
+  def semanticDedupIncrementalLabels(
+      existing: DataFrame, incoming: DataFrame, id: String, vec: String,
+      k: Int, threshold: Double, kmeansIters: Int = 3,
+      maxClusterSize: Int = 100000): DataFrame = {
+    graft.functions.NativeHashes.register(existing.sparkSession)
+    val cents = kmeansFit(existing, vec, k, kmeansIters, idCol = id)
+    val oldA = capClustersLogged(
+      assignClusters(existing.select(col(id).as("id"), col(vec).as("v")), cents, "v"),
+      maxClusterSize, "existing")
+    val newCk = assignClusters(
+      incoming.select(col(id).as("id"), col(vec).as("v")), cents, "v")
+      .localCheckpoint(false)
+    val newA = capClustersLogged(newCk, maxClusterSize, "incoming")
+
+    val l = oldA.withColumn("is_old", lit(true))
+      .unionAll(newA.withColumn("is_old", lit(false)))
+      .select(col("cluster"), col("id").as("id1"), col("v").as("v1"), col("is_old"))
+    val r = newA.select(col("cluster"), col("id").as("id2"), col("v").as("v2"))
+    val pairs = l.join(r, Seq("cluster"))
+      .filter(col("is_old") || col("id1") < col("id2"))
+      .filter(round(cosine(col("v1"), col("v2")), 6) >= threshold)
+      .select(col("id1"), col("id2"), col("is_old"))
+      .localCheckpoint(false)
+
+    val oldTouched = pairs.filter(col("is_old")).select(col("id1").as("id")).distinct()
+    val nodes = newCk.select(col("id")).unionAll(oldTouched)
+    val cc = Dedup.connectedComponentsMin(nodes, pairs.select(col("id1"), col("id2")))
+    // anchor-priority fix-up: min EXISTING id per component, else min id
+    val anchors = cc.join(oldTouched.withColumn("is_old", lit(true)), Seq("id"), "left")
+      .groupBy(col("rep"))
+      .agg(min(when(col("is_old"), col("id"))).as("old_min"))
+    // no broadcast hint: anchors scales with the incoming slice, not the
+    // corpus, but an increment can still be large — let AQE pick
+    cc.join(anchors, Seq("rep"))
+      .join(oldTouched.withColumn("is_old", lit(true)), Seq("id"), "left")
+      .filter(col("is_old").isNull) // incoming rows only
+      .select(col("id").as(id), coalesce(col("old_min"), col("rep")).as("rep"))
+  }
+
+  /** Over-cap-cluster refusal with accounting: one ≤ k-row sizing collect,
+    * then a broadcast anti-join against the hot cluster ids. Shared by the
+    * incremental path (the batch path's richer three-layer defense lives
+    * inline in [[semanticDedupLabelsWithStats]]). */
+  private def capClustersLogged(
+      df: DataFrame, maxClusterSize: Int, side: String): DataFrame = {
+    val sizes = df.groupBy(col("cluster")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1))
+    val hot = sizes.filter(_._2 > maxClusterSize)
+    if (hot.isEmpty) df
+    else {
+      logWarning(s"semanticDedupIncremental: dropping ${hot.map(_._2).sum} $side rows " +
+        s"in ${hot.length} over-cap clusters (> $maxClusterSize) from candidate pairing")
+      val spark = df.sparkSession
+      import spark.implicits._
+      df.join(broadcast(hot.map(_._1).toSeq.toDF("cluster")), Seq("cluster"), "left_anti")
+    }
+  }
 }
 
 /** Labeling plus the hot-bucket drop accounting from

@@ -276,6 +276,58 @@ object SimilarityQueries {
     ),
 
     QueryDef(
+      "q_semantic_dedup_incr",
+      // Incremental SemDeDup: an incoming slice — 50 half-scale copies of
+      // existing vec_id < 50 (exact-direction duplicates, cosine 1) plus
+      // 100 REVERSED embeddings of vec_id < 100 (reversal preserves
+      // pairwise cosines within the slice but scrambles direction vs the
+      // originals — probed max new-old off-diagonal cosine 0.52/0.62/0.60
+      // at sf0.01/0.001/0.1, max new-new 0.48, all far under 0.999) —
+      // labeled against the existing corpus WITHOUT pairing existing ×
+      // existing. Components are exactly the 50 planted (old, copy) pairs
+      // at every sf, so anchor-priority reps are value-checkable in DuckDB
+      // as "the matched old id", clustering-free (same measured-then-
+      // pinned argument as q_semantic_dedup: half-scaling preserves the
+      // centroid argmax, so the pair always co-clusters).
+      (s, dir) => {
+        val old = emb(s, dir).select(col("vec_id"), col("embedding"))
+        val dups = old.filter(col("vec_id") < 50)
+          .select((col("vec_id") + 100000).as("vec_id"),
+            transform(col("embedding"), x => x * lit(0.5f)).as("embedding"))
+        val fresh = old.filter(col("vec_id") < 100)
+          .select((col("vec_id") + 200000).as("vec_id"),
+            reverse(col("embedding")).as("embedding"))
+        val labels = VectorOps.semanticDedupIncrementalLabels(
+          old, dups.unionAll(fresh), "vec_id", "embedding", k = 8, threshold = 0.999)
+        labels.agg(
+          count(lit(1)).as("n_new"),
+          sum(when(col("vec_id") === col("rep"), lit(1L)).otherwise(lit(0L))).as("n_kept"),
+          concat_ws(",", sort_array(collect_list(when(col("vec_id") =!= col("rep"),
+            concat(col("vec_id").cast("string"), lit(">"), col("rep").cast("string"))))))
+            .as("pruned_pairs"))
+      },
+      Some("""WITH old AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+             |new_all AS (
+             |  SELECT vec_id + 100000 AS vec_id,
+             |         list_transform(embedding, x -> (x * 0.5::FLOAT)::FLOAT)::DOUBLE[] AS e
+             |  FROM embeddings WHERE vec_id < 50
+             |  UNION ALL
+             |  SELECT vec_id + 200000, list_reverse(embedding)::DOUBLE[]
+             |  FROM embeddings WHERE vec_id < 100),
+             |hits AS (
+             |  SELECT a.vec_id AS nid, min(b.vec_id) AS rep
+             |  FROM new_all a JOIN old b
+             |    ON round(list_dot_product(a.e, b.e) /
+             |         (sqrt(list_dot_product(a.e, a.e)) *
+             |          sqrt(list_dot_product(b.e, b.e))), 6) >= 0.999
+             |  GROUP BY a.vec_id)
+             |SELECT (SELECT count(*) FROM new_all) AS n_new,
+             |       (SELECT count(*) FROM new_all) - (SELECT count(*) FROM hits) AS n_kept,
+             |       (SELECT array_to_string(list_sort(list(nid || '>' || rep)), ',')
+             |        FROM hits) AS pruned_pairs""".stripMargin),
+    ),
+
+    QueryDef(
       "q_embedding_cluster",
       // Corpus topic clustering: distributed spherical k-means (Lloyd over
       // the full corpus, centroids as plan literals) + cluster accounting.

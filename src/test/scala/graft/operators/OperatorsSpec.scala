@@ -588,6 +588,40 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(labels.count { case (id, rep) => id == rep } == 300)
   }
 
+  test("incremental semantic dedup: anchors to existing ids, new-only components keep min new id") {
+    // existing corpus = the 3-orthogonal-cluster shape; incoming slice:
+    //   a (+1000, <20): half-scale copies of existing    -> prune to old id
+    //   b (+2000, <10): quarter-scale copies of the SAME -> transitive chain,
+    //      must anchor to the old id (not to a's smaller new id)
+    //   c (+3000, <5): REVERSED vectors — new directions -> kept
+    //   d (+4000, <5): half-scale of the reversed        -> all-incoming
+    //      component, rep = min NEW id (the c member)
+    val base = spark.range(0, 300).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(7)), d =>
+        (when(d === (col("id") % 3).cast("int") * 2, 10.0).otherwise(0.0)
+          + (pmod(xxhash64(col("id"), d), lit(300)).cast("double") / 100.0))
+          .cast("float")).as("embedding"))
+    def scaled(off: Long, n: Long, f: Float) = base.filter(col("vec_id") < n)
+      .select((col("vec_id") + off).as("vec_id"),
+        transform(col("embedding"), x => x * lit(f)).as("embedding"))
+    def reversedScaled(off: Long, n: Long, f: Float) = base.filter(col("vec_id") < n)
+      .select((col("vec_id") + off).as("vec_id"),
+        transform(reverse(col("embedding")), x => x * lit(f)).as("embedding"))
+    val incoming = scaled(1000, 20, 0.5f)
+      .unionAll(scaled(2000, 10, 0.25f))
+      .unionAll(reversedScaled(3000, 5, 1.0f))
+      .unionAll(reversedScaled(4000, 5, 0.5f))
+    val labels = VectorOps.semanticDedupIncrementalLabels(
+      base, incoming, "vec_id", "embedding", k = 3, threshold = 0.999)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 40)
+    (0L until 20L).foreach(i => assert(labels(1000 + i) == i, s"copy of $i"))
+    (0L until 10L).foreach(i => assert(labels(2000 + i) == i, s"chained copy of $i"))
+    (0L until 5L).foreach(i => assert(labels(3000 + i) == 3000 + i, s"new direction $i"))
+    (0L until 5L).foreach(i => assert(labels(4000 + i) == 3000 + i, s"new-only dup of $i"))
+  }
+
   test("semantic dedup: identical-embedding blob collapses exactly, nothing dropped") {
     // 2000 copies of ONE embedding (the degenerate no direction-based
     // split can separate) + 100 normal vectors, cap far below the blob.
