@@ -49,8 +49,12 @@ import org.scalatest.BeforeAndAfterAll
   * a 1500-case depth-4 sweep at 4444, agg 101/31337/909090/111/222/606,
   * win 202/787878/13131/111/222/404, json 55/606/909/111/222/777,
   * rel 77/888/3131/999, cte 42/1717/2929 — ~25k cases; round 11 adds
-  * dec 20260813(300)/555001(400)/7777(400) — 1100 cases, plus a
-  * 200-case scalar sanity sweep at 999123 after the tree refactor).
+  * dec 20260813(300)/555001(400)/7777(400) — 1100 cases, a 200-case
+  * scalar sanity sweep at 999123 after the tree refactor, a 200-case
+  * cte sweep at 246810 after the CTE tree refactor, and a 7-mode
+  * fresh-seed batch: scalar 13579(400, depth 4), agg 8642(300),
+  * win 97531(300), json 31415(300), rel 27182(300), cte 16180(300),
+  * dec 14142(300) — all green, 0 divergences).
   */
 class FuzzDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
 
