@@ -39,6 +39,12 @@ object Bench {
     // Dev convenience: SPARK_GRAFT_ONLY=q_a,q_b restricts the sweep to the
     // named queries (unset = full suite; the driver never sets it).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    only.foreach { names =>
+      val unknown = names.filterNot(SparkEntry.queries.contains)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.mkString(", ")} — " +
+          "a typo here would silently time an empty sweep")
+    }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>

@@ -436,10 +436,13 @@ object ExprGen {
     *     atoms only, so no subtree precision exceeds 38 — past 38 Spark
     *     ROUNDS (decimalOperations.allowPrecisionLoss) where DuckDB errors
     *     at plan time, an intentional non-shared region.
-    *   - the final projection TRY_CASTs to DECIMAL(38,6); tree scales max
-    *     out at 4, so the cast never rounds — it only normalizes the
-    *     declared type for the comparator (which compares decimals
-    *     exactly, not via float tolerance). */
+    *   - the final projection TRY_CASTs to DECIMAL(38,9); tree scales max
+    *     out at 6 (the scale-3 literal '123.456' squared under `*`), so
+    *     the cast never rounds — it only normalizes the declared type for
+    *     the comparator (which compares decimals exactly, not via float
+    *     tolerance). The 3-digit margin matters: at equal scales a
+    *     rounding cast would pit Spark's HALF_UP against DuckDB's cast
+    *     rounding and every tie would be a spurious divergence. */
   def decCaseSql(seed: Long, i: Int): String = {
     val rnd = new Random(seed * 8000081L + i)
     def pick[T](xs: Seq[T]): T = xs(rnd.nextInt(xs.length))
@@ -472,7 +475,7 @@ object ExprGen {
         s"(${decExpr(1)} ${pick(Seq("<", "<=", "=", ">", ">="))} ${decExpr(1)})"
       else s"(${tsExpr(1)} ${pick(Seq("<", ">", "="))} ${pick(tsAtoms)})"
     val t = tsExpr(1 + rnd.nextInt(2))
-    s"SELECT id, TRY_CAST(($d) AS DECIMAL(38,6)) AS rd, ($b) AS rb, ($t) AS rt " +
+    s"SELECT id, TRY_CAST(($d) AS DECIMAL(38,9)) AS rd, ($b) AS rb, ($t) AS rt " +
       "FROM t ORDER BY id"
   }
 

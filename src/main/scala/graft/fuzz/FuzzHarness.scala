@@ -278,6 +278,23 @@ object FuzzHarness {
           }
         }
       }
+      // a divergence can live INSIDE a predicate (it changes which rows
+      // survive) — when TRUE-neutralization was rejected, shrink the
+      // predicate tree itself
+      if (!improved) {
+        for (k <- cur.steps.indices if !improved) {
+          val st = cur.steps(k)
+          if (st.pred.internalNodes > 0) {
+            val shrunk = shrink(st.pred, n => check(cur.copy(steps =
+              cur.steps.updated(k, st.copy(pred = n)))),
+              math.max(0, maxChecks - checks))
+            if (shrunk.internalNodes < st.pred.internalNodes) {
+              cur = cur.copy(steps = cur.steps.updated(k, st.copy(pred = shrunk)))
+              improved = true
+            }
+          }
+        }
+      }
     }
     cur
   }
@@ -379,11 +396,15 @@ object FuzzHarness {
   *
   * Reconstructs scalar case `i` of `seed` as a tree and delta-debugs it
   * against DuckDB: the divergence predicate writes a one-case
-  * `cases.jsonl` and invokes tools/fuzz_check.py (non-zero exit =
-  * divergence persists), so the shrink uses the EXACT comparator that
-  * flagged the case — tolerances, canon forms and both-error agreement
-  * included. Prints the minimal SQL. Use when a sweep reports a diverging
-  * case index; each shrink step costs one python/DuckDB round trip. */
+  * `cases.jsonl` (under `<outDir>/shrink-work/`, so a sweep's dump in
+  * `outDir` is never clobbered) and invokes tools/fuzz_check.py, so the
+  * shrink uses the EXACT comparator that flagged the case — tolerances,
+  * canon forms and both-error agreement included. A comparator run that
+  * produced no summary line (missing duckdb module, wrong cwd, crash)
+  * ABORTS the shrink instead of counting as a divergence — otherwise
+  * every candidate would "diverge" and the tool would fabricate a bogus
+  * single-leaf minimum. Prints the minimal SQL. Use when a sweep reports
+  * a diverging case index; each step costs one python/DuckDB round trip. */
 object FuzzShrink {
   def main(args: Array[String]): Unit = {
     val outDir = args(0)
@@ -398,18 +419,26 @@ object FuzzShrink {
       .appName("graft-fuzz-shrink").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
     val session = OdfSessions.newRequestSession(spark)
-    new File(outDir).mkdirs()
-    FuzzHarness.writeAndRegisterFixture(session, outDir)
+    val workDir = s"$outDir/shrink-work"
+    new File(workDir).mkdirs()
+    FuzzHarness.writeAndRegisterFixture(session, workDir)
 
     def divergesInDuck(n: ExprGen.Node): Boolean = {
       val w = new BufferedWriter(new java.io.OutputStreamWriter(
-        new java.io.FileOutputStream(s"$outDir/cases.jsonl"),
+        new java.io.FileOutputStream(s"$workDir/cases.jsonl"),
         java.nio.charset.StandardCharsets.UTF_8))
       try { w.write(FuzzHarness.scalarRecord(session, 0, n.sql)._1); w.newLine() }
       finally w.close()
-      scala.sys.process.Process(
-        Seq("python3", "tools/fuzz_check.py", outDir, "--max-print", "0"),
-        new File(".")).! != 0
+      val out = new StringBuilder
+      val rc = scala.sys.process.Process(
+        Seq("python3", "tools/fuzz_check.py", workDir, "--max-print", "0"),
+        new File("."))
+        .!(scala.sys.process.ProcessLogger(
+          l => out.append(l).append('\n'), l => out.append(l).append('\n')))
+      if (!out.toString.contains("[fuzz-check]"))
+        sys.error(s"comparator did not run (rc=$rc) — fix the environment " +
+          s"(python3+duckdb on PATH, run from the repo root):\n$out")
+      rc != 0
     }
 
     val tree = ExprGen.caseTree(seed, caseI, depth)

@@ -367,17 +367,22 @@ object VectorOps extends org.apache.spark.internal.Logging {
     val cents = kmeansFit(rows, "v", k, kmeansIters, idCol = "id")
     val assigned = assignClusters(rows, cents, "v").localCheckpoint(false)
 
-    // 2. Exact pre-collapse. Zero vectors are excluded: cosine(0, 0) is
-    // NaN (never >= threshold), so identical zero vectors are NOT
-    // duplicates under the pair semantics and must not collapse.
+    // 2. Exact pre-collapse, gated to vectors whose cosine is DEFINED:
+    // zero vectors produce NULL cosines (never >= threshold) and NaN/Inf
+    // element vectors produce NaN cosines — which Spark's NaN ordering
+    // would otherwise pass through a >= filter, letting one corrupted
+    // embedding merge its entire cluster (see the pair-stage NaN guard
+    // below). Neither class may collapse as "exact duplicates".
     //
     // Fast-path probe first: a 64-bit-hash groupBy over the checkpoint
     // (map-side combine, one LONG key per distinct vector — the vectors
     // themselves never shuffle) asks whether ANY hash repeats. Corpora
     // without exact duplicates — the common case — skip the collapse
     // entirely.
-    val nonZero = aggregate(col("v"), lit(0.0d),
-      (acc, x) => acc + x.cast("double") * x.cast("double")) > lit(0.0)
+    val sumSq = aggregate(col("v"), lit(0.0d),
+      (acc, x) => acc + x.cast("double") * x.cast("double"))
+    val nonZero = !isnan(sumSq) && sumSq > lit(0.0) &&
+      sumSq =!= lit(Double.PositiveInfinity)
     val anyDupHash = assigned.filter(nonZero)
       .groupBy(xxhash64(col("v")).as("__h")).agg(count(lit(1)).as("__n"))
       .filter(col("__n") > 1).limit(1).count() > 0
@@ -459,9 +464,14 @@ object VectorOps extends org.apache.spark.internal.Logging {
 
     val l = capped.select(col("cluster"), col("sub"), col("id").as("id1"), col("v").as("v1"))
     val r = capped.select(col("cluster"), col("sub"), col("id").as("id2"), col("v").as("v2"))
+    // !isnan: Spark orders NaN above every threshold, so an unguarded >=
+    // would declare a corrupted (NaN/Inf-element) embedding a duplicate
+    // of EVERYTHING it co-clusters with and fuse the cluster into one
+    // component — undefined similarity is a non-match, never a match
     val pairs = l.join(r, Seq("cluster", "sub"))
       .filter(col("id1") < col("id2"))
-      .filter(round(cosine(col("v1"), col("v2")), 6) >= threshold)
+      .withColumn("__cos", round(cosine(col("v1"), col("v2")), 6))
+      .filter(!isnan(col("__cos")) && col("__cos") >= threshold)
       .select(col("id1"), col("id2"))
     val labels = Dedup.connectedComponentsMin(
       corpus.select(col(id).as("id")), pairs.unionAll(exactEdges))
@@ -511,9 +521,11 @@ object VectorOps extends org.apache.spark.internal.Logging {
       .unionAll(newA.withColumn("is_old", lit(false)))
       .select(col("cluster"), col("id").as("id1"), col("v").as("v1"), col("is_old"))
     val r = newA.select(col("cluster"), col("id").as("id2"), col("v").as("v2"))
+    // !isnan: same corrupted-embedding guard as the batch pair stage
     val pairs = l.join(r, Seq("cluster"))
       .filter(col("is_old") || col("id1") < col("id2"))
-      .filter(round(cosine(col("v1"), col("v2")), 6) >= threshold)
+      .withColumn("__cos", round(cosine(col("v1"), col("v2")), 6))
+      .filter(!isnan(col("__cos")) && col("__cos") >= threshold)
       .select(col("id1"), col("id2"), col("is_old"))
       .localCheckpoint(false)
 

@@ -668,6 +668,31 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(labels.count { case (id, rep) => id == rep } == 400)
   }
 
+  test("semantic dedup: a corrupted NaN/Inf embedding never merges its cluster") {
+    // Spark orders NaN above every threshold, so an unguarded `cos >=
+    // 0.999` would declare the corrupted vector a duplicate of everything
+    // it co-clusters with; two identical NaN vectors must also not
+    // "exact-collapse" (their cosine is undefined, not 1).
+    val normal = spark.range(0, 60).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(7)), d =>
+        (pmod(xxhash64(col("id"), d), lit(500)).cast("double") / 50.0 + 0.5)
+          .cast("float")).as("embedding"))
+    val nanVec = typedLit(Seq(1.0f, Float.NaN, 3.0f, 4.0f, 5.0f, 6.0f, 7.0f, 8.0f))
+    val infVec = typedLit(Seq(1.0f, Float.PositiveInfinity, 3.0f, 4.0f, 5.0f, 6.0f, 7.0f, 8.0f))
+    val corrupted = spark.range(9000, 9002).select(col("id").as("vec_id"), nanVec.as("embedding"))
+      .unionAll(spark.range(9100, 9101).select(col("id").as("vec_id"), infVec.as("embedding")))
+    val res = VectorOps.semanticDedupLabelsWithStats(
+      normal.unionAll(corrupted), "vec_id", "embedding",
+      k = 2, threshold = 0.999, maxClusterSize = 1000)
+    val labels = res.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 63)
+    // nothing merges: normals are naturally distinct, corrupted vectors
+    // have undefined cosines, and the two identical NaN vectors stay apart
+    assert(labels.forall { case (id, rep) => id == rep },
+      s"unexpected merges: ${labels.filter { case (id, rep) => id != rep }}")
+  }
+
   test("semantic dedup: near-identical-direction mass reports its drop instead of silence") {
     // 300 DISTINCT scale-copies of one direction: exact collapse can't
     // merge them (different magnitudes) and hyperplanes can't split them
