@@ -510,4 +510,64 @@ object Dedup extends org.apache.spark.internal.Logging {
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), col("n_common"), col("jaccard"))
   }
+
+  // --- Duplicate-substring spans -----------------------------------------
+
+  /** Exact duplicate-substring detection: per document, the merged token
+    * coverage of every `windowSize`-token window that also occurs in at
+    * least one OTHER document — the token-window formulation of
+    * suffix-array substring dedup ("Deduplicating Training Data Makes
+    * Language Models Better", Lee et al. 2022). Whole-doc dedup misses a
+    * boilerplate paragraph pasted into otherwise-distinct pages; this is
+    * the operator that finds it.
+    *
+    * Returns one row per document that has any cross-document duplicated
+    * window: (id, n_dup_windows, dup_tokens, n_tokens, dup_fraction),
+    * where dup_tokens is the size of the UNION of the duplicated windows'
+    * token intervals (overlapping windows are merged, not double-counted).
+    *
+    * Scale shape — linear end to end, no self-join:
+    *   - window generation is a map-side posexplode (stride-1 W-grams);
+    *   - "occurs in ≥2 docs" is two hash-aggregates over the window key
+    *     ((win, id) distinct, then a window df count) — map-side combine
+    *     absorbs within-doc repeats;
+    *   - postings rejoin the duplicated-key set with a left-semi equi-join.
+    *     A window duplicated across k docs contributes k posting rows —
+    *     LINEAR in k, so unlike a similarity self-join a viral boilerplate
+    *     window needs no df cap (probe-side skew is AQE-split);
+    *   - interval merging is a per-doc array fold over the sorted start
+    *     positions (sorted starts s_j with fixed width W cover
+    *     Σ min(W, s_{j+1} − s_j) tokens, last term W) — pure codegen'd
+    *     zip_with/aggregate, bounded by doc length, no window function.
+    * Keys are the window STRINGS so the DuckDB oracle is value-exact; at
+    * 100 TB swap the join key to xxhash64(win) (same plan shape, 8-byte
+    * shuffle keys, collision odds ≪ corpus size squared / 2^64). */
+  def duplicateSpans(
+      df: DataFrame, id: Column, text: Column, windowSize: Int = 15): DataFrame = {
+    val w = windowSize
+    val toks = df
+      .select(id.as("id"), TextOps.tokens(text).as("toks"))
+      .select(col("id"), size(col("toks")).as("n_tokens"), col("toks"))
+      .filter(col("n_tokens") >= w)
+    val wins = toks
+      .select(col("id"), col("n_tokens"),
+        posexplode(transform(sequence(lit(1), col("n_tokens") - (w - 1)),
+          i => concat_ws(" ", slice(col("toks"), i, lit(w))))).as(Seq("pos0", "win")))
+      .select(col("id"), col("n_tokens"), (col("pos0") + 1).as("start"), col("win"))
+    val dupWins = wins.select(col("win"), col("id")).distinct()
+      .groupBy(col("win")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+      .select(col("win"))
+    val starts = col("starts")
+    val leads = concat(
+      slice(starts, lit(2), size(starts) - 1), array(element_at(starts, -1) + w))
+    val covered = aggregate(
+      zip_with(starts, leads, (s, nx) => least(nx - s, lit(w))), lit(0), _ + _)
+    wins.join(dupWins, Seq("win"), "left_semi")
+      .groupBy(col("id"), col("n_tokens"))
+      .agg(sort_array(collect_list(col("start"))).as("starts"))
+      .select(col("id"), size(starts).as("n_dup_windows"), covered.as("dup_tokens"),
+        col("n_tokens"),
+        (floor(covered.cast("double") * 1e6 / col("n_tokens")) / 1e6).as("dup_fraction"))
+  }
 }

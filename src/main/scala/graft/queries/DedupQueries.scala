@@ -369,5 +369,44 @@ object DedupQueries {
               |  FROM corpus c LEFT JOIN reach r ON r.a = c.doc_id GROUP BY c.doc_id)
               |SELECT doc_id FROM rep WHERE doc_id = rep ORDER BY doc_id""".stripMargin),
     ),
+
+    QueryDef(
+      "q_dup_substrings",
+      // Duplicate-substring spans (Lee et al. 2022 substring dedup, token-
+      // window form): per doc, merged token coverage of 15-token windows
+      // occurring in >= 2 docs. The natural corpus has real cross-doc
+      // boilerplate at every sf (437 docs at sf0.1) — no planting needed.
+      // Linear plan: map-side window explode, two hash-aggregates for the
+      // df>=2 window set, one semi-join back, per-doc interval-merge fold.
+      (s, dir) => {
+        Dedup.duplicateSpans(docs(s, dir), col("doc_id"), col("text"), windowSize = 15)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+             |  FROM documents),
+             |tt AS (SELECT doc_id, len(toks) AS n_tokens, toks FROM t WHERE len(toks) >= 15),
+             |w AS (
+             |  SELECT doc_id, n_tokens, i AS start, array_to_string(toks[i:i+14], ' ') AS win
+             |  FROM tt, UNNEST(range(1, n_tokens - 14 + 1)) AS u(i)),
+             |d AS (SELECT win FROM (SELECT DISTINCT win, doc_id FROM w)
+             |      GROUP BY win HAVING COUNT(*) >= 2),
+             |g AS (
+             |  SELECT doc_id, n_tokens, list_sort(list(start)) AS starts
+             |  FROM w WHERE win IN (SELECT win FROM d)
+             |  GROUP BY doc_id, n_tokens)
+             |SELECT doc_id,
+             |  CAST(len(starts) AS INT) AS n_dup_windows,
+             |  CAST(list_sum(list_transform(range(1, len(starts) + 1),
+             |    i -> least(coalesce(starts[CAST(i AS INT) + 1], starts[CAST(i AS INT)] + 15)
+             |               - starts[CAST(i AS INT)], 15))) AS INT) AS dup_tokens,
+             |  CAST(n_tokens AS INT) AS n_tokens,
+             |  floor(CAST(list_sum(list_transform(range(1, len(starts) + 1),
+             |    i -> least(coalesce(starts[CAST(i AS INT) + 1], starts[CAST(i AS INT)] + 15)
+             |               - starts[CAST(i AS INT)], 15))) AS DOUBLE) * 1e6 / n_tokens) / 1e6
+             |    AS dup_fraction
+             |FROM g ORDER BY doc_id""".stripMargin),
+    ),
   )
 }

@@ -299,6 +299,42 @@ object TextAnalysis {
     ),
 
     QueryDef(
+      "q_text_perplexity",
+      // Corpus-trained bigram-LM perplexity scoring (the CCNet/KenLM-style
+      // quality signal): fit add-0.5 bigram counts on the corpus, score each
+      // doc by average per-bigram negative log-likelihood. Per-term log
+      // probs are floor-truncated to 1e-4 and carried as exact BIGINTs, so
+      // per-doc sums are integer math — partial-aggregation-order- and
+      // libm-independent (see LanguageModel's determinism contract).
+      (s, dir) => {
+        val d = docs(s, dir)
+        val v = d.select(explode(TextOps.tokens(col("text"))).as("tok")).distinct().count()
+        graft.operators.LanguageModel
+          .bigramNllScores(d, col("doc_id"), col("text"), v)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $dkTokens AS toks FROM documents),
+              |occ AS (
+              |  SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS bg
+              |  FROM t, UNNEST(range(1, len(toks))) AS u(i)
+              |  WHERE len(toks) >= 2),
+              |c12 AS (SELECT bg, COUNT(*) AS c12 FROM occ GROUP BY bg),
+              |c1 AS (SELECT split_part(bg, ' ', 1) AS w1, COUNT(*) AS c1 FROM occ GROUP BY 1),
+              |v AS (SELECT COUNT(DISTINCT tok) AS v
+              |      FROM (SELECT unnest(toks) AS tok FROM t)),
+              |model AS (
+              |  SELECT bg,
+              |    CAST(floor(ln((c12 + 0.5) / (c1 + 0.5 * v)) * 1e4) AS BIGINT) AS logp_scaled
+              |  FROM c12 JOIN c1 ON split_part(bg, ' ', 1) = w1 CROSS JOIN v)
+              |SELECT doc_id, COUNT(*) AS n_bigrams,
+              |  CAST(SUM(logp_scaled) AS BIGINT) AS sum_logp_scaled,
+              |  floor((-CAST(SUM(logp_scaled) AS BIGINT) * 100) / COUNT(*)) / 1e6 AS avg_nll
+              |FROM occ JOIN model USING (bg)
+              |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    ),
+
+    QueryDef(
       "q_text_lang_stats",
       // Aggregate shape: predicted-language distribution vs labeled lang.
       (s, dir) => {

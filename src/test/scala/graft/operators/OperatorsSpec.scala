@@ -1023,4 +1023,71 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(!plan.contains("Window"), s"$name candidate plan contains a Window:\n${plan.take(2000)}")
     }
   }
+
+  test("duplicate spans: shared paragraph found with merged coverage, unique text untouched") {
+    import spark.implicits._
+    // Docs 1/2 share a 20-token paragraph embedded in otherwise-unique
+    // text; doc 3 repeats ITS OWN window twice (within-doc repeat must not
+    // count); doc 4 is fully unique.
+    val para = (1 to 20).map(i => s"shared$i").mkString(" ")
+    def uniq(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"${uniq("a", 10)} $para ${uniq("b", 10)}"),
+      (2L, s"${uniq("c", 5)} $para ${uniq("d", 25)}"),
+      (3L, s"${uniq("e", 20)} ${uniq("e", 20)}"),
+      (4L, uniq("f", 40)),
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(corpus, col("doc_id"), col("text"), windowSize = 15)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Int]("n_dup_windows"), r.getAs[Int]("dup_tokens"))).toMap
+    // the 20-token paragraph yields 6 duplicated 15-windows per doc
+    // (window must sit fully inside the paragraph), merging to 20 tokens
+    assert(spans.keySet == Set(1L, 2L), s"unexpected flagged docs: $spans")
+    assert(spans(1L) == (6, 20) && spans(2L) == (6, 20), s"coverage wrong: $spans")
+  }
+
+  test("duplicate spans: full-doc copy covers every token; fraction is exact") {
+    val spans = Dedup.duplicateSpans(withExactDups, col("doc_id"), col("text"))
+    val byId = spans.collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Double]("dup_fraction")).toMap
+    // every planted full copy (and its original) is 100% duplicated tokens
+    val copies = byId.view.filterKeys(_ >= 100000).toMap
+    assert(copies.nonEmpty && copies.values.forall(_ == 1.0),
+      s"full copies must be fully covered: ${copies.take(5)}")
+  }
+
+  test("bigram LM: hand-computed add-0.5 scores are exact; repetition scores below novelty") {
+    import spark.implicits._
+    // V = 3 (a,b,c). Contexts: c1(a)=4, c1(b)=3, c1(c)=2. Bigram counts:
+    // ab=4, ba=2, bc=1, cc=2. Per-term scaled log-probs (floor(ln·1e4)):
+    //   ab: ln(4.5/5.5) → -2007,  ba: ln(2.5/4.5) → -5878,
+    //   bc: ln(1.5/4.5) → -10987, cc: ln(2.5/3.5) → -3365.
+    val corpus = Seq(
+      (1L, "a b a b a b"), // ab,ba,ab,ba,ab → sum 3·(-2007)+2·(-5878) = -17777
+      (2L, "a b c"),       // ab,bc → -12994
+      (3L, "c c c"),       // cc,cc → -6730
+    ).toDF("doc_id", "text")
+    val got = LanguageModel.bigramNllScores(corpus, col("doc_id"), col("text"), vocabSize = 3)
+      .collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Long]("sum_logp_scaled"),
+          r.getAs[Double]("avg_nll"))).toMap
+    assert(got(1L) == ((5L, -17777L, 0.35554)), s"doc1: ${got(1L)}")
+    assert(got(2L) == ((2L, -12994L, 0.6497)), s"doc2: ${got(2L)}")
+    assert(got(3L) == ((2L, -6730L, 0.3365)), s"doc3: ${got(3L)}")
+    // the semantic ordering the quality signal relies on: high-frequency
+    // continuations (docs 1,3) perplex less than a novel continuation (doc 2)
+    assert(got(2L)._3 > got(1L)._3 && got(2L)._3 > got(3L)._3)
+  }
+
+  test("bigram LM: scaled sums are partitioning-independent on the real corpus") {
+    val d = docs
+    val v = d.select(explode(split(trim(lower(col("text"))), "\\s+")).as("t"))
+      .distinct().count()
+    def sums(df: org.apache.spark.sql.DataFrame) =
+      LanguageModel.bigramNllScores(df, col("doc_id"), col("text"), v)
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("sum_logp_scaled")).toMap
+    assert(sums(d.repartition(7)) == sums(d),
+      "sum_logp_scaled must be partitioning-independent")
+  }
 }
