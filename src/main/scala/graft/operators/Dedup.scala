@@ -545,10 +545,16 @@ object Dedup extends org.apache.spark.internal.Logging {
   def duplicateSpans(
       df: DataFrame, id: Column, text: Column, windowSize: Int = 15): DataFrame = {
     val w = windowSize
+    // checkpoint the COMPACT per-doc token frame (same placement rationale
+    // as ngramJaccardPairsFromShingles): the window stream is consumed by
+    // both the df-count side and the semi-join probe side, and re-deriving
+    // it is a cheap map-side explode — while the stored footprint scales
+    // with docs, not postings
     val toks = df
       .select(id.as("id"), TextOps.tokens(text).as("toks"))
       .select(col("id"), size(col("toks")).as("n_tokens"), col("toks"))
       .filter(col("n_tokens") >= w)
+      .localCheckpoint(false)
     val wins = toks
       .select(col("id"), col("n_tokens"),
         posexplode(transform(sequence(lit(1), col("n_tokens") - (w - 1)),
