@@ -63,4 +63,29 @@ object LanguageModel {
       .select(col("id"), col("n_bigrams"), col("sum_logp_scaled"),
         (floor((-col("sum_logp_scaled") * 100L) / col("n_bigrams")) / 1e6).as("avg_nll"))
   }
+
+  /** BPE merge-candidate counting — the first iteration of byte-pair-
+    * encoding tokenizer training, the part that touches the full corpus:
+    * corpus-weighted adjacent-character-pair frequencies over the word
+    * vocabulary, top `k` pairs = the merge candidates.
+    *
+    * The corpus collapses to its word-frequency table FIRST (one
+    * hash-aggregate, map-side combine takes the Zipf head out of the
+    * shuffle); pair explosion then runs over DISTINCT words only —
+    * O(vocab · word-length), independent of corpus size. Subsequent BPE
+    * iterations re-run this over the re-segmented vocabulary with the
+    * chosen merge applied — each iteration stays vocab-sized, which is why
+    * BPE training at 100 TB is one corpus pass + cheap vocab-local loops. */
+  def bpeMergeCandidates(df: DataFrame, text: Column, k: Int = 20): DataFrame = {
+    val wf = df
+      .select(explode(TextOps.tokens(text)).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wf"))
+      .filter(length(col("word")) >= 2)
+    wf.select(col("wf"),
+        explode(transform(sequence(lit(1), length(col("word")) - 1),
+          i => col("word").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wf")).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(k)
+  }
 }

@@ -335,6 +335,26 @@ object TextAnalysis {
     ),
 
     QueryDef(
+      "q_bpe_pairs",
+      // BPE tokenizer training, iteration one: corpus-weighted adjacent
+      // char-pair counts over the word vocabulary, top-20 merge candidates.
+      // Corpus collapses to the word-frequency table before any pair work.
+      (s, dir) => {
+        graft.operators.LanguageModel.bpeMergeCandidates(docs(s, dir), col("text"), k = 20)
+      },
+      Some(s"""WITH wf AS (
+              |  SELECT word, COUNT(*) AS wf FROM (
+              |    SELECT unnest($dkTokens) AS word FROM documents)
+              |  GROUP BY word HAVING length(word) >= 2),
+              |pairs AS (
+              |  SELECT substr(word, CAST(i AS INT), 2) AS pair, wf
+              |  FROM wf, UNNEST(range(1, length(word))) AS u(i))
+              |SELECT pair, CAST(SUM(wf) AS BIGINT) AS n
+              |FROM pairs GROUP BY pair
+              |ORDER BY n DESC, pair LIMIT 20""".stripMargin),
+    ),
+
+    QueryDef(
       "q_text_lang_stats",
       // Aggregate shape: predicted-language distribution vs labeled lang.
       (s, dir) => {

@@ -1080,6 +1080,16 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(2L)._3 > got(1L)._3 && got(2L)._3 > got(3L)._3)
   }
 
+  test("BPE merge candidates: corpus-weighted pair counts over the vocab are exact") {
+    import spark.implicits._
+    // wf: ab→2, abc→1, x→(dropped, single char). Pairs: 'ab' from both
+    // words (2+1), 'bc' from abc (1) — the merge candidate must be 'ab'.
+    val corpus = Seq((1L, "ab AB abc x")).toDF("doc_id", "text")
+    val got = LanguageModel.bpeMergeCandidates(corpus, col("text"), k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("ab", 3L), ("bc", 1L)), s"got: ${got.toSeq}")
+  }
+
   test("bigram LM: scaled sums are partitioning-independent on the real corpus") {
     val d = docs
     val v = d.select(explode(split(trim(lower(col("text"))), "\\s+")).as("t"))
