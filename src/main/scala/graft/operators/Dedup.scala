@@ -576,4 +576,57 @@ object Dedup extends org.apache.spark.internal.Logging {
         col("n_tokens"),
         (floor(covered.cast("double") * 1e6 / col("n_tokens")) / 1e6).as("dup_fraction"))
   }
+
+  /** The removal half of substring dedup: rewrite each document with its
+    * cross-document duplicated spans (as found by [[duplicateSpans]]'
+    * window scan) deleted — the actual corpus-cleaning step of Lee et al.
+    * 2022, where only the duplicated SUBSTRING is removed and the
+    * document's unique remainder survives (whole-doc dedup would throw
+    * the remainder away).
+    *
+    * Same posting pipeline as [[duplicateSpans]]; the rewrite is a left
+    * join of the per-doc duplicated-start lists back onto the token frame
+    * plus a pure array-expression rebuild: covered positions =
+    * flatten of the start intervals, kept text = tokens whose position is
+    * not covered. Per-row cost is O(dup windows × W) ints — bounded by
+    * doc length × W, map-side, no extra shuffle beyond the span scan's.
+    *
+    * Returns (id, text, n_tokens, dup_tokens, clean_text, n_clean_tokens);
+    * docs with no duplicated span pass through with their normalized
+    * token stream intact. Note the output text is the NORMALIZED
+    * (lowercased, whitespace-collapsed) token stream — span offsets are
+    * token positions, so the rewrite happens in token space. */
+  def removeDuplicateSpans(
+      df: DataFrame, id: Column, text: Column, windowSize: Int = 15): DataFrame = {
+    val w = windowSize
+    val toks = df
+      .select(id.as("id"), TextOps.tokens(text).as("toks"))
+      .select(col("id"), size(col("toks")).as("n_tokens"), col("toks"))
+      .localCheckpoint(false)
+    val wins = toks
+      .filter(col("n_tokens") >= w)
+      .select(col("id"),
+        posexplode(transform(sequence(lit(1), col("n_tokens") - (w - 1)),
+          i => concat_ws(" ", slice(col("toks"), i, lit(w))))).as(Seq("pos0", "win")))
+      .select(col("id"), (col("pos0") + 1).as("start"), col("win"))
+    val dupWins = wins.select(col("win"), col("id")).distinct()
+      .groupBy(col("win")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+      .select(col("win"))
+    val dupStarts = wins.join(dupWins, Seq("win"), "left_semi")
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("start"))).as("starts"))
+    val coveredPos = array_distinct(flatten(transform(col("starts"),
+      s => sequence(s, s + (w - 1)))))
+    toks.join(dupStarts, Seq("id"), "left")
+      .select(col("id"), concat_ws(" ", col("toks")).as("text"), col("n_tokens"),
+        coalesce(size(col("starts")), lit(0)).as("n_dup_windows"),
+        when(col("starts").isNull, col("toks"))
+          .otherwise(filter(col("toks"),
+            (t, i) => !array_contains(coveredPos, i + 1))).as("clean_toks"))
+      .select(col("id"), col("text"), col("n_tokens"), col("n_dup_windows"),
+        (col("n_tokens") - size(col("clean_toks"))).as("dup_tokens"),
+        concat_ws(" ", col("clean_toks")).as("clean_text"),
+        size(col("clean_toks")).as("n_clean_tokens"))
+  }
 }

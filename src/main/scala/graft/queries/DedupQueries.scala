@@ -408,5 +408,45 @@ object DedupQueries {
              |    AS dup_fraction
              |FROM g ORDER BY doc_id""".stripMargin),
     ),
+
+    QueryDef(
+      "q_substring_clean",
+      // The removal half of substring dedup: documents rewritten with
+      // cross-doc duplicated 15-token spans deleted, unique remainder
+      // kept (whole-doc dedup would discard it). Token-space rewrite via
+      // pure array expressions; every doc passes through.
+      (s, dir) => {
+        Dedup.removeDuplicateSpans(docs(s, dir), col("doc_id"), col("text"), windowSize = 15)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+             |  FROM documents),
+             |tt AS (SELECT doc_id, len(toks) AS n_tokens, toks FROM t),
+             |w AS (
+             |  SELECT doc_id, i AS start, array_to_string(toks[i:i+14], ' ') AS win
+             |  FROM tt, UNNEST(range(1, greatest(n_tokens - 14, 0) + 1)) AS u(i)
+             |  WHERE n_tokens >= 15),
+             |d AS (SELECT win FROM (SELECT DISTINCT win, doc_id FROM w)
+             |      GROUP BY win HAVING COUNT(*) >= 2),
+             |g AS (SELECT doc_id, list_sort(list(start)) AS starts
+             |      FROM w WHERE win IN (SELECT win FROM d) GROUP BY doc_id),
+             |j AS (
+             |  SELECT tt.doc_id, tt.n_tokens, tt.toks, g.starts,
+             |    CASE WHEN g.starts IS NULL THEN tt.toks
+             |         ELSE list_filter(tt.toks, (x, i) -> NOT list_contains(
+             |           list_distinct(flatten(list_transform(g.starts, s -> range(s, s + 15)))), i))
+             |    END AS clean_toks
+             |  FROM tt LEFT JOIN g ON tt.doc_id = g.doc_id)
+             |SELECT doc_id,
+             |  array_to_string(toks, ' ') AS text,
+             |  CAST(n_tokens AS INT) AS n_tokens,
+             |  CAST(coalesce(len(starts), 0) AS INT) AS n_dup_windows,
+             |  CAST(n_tokens - len(clean_toks) AS INT) AS dup_tokens,
+             |  coalesce(array_to_string(clean_toks, ' '), '') AS clean_text,
+             |  CAST(len(clean_toks) AS INT) AS n_clean_tokens
+             |FROM j ORDER BY doc_id""".stripMargin),
+    ),
   )
 }

@@ -1080,6 +1080,25 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(2L)._3 > got(1L)._3 && got(2L)._3 > got(3L)._3)
   }
 
+  test("duplicate-span removal: only the shared span is deleted, unique remainder survives") {
+    import spark.implicits._
+    val para = (1 to 20).map(i => s"shared$i").mkString(" ")
+    def uniq(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"${uniq("a", 10)} $para ${uniq("b", 10)}"),
+      (2L, s"${uniq("c", 5)} $para ${uniq("d", 25)}"),
+      (3L, s"${uniq("e", 20)} ${uniq("e", 20)}"), // within-doc repeat: kept
+      (4L, uniq("f", 40)),
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpans(corpus, col("doc_id"), col("text"), windowSize = 15)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[String]("clean_text"), r.getAs[Int]("dup_tokens"))).toMap
+    assert(got(1L) == ((s"${uniq("a", 10)} ${uniq("b", 10)}", 20)), s"doc1: ${got(1L)}")
+    assert(got(2L) == ((s"${uniq("c", 5)} ${uniq("d", 25)}", 20)), s"doc2: ${got(2L)}")
+    assert(got(3L)._2 == 0 && got(4L)._2 == 0, "non-cross-doc text must be untouched")
+    assert(got(3L)._1 == s"${uniq("e", 20)} ${uniq("e", 20)}")
+  }
+
   test("BPE merge candidates: corpus-weighted pair counts over the vocab are exact") {
     import spark.implicits._
     // wf: ab→2, abc→1, x→(dropped, single char). Pairs: 'ab' from both
