@@ -613,17 +613,24 @@ object Dedup extends org.apache.spark.internal.Logging {
       .groupBy(col("win")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2)
       .select(col("win"))
+    // the covered-position set is computed on the AGGREGATE side of the
+    // join, not in the final projection: an alias in the same projection
+    // as the filter lambda gets CollapseProject-inlined INTO the lambda
+    // and re-evaluated per TOKEN (measured: the whole query 2.4 → 4.1 s
+    // warm at sf0.1); across the join boundary it is evaluated once per
+    // flagged doc and arrives as a plain column
     val dupStarts = wins.join(dupWins, Seq("win"), "left_semi")
       .groupBy(col("id"))
       .agg(sort_array(collect_list(col("start"))).as("starts"))
-    val coveredPos = array_distinct(flatten(transform(col("starts"),
-      s => sequence(s, s + (w - 1)))))
+      .select(col("id"), size(col("starts")).as("n_dup_windows"),
+        array_distinct(flatten(transform(col("starts"),
+          s => sequence(s, s + (w - 1))))).as("covered"))
     toks.join(dupStarts, Seq("id"), "left")
       .select(col("id"), concat_ws(" ", col("toks")).as("text"), col("n_tokens"),
-        coalesce(size(col("starts")), lit(0)).as("n_dup_windows"),
-        when(col("starts").isNull, col("toks"))
+        coalesce(col("n_dup_windows"), lit(0)).as("n_dup_windows"),
+        when(col("covered").isNull, col("toks"))
           .otherwise(filter(col("toks"),
-            (t, i) => !array_contains(coveredPos, i + 1))).as("clean_toks"))
+            (t, i) => !array_contains(col("covered"), i + 1))).as("clean_toks"))
       .select(col("id"), col("text"), col("n_tokens"), col("n_dup_windows"),
         (col("n_tokens") - size(col("clean_toks"))).as("dup_tokens"),
         concat_ws(" ", col("clean_toks")).as("clean_text"),
