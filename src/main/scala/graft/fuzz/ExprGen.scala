@@ -479,6 +479,91 @@ object ExprGen {
       "FROM t ORDER BY id"
   }
 
+  /** Higher-order-function case (mode #8): a seeded integer lambda body
+    * applied through Spark's lambda HOFs — transform / filter / exists /
+    * left-fold aggregate — PAIRED with the DuckDB list-function spelling
+    * of the same computation (list_transform / list_filter /
+    * len(list_filter) > 0 / guarded list_reduce).
+    *
+    * Why this surface: DataFusion SQL has no lambdas, so this is not
+    * reference-reachable dialect — it is the equivalence LAYER the
+    * engine's own oracle translations stand on. Every array-rebuilding
+    * operator in this repo (context-window chunking, sequence packing,
+    * duplicate-span coverage/removal, HOF inventory queries) mirrors a
+    * Spark lambda as a DuckDB list function in its oracle SQL; this mode
+    * fuzzes exactly those correspondences so a semantic gap (fold
+    * seeding, empty-vs-NULL arrays, three-valued exists) surfaces here
+    * and not as a mysterious inventory hash-mismatch.
+    *
+    * Mirroring notes (probe-verified):
+    *   - fold: Spark `aggregate(arr, 0, (a, x) -> a + f(x))` is a left
+    *     fold seeded 0; DuckDB `list_reduce` has no seed and ERRORS on
+    *     empty input → CASE-guarded (NULL arr → NULL, empty → 0, else
+    *     reduce over list_transform). Left-fold order matches, so i64
+    *     overflow (ANSI) strikes at the same partial sum in both.
+    *   - exists: Spark is three-valued, but lambda predicates over
+    *     non-NULL elements with non-NULL constants can't return NULL
+    *     (divisor pool excludes 0), so `len(list_filter(..)) > 0` is
+    *     value-identical including NULL-array propagation.
+    *   - element sources stay non-NULL (fixture arrays carry no NULL
+    *     elements; sorted/reversed variants preserve that), keeping
+    *     list_sort's NULL-placement quirk out of scope (scalar mode's
+    *     guard). */
+  def hofCaseSql(seed: Long, i: Int): (String, String) = {
+    val rnd = new Random(seed * 9100043L + i)
+    def pick[T](xs: Seq[T]): T = xs(rnd.nextInt(xs.length))
+    // non-zero constants: keeps `%` total and lambda predicates two-valued
+    val consts = Seq("1", "2", "3", "7", "-1", "-5", "10", "100")
+    def body(depth: Int): String =
+      if (depth <= 0) { if (rnd.nextBoolean()) "x" else pick(consts) }
+      else rnd.nextInt(8) match {
+        case 0 => s"(${body(depth - 1)} + ${body(depth - 1)})"
+        case 1 => s"(${body(depth - 1)} - ${body(depth - 1)})"
+        case 2 => s"(${body(depth - 1)} * ${pick(consts)})"
+        case 3 => s"(- ${body(depth - 1)})"
+        case 4 => s"abs(${body(depth - 1)})"
+        case 5 => s"least(${body(depth - 1)}, ${body(depth - 1)})"
+        case 6 => s"greatest(${body(depth - 1)}, ${pick(consts)})"
+        case _ => s"(${body(depth - 1)} % ${pick(consts)})"
+      }
+    def pred(depth: Int): String =
+      s"(${body(depth)} ${pick(Seq("<", "<=", "=", ">", ">=", "<>"))} ${pick(consts)})"
+    // array source, possibly itself a (paired) transform/filter
+    def arrSrc(nest: Int): (String, String) = {
+      val base = pick(Seq("a1", "list_sort(a1)", "list_reverse(a1)"))
+      if (nest <= 0 || rnd.nextInt(3) == 0) (base, base)
+      else {
+        val (sp, dk) = arrSrc(nest - 1)
+        if (rnd.nextBoolean()) {
+          val b = body(1)
+          (s"transform($sp, x -> $b)", s"list_transform($dk, x -> $b)")
+        } else {
+          val p = pred(1)
+          (s"filter($sp, x -> $p)", s"list_filter($dk, x -> $p)")
+        }
+      }
+    }
+    val (spArr, dkArr) = arrSrc(1 + rnd.nextInt(2))
+    val (spR, dkR) = rnd.nextInt(4) match {
+      case 0 =>
+        val b = body(2)
+        (s"transform($spArr, x -> $b)", s"list_transform($dkArr, x -> $b)")
+      case 1 =>
+        val p = pred(2)
+        (s"filter($spArr, x -> $p)", s"list_filter($dkArr, x -> $p)")
+      case 2 =>
+        val p = pred(2)
+        (s"exists($spArr, x -> $p)", s"(len(list_filter($dkArr, x -> $p)) > 0)")
+      case _ =>
+        val b = body(2)
+        (s"aggregate($spArr, CAST(0 AS BIGINT), (a, x) -> (a + $b))",
+          s"(CASE WHEN $dkArr IS NULL THEN NULL WHEN len($dkArr) = 0 THEN 0 " +
+            s"ELSE list_reduce(list_transform($dkArr, x -> $b), (a, b) -> (a + b)) END)")
+    }
+    (s"SELECT id, ($spR) AS r FROM t ORDER BY id",
+      s"SELECT id, ($dkR) AS r FROM t ORDER BY id")
+  }
+
   // --- multi-step CTE chains (the ODF transform model, fuzzed) --------------
 
   /** Chained-view case: 1–3 CTEs, each re-projecting the full fixture
@@ -771,11 +856,17 @@ object ExprGen {
     WinSig((_, ov) => s"percent_rank() OVER ($ov)", Seq.empty, framed = false, tieOk = true),
     WinSig((_, ov) => s"cume_dist() OVER ($ov)", Seq.empty, framed = false, tieOk = true),
     WinSig((_, ov) => s"ntile(4) OVER ($ov)", Seq.empty, framed = false),
-    WinSig((as, ov) => s"lag(${as(0)}) OVER ($ov)", Seq(L), framed = false),
-    WinSig((as, ov) => s"lag(${as(0)}, 2, -1) OVER ($ov)", Seq(L), framed = false),
-    WinSig((as, ov) => s"lag(${as(0)}, 1, '?') OVER ($ov)", Seq(S), framed = false),
-    WinSig((as, ov) => s"lead(${as(0)}) OVER ($ov)", Seq(L), framed = false),
-    WinSig((as, ov) => s"lead(${as(0)}, 3, 0) OVER ($ov)", Seq(L), framed = false),
+    // lag/lead VALUE arguments carry an explicit no-op CAST: a generated
+    // tree can collapse to an untyped-NULL constant (e.g.
+    // list_extract(a1, ascii(NULL))), and DuckDB then fails to unify the
+    // "NULL" type with a non-NULL default ("Unimplemented type for cast
+    // (INTEGER -> NULL)") where Spark evaluates fine — an oracle typing
+    // quirk, guarded here (fresh-seed find, seed 20260814 win #134)
+    WinSig((as, ov) => s"lag(CAST(${as(0)} AS BIGINT)) OVER ($ov)", Seq(L), framed = false),
+    WinSig((as, ov) => s"lag(CAST(${as(0)} AS BIGINT), 2, -1) OVER ($ov)", Seq(L), framed = false),
+    WinSig((as, ov) => s"lag(CAST(${as(0)} AS STRING), 1, '?') OVER ($ov)", Seq(S), framed = false),
+    WinSig((as, ov) => s"lead(CAST(${as(0)} AS BIGINT)) OVER ($ov)", Seq(L), framed = false),
+    WinSig((as, ov) => s"lead(CAST(${as(0)} AS BIGINT), 3, 0) OVER ($ov)", Seq(L), framed = false),
     WinSig((as, ov) => s"first_value(${as(0)}) OVER ($ov)", Seq(S), framed = true),
     WinSig((as, ov) => s"last_value(${as(0)}) OVER ($ov)", Seq(L), framed = true),
     WinSig((as, ov) => s"nth_value(${as(0)}, 2) OVER ($ov)", Seq(L), framed = true),

@@ -351,6 +351,12 @@ object FuzzHarness {
   def runJson(base: SparkSession, seed: Long, n: Int, outDir: String): (Int, Int) =
     runFullSql(base, seed, n, outDir, ExprGen.jsonCaseSql)
 
+  /** Higher-order-function twin: [[ExprGen.hofCaseSql]] PAIRED cases —
+    * Spark lambda HOFs vs their DuckDB list-function mirrors, the
+    * equivalence layer the inventory's oracle translations rely on. */
+  def runHof(base: SparkSession, seed: Long, n: Int, outDir: String): (Int, Int) =
+    runFullSql(base, seed, n, outDir, ExprGen.hofCaseSql)
+
   private def runFullSql(
       base: SparkSession, seed: Long, n: Int, outDir: String,
       caseSql: (Long, Int) => (String, String)): (Int, Int) = {
@@ -453,7 +459,7 @@ object FuzzShrink {
 }
 
 /** Manual sweep entry point:
-  * `runMain graft.fuzz.FuzzDump <outDir> [seed] [n] [scalar|agg|win|json|rel|cte] [depth]`
+  * `runMain graft.fuzz.FuzzDump <outDir> [seed] [n] [scalar|agg|win|json|rel|cte|dec|hof] [depth]`
   * (depth applies to scalar mode; 3 default, 4-5 for stress sweeps). */
 object FuzzDump {
   def main(args: Array[String]): Unit = {
@@ -477,6 +483,7 @@ object FuzzDump {
       case "rel" => FuzzHarness.runRel(spark, seed, n, outDir)
       case "cte" => FuzzHarness.runCte(spark, seed, n, outDir)
       case "dec" => FuzzHarness.runDec(spark, seed, n, outDir)
+      case "hof" => FuzzHarness.runHof(spark, seed, n, outDir)
       case _ => FuzzHarness.run(spark, seed, n, outDir, depth)
     }
     println(f"[fuzz] $n $mode cases (seed $seed): $ok evaluated, $err engine errors, " +

@@ -145,6 +145,22 @@ class FuzzDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toString.contains("300 cases"), s"comparator ran wrong case count:\n$out")
   }
 
+  test("300 random HOF lambda/list-function pairs agree with DuckDB value-by-value") {
+    // mode #8: Spark lambda HOFs vs DuckDB list-function mirrors — the
+    // equivalence layer every array-rebuilding oracle translation rests on
+    assume(duckdbAvailable, "python3+duckdb not on PATH — differential half skipped")
+    val dir = Files.createTempDirectory("graft-fuzz-hof").toFile.getAbsolutePath
+    val (ok, err) = FuzzHarness.runHof(spark, seed = 20260813L, n = 300, outDir = dir)
+    assert(ok + err == 300)
+    assert(err < 30, s"$err/300 HOF cases errored in the engine — generator degenerate?")
+    val out = new StringBuilder
+    val rc = Process(Seq("python3", "tools/fuzz_check.py", dir, "--max-print", "10"),
+      new File("."))
+      .!(ProcessLogger(l => out.append(l).append('\n'), l => out.append(l).append('\n')))
+    assert(rc == 0, s"differential divergences:\n$out")
+    assert(out.toString.contains("300 cases"), s"comparator ran wrong case count:\n$out")
+  }
+
   test("300 random multi-step CTE chains agree with DuckDB value-by-value") {
     assume(duckdbAvailable, "python3+duckdb not on PATH — differential half skipped")
     val dir = Files.createTempDirectory("graft-fuzz-cte").toFile.getAbsolutePath
