@@ -700,6 +700,101 @@ object ExprGen {
     }
   }
 
+  // --- subquery shapes (IN / NOT IN / scalar / correlated / derived) --------
+
+  /** Correlation conditions for subquery shapes (inner alias `b`, outer
+    * `a`): equi on repeating and NULL-carrying keys, null-safe, boolean,
+    * and non-equality correlations — Spark decorrelates all of these
+    * (DecorrelateInnerQuery) and DuckDB's flattening agrees on the
+    * three-valued outcomes. */
+  private val subqCorrConds: Seq[String] = Seq(
+    "b.l1 = a.l2",
+    "b.s1 = a.s2",
+    "(b.l1 % 3) = (a.l1 % 3)",
+    "b.b1 = a.b1",
+    "b.l1 IS NOT DISTINCT FROM a.l2",
+    "b.l1 < a.l1",
+    "b.id <> a.id",
+    "b.ts1 <= a.ts1")
+
+  /** Subquery case `i` for `seed` — seven shapes of shared SQL text, the
+    * three-valued-logic corner the relational mode's EXISTS cases don't
+    * reach: [NOT] IN with NULLs on probe AND subquery sides (the NOT-IN
+    * poison: one NULL in the subquery output empties the result), the
+    * correlated variants of both, scalar aggregate subqueries in
+    * projection and WHERE (incl. the classic COUNT-over-empty-group = 0,
+    * not NULL), and a derived-table FROM with an outer aggregate.
+    *
+    * Shape guards (shared-semantics discipline):
+    *   - scalar subqueries are always ungrouped aggregates → exactly one
+    *     row; both engines would otherwise ERROR on >1 row.
+    *   - aggregated columns stay in BIGINT range where Spark's ANSI sum
+    *     can't overflow (DuckDB's sum widens to HUGEINT — value-equal,
+    *     and the comparator's exact-int path sees identical values).
+    *   - IN probe/subquery sides are built type-identical (no coercion
+    *     corners). */
+  def subqCaseSql(seed: Long, i: Int): String = {
+    val rnd = new Random(seed * 8200019L + i)
+    def pick[T](xs: Seq[T]): T = xs(rnd.nextInt(xs.length))
+    def negSql: String = if (rnd.nextBoolean()) "NOT " else ""
+    rnd.nextInt(7) match {
+      case 0 => // uncorrelated [NOT] IN over BIGINT expressions
+        val neg = negSql
+        val probe = pick(Seq("l1", "l2", "(l1 % 5)", "(l1 + 1)", "id"))
+        val sub = pick(Seq("l1", "l2", "(l2 % 5)", "(l1 - 1)", "(id * 2)"))
+        val p = gen(rnd, B, 2)
+        s"SELECT id, l1 FROM t WHERE ($probe) ${neg}IN " +
+          s"(SELECT $sub FROM t WHERE ($p) IS NOT FALSE) ORDER BY id"
+      case 1 => // uncorrelated [NOT] IN over STRING expressions
+        val neg = negSql
+        val probe = pick(Seq("s1", "s2", "substr(s1, 1, 1)", "upper(s2)"))
+        val sub = pick(Seq("s1", "s2", "upper(s1)", "trim(s2)"))
+        val p = gen(rnd, B, 2)
+        s"SELECT id, s1, s2 FROM t WHERE ($probe) ${neg}IN " +
+          s"(SELECT $sub FROM t WHERE ($p) IS NOT FALSE) ORDER BY id"
+      case 2 => // correlated [NOT] IN
+        val neg = negSql
+        val corr = subqCorrConds(rnd.nextInt(subqCorrConds.length))
+        val p = qualify(gen(rnd, B, 2), "b")
+        // Oracle quirk guard (fresh-seed find, seed 20260814 subq #643/#717):
+        // DuckDB 1.0.0 mis-flattens correlated NOT IN whose subquery output
+        // is NULLABLE — outer rows with an EMPTY per-row subquery are
+        // dropped (minimal repro: u = {(1,5,7),(2,50,NULL)};
+        // `a NOT IN (SELECT b FROM u y WHERE y.a > x.a)` returns {} instead
+        // of {2}). Spark matches the standard (NULL-poison only where the
+        // per-row set is non-empty). Engine semantics stay fuzzed: the
+        // negated variant coalesces the subquery output non-NULL (DuckDB is
+        // correct then, incl. NULL probes), and the NULL-output NOT-IN
+        // poison is covered by the UNCORRELATED shapes 0/1 where both
+        // engines agree.
+        val sub = if (neg.nonEmpty) "coalesce(b.l2, -404)" else "b.l2"
+        s"SELECT a.id, a.l1, a.s1 FROM t a WHERE (a.l1) ${neg}IN " +
+          s"(SELECT $sub FROM t b WHERE $corr AND ($p) IS NOT FALSE) ORDER BY a.id"
+      case 3 => // uncorrelated scalar aggregate in the projection
+        val p = gen(rnd, B, 2)
+        val sub = pick(Seq("max(l2)", "min(l2)", "sum(l2)", "count(*)", "count(s1)"))
+        s"SELECT id, (l1 - (SELECT $sub FROM t WHERE ($p) IS NOT FALSE)) AS r " +
+          "FROM t ORDER BY id"
+      case 4 => // correlated scalar aggregate in the projection
+        val corr = subqCorrConds(rnd.nextInt(subqCorrConds.length))
+        val agg = pick(Seq("count(*)", "count(b.s1)", "max(b.l2)", "min(b.l2)", "sum(b.l2)"))
+        s"SELECT a.id, (SELECT $agg FROM t b WHERE $corr) AS r FROM t a ORDER BY a.id"
+      case 5 => // scalar aggregate subquery in WHERE
+        val cmp = pick(Seq("<", "<=", ">", ">=", "=", "<>"))
+        val agg = pick(Seq("avg(l1)", "max(l2)", "min(l1)", "sum(l2)", "count(b1)"))
+        val p = gen(rnd, B, 2)
+        s"SELECT id, l1 FROM t WHERE (l1 $cmp (SELECT $agg FROM t WHERE ($p) IS NOT FALSE)) " +
+          "IS NOT FALSE ORDER BY id"
+      case _ => // derived-table FROM + outer aggregate
+        val k = pick(Seq("(l1 % 3)", "(id % 4)", "b1", "substr(s1, 1, 1)"))
+        val v = pick(Seq("(l1 + l2)", "l2", "(id * l1)"))
+        val p = gen(rnd, B, 2)
+        s"SELECT k, count(*) AS c, min(v) AS m FROM " +
+          s"(SELECT ($k) AS k, ($v) AS v FROM t WHERE ($p) IS NOT FALSE) s " +
+          "GROUP BY k ORDER BY k NULLS FIRST"
+    }
+  }
+
   // --- JSON dialect surface -------------------------------------------------
   //
   // DuckDB's JSON function names and shapes differ from the engine's

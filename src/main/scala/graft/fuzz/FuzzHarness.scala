@@ -345,6 +345,12 @@ object FuzzHarness {
   def runDec(base: SparkSession, seed: Long, n: Int, outDir: String): (Int, Int) =
     runFullSql(base, seed, n, outDir, (s, i) => { val q = ExprGen.decCaseSql(s, i); (q, q) })
 
+  /** Subquery twin: [[ExprGen.subqCaseSql]] [NOT] IN / correlated /
+    * scalar-aggregate / derived-table shapes — shared SQL text; the
+    * three-valued-logic corner the relational mode's EXISTS cases miss. */
+  def runSubq(base: SparkSession, seed: Long, n: Int, outDir: String): (Int, Int) =
+    runFullSql(base, seed, n, outDir, (s, i) => { val q = ExprGen.subqCaseSql(s, i); (q, q) })
+
   /** JSON twin: [[ExprGen.jsonCaseSql]] PAIRED cases — DuckDB's JSON
     * function surface differs, so each record carries its own mapped
     * `duck_sql` replay text. */
@@ -459,7 +465,7 @@ object FuzzShrink {
 }
 
 /** Manual sweep entry point:
-  * `runMain graft.fuzz.FuzzDump <outDir> [seed] [n] [scalar|agg|win|json|rel|cte|dec|hof] [depth]`
+  * `runMain graft.fuzz.FuzzDump <outDir> [seed] [n] [scalar|agg|win|json|rel|cte|dec|hof|subq] [depth]`
   * (depth applies to scalar mode; 3 default, 4-5 for stress sweeps). */
 object FuzzDump {
   def main(args: Array[String]): Unit = {
@@ -484,6 +490,7 @@ object FuzzDump {
       case "cte" => FuzzHarness.runCte(spark, seed, n, outDir)
       case "dec" => FuzzHarness.runDec(spark, seed, n, outDir)
       case "hof" => FuzzHarness.runHof(spark, seed, n, outDir)
+      case "subq" => FuzzHarness.runSubq(spark, seed, n, outDir)
       case _ => FuzzHarness.run(spark, seed, n, outDir, depth)
     }
     println(f"[fuzz] $n $mode cases (seed $seed): $ok evaluated, $err engine errors, " +

@@ -88,4 +88,81 @@ object LanguageModel {
       .orderBy(col("n").desc, col("pair"))
       .limit(k)
   }
+
+  /** Sentinels wrapping each sub-word unit in the segmentation string:
+    * `"low" → "␂l␃␂o␃␂w␃"`. Distinct open/close markers make literal
+    * `replace` of `␂a␃␂b␃ → ␂ab␃` consume whole adjacent units with NO
+    * overlapping matches — left-to-right non-overlapping replace is
+    * exactly BPE's merge application ("aaa" under (a,a) → "aa"+"a").
+    * Control chars never occur in whitespace-split tokens of the text
+    * corpora this runs on (corpus-pinned, same class as the repo's other
+    * operating points). */
+  private[operators] val SegOpen = "\u0002"
+  private[operators] val SegClose = "\u0003"
+
+  /** Full BPE tokenizer training (Sennrich-style): `numMerges` rounds of
+    * (count corpus-weighted adjacent sub-word pairs over the vocabulary →
+    * take the most frequent, ties broken lexicographically → merge it
+    * everywhere). Returns the learned merge table (rank, a, b, n) — THE
+    * artifact a BPE tokenizer ships.
+    *
+    * Scale shape: the corpus is touched ONCE (the word-frequency
+    * hash-aggregate, map-side combine collapsing the Zipf head before the
+    * shuffle); every training round after that is vocabulary-sized —
+    * pair explosion over distinct words, one TakeOrdered(1) argmax, one
+    * narrow literal `replace` re-segmentation. The vocabulary frame is
+    * localCheckpoint-ed up front so the per-round jobs re-read
+    * materialized rows, not the corpus. Driver state is one (a, b, n) row
+    * per round plus the ≤numMerges merge table — bounded, the k-means
+    * centroid idiom.
+    *
+    * Pair counting is overlapping (every adjacent index pair, the
+    * classic get_stats), merge application non-overlapping left-to-right
+    * — both via the sentinel-string representation, so the DuckDB oracle
+    * can mirror each round with the same substr/split/replace calls. */
+  def bpeTrainMerges(df: DataFrame, text: Column, numMerges: Int = 6): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
+    var vocab = df
+      .select(explode(TextOps.tokens(text)).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wf"))
+      .filter(length(col("word")) >= 2)
+      .select(col("wf"),
+        regexp_replace(col("word"), "(.)", s"$SegOpen$$1$SegClose").as("seg"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Row]
+    var r = 0
+    var done = false
+    while (r < numMerges && !done) {
+      val tk = split(expr("substring(seg, 2, length(seg) - 2)"), s"$SegClose$SegOpen")
+      val best = vocab
+        .select(col("wf"), tk.as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(col("wf"), explode(transform(sequence(lit(1), size(col("tk")) - 1),
+          i => struct(element_at(col("tk"), i).as("a"),
+            element_at(col("tk"), i + 1).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("wf")).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val (a, b, n) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += Row(r, a, b, n)
+        // lit() args, not SQL-literal splicing: tokens may contain quotes
+        vocab = vocab.withColumn("seg", call_function("replace", col("seg"),
+          lit(SegOpen + a + SegClose + SegOpen + b + SegClose),
+          lit(SegOpen + a + b + SegClose)))
+        r += 1
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("rank", IntegerType, nullable = false),
+      StructField("a", StringType, nullable = false),
+      StructField("b", StringType, nullable = false),
+      StructField("n", LongType, nullable = false)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(merges.toArray: _*), schema)
+  }
 }

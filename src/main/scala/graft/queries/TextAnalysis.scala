@@ -26,6 +26,45 @@ object TextAnalysis {
   private val dkEs = dkHits(TextOps.stopwords("es"))
   private val dkFr = dkHits(TextOps.stopwords("fr"))
 
+  /** DuckDB mirror of [[graft.operators.LanguageModel.bpeTrainMerges]],
+    * unrolled to `numMerges` rounds: each round re-derives the sub-word
+    * list from the sentinel segmentation string (substr + string_split —
+    * the operator's exact representation), counts corpus-weighted adjacent
+    * pairs (overlapping, via an index unnest), takes the deterministic
+    * argmax (n DESC, a, b), and applies the merge with the same literal
+    * `replace` on the next seg CTE. chr(2)/chr(3) = the operator's
+    * SegOpen/SegClose sentinels. */
+  private def bpeTrainOracle(numMerges: Int): String = {
+    val O = "chr(2)"
+    val C = "chr(3)"
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH wf AS MATERIALIZED (
+         |  SELECT word, COUNT(*) AS wf FROM (
+         |    SELECT unnest($dkTokens) AS word FROM documents)
+         |  GROUP BY word HAVING length(word) >= 2),
+         |seg0 AS MATERIALIZED (SELECT wf, regexp_replace(word, '(.)', $O || '\\1' || $C, 'g') AS seg FROM wf)""".stripMargin)
+    for (k <- 0 until numMerges) {
+      sb.append(
+        s""",
+           |tk$k AS MATERIALIZED (SELECT wf, string_split(substr(seg, 2, length(seg) - 2), $C || $O) AS l FROM seg$k),
+           |pairs$k AS MATERIALIZED (SELECT l[i] AS a, l[i + 1] AS b, wf
+           |  FROM (SELECT wf, l, unnest(range(1, len(l))) AS i FROM tk$k WHERE len(l) >= 2)),
+           |best$k AS MATERIALIZED (SELECT a, b, CAST(SUM(wf) AS BIGINT) AS n FROM pairs$k
+           |  GROUP BY a, b ORDER BY n DESC, a, b LIMIT 1)""".stripMargin)
+      if (k + 1 < numMerges) sb.append(
+        s""",
+           |seg${k + 1} AS MATERIALIZED (SELECT wf, replace(seg,
+           |  $O || (SELECT a FROM best$k) || $C || $O || (SELECT b FROM best$k) || $C,
+           |  $O || (SELECT a FROM best$k) || (SELECT b FROM best$k) || $C) AS seg FROM seg$k)""".stripMargin)
+    }
+    sb.append(
+      (0 until numMerges).map(k =>
+        s"SELECT $k AS rank, a, b, n FROM best$k").mkString(
+        "\nSELECT * FROM (\n", "\nUNION ALL ", "\n) ORDER BY rank"))
+    sb.toString
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -352,6 +391,19 @@ object TextAnalysis {
               |SELECT pair, CAST(SUM(wf) AS BIGINT) AS n
               |FROM pairs GROUP BY pair
               |ORDER BY n DESC, pair LIMIT 20""".stripMargin),
+    ),
+
+    QueryDef(
+      "q_bpe_train",
+      // Full BPE tokenizer training: 6 merge rounds over the vocabulary,
+      // output = the learned merge table. The oracle mirrors the training
+      // loop EXACTLY, unrolled — each round is the same pair-count /
+      // argmax / sentinel-string replace the operator runs, so the merge
+      // sequence (data-dependent at every step) is hash-checked end to end.
+      (s, dir) => {
+        graft.operators.LanguageModel.bpeTrainMerges(docs(s, dir), col("text"), numMerges = 6)
+      },
+      Some(bpeTrainOracle(6)),
     ),
 
     QueryDef(

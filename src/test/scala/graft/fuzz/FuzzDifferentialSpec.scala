@@ -54,7 +54,20 @@ import org.scalatest.BeforeAndAfterAll
   * cte sweep at 246810 after the CTE tree refactor, and a 7-mode
   * fresh-seed batch: scalar 13579(400, depth 4), agg 8642(300),
   * win 97531(300), json 31415(300), rel 27182(300), cte 16180(300),
-  * dec 14142(300) — all green, 0 divergences).
+  * dec 14142(300) — all green, 0 divergences. Late round 11 adds two
+  * modes: hof 20260813(300 CI)/20260814(800) — Spark lambda HOFs vs
+  * DuckDB list-function mirrors, the equivalence layer the inventory's
+  * array-rebuilding oracle translations rest on — and subq
+  * 20260813(400)/20260814(800) — [NOT] IN / correlated / scalar-agg /
+  * derived-table shapes; both green, 0 divergences. Two fresh-seed finds,
+  * both ORACLE defects guarded at the generator: (1) win 20260814 —
+  * DuckDB can't type lag/lead of an untyped-NULL tree against a non-NULL
+  * default, so VALUE args carry a no-op CAST; (2) subq 20260814
+  * #643/#717 — DuckDB 1.0.0 mis-flattens correlated NOT IN with a
+  * NULLABLE subquery output (empty-per-row-set outer rows are dropped;
+  * Spark matches the standard), so the negated correlated shape
+  * coalesces its subquery output and NULL-output NOT-IN poison coverage
+  * lives in the uncorrelated shapes).
   */
 class FuzzDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
 
@@ -153,6 +166,23 @@ class FuzzDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (ok, err) = FuzzHarness.runHof(spark, seed = 20260813L, n = 300, outDir = dir)
     assert(ok + err == 300)
     assert(err < 30, s"$err/300 HOF cases errored in the engine — generator degenerate?")
+    val out = new StringBuilder
+    val rc = Process(Seq("python3", "tools/fuzz_check.py", dir, "--max-print", "10"),
+      new File("."))
+      .!(ProcessLogger(l => out.append(l).append('\n'), l => out.append(l).append('\n')))
+    assert(rc == 0, s"differential divergences:\n$out")
+    assert(out.toString.contains("300 cases"), s"comparator ran wrong case count:\n$out")
+  }
+
+  test("300 random subquery shapes agree with DuckDB value-by-value") {
+    // mode #9: [NOT] IN (the NULL-poison corner), correlated IN, scalar
+    // aggregate subqueries in projection and WHERE, derived-table FROM —
+    // the three-valued-logic surface the relational mode's EXISTS misses
+    assume(duckdbAvailable, "python3+duckdb not on PATH — differential half skipped")
+    val dir = Files.createTempDirectory("graft-fuzz-subq").toFile.getAbsolutePath
+    val (ok, err) = FuzzHarness.runSubq(spark, seed = 20260813L, n = 300, outDir = dir)
+    assert(ok + err == 300)
+    assert(err < 30, s"$err/300 subquery cases errored in the engine — generator degenerate?")
     val out = new StringBuilder
     val rc = Process(Seq("python3", "tools/fuzz_check.py", dir, "--max-print", "10"),
       new File("."))

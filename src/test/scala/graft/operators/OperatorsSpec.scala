@@ -1109,6 +1109,32 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == Seq(("ab", 3L), ("bc", 1L)), s"got: ${got.toSeq}")
   }
 
+  test("BPE training: merge sequence on the Sennrich-style corpus is exact") {
+    import spark.implicits._
+    // wf: low×3, lower×2, newest×5, widest×3. Round-0 pair counts:
+    // es 5+3=8, st 5+3=8 (tie → (e,s) wins lexicographically), we 7,
+    // lo/ow/ne/ew 5, wi/id/de 3, er 2. After merging (e,s):
+    // (es,t)=8 is the unique max. After merging (es,t): five pairs tie
+    // at 5 — (e,w) is the lexicographic winner.
+    val corpus = Seq(
+      (1L, "low low low lower lower newest newest newest"),
+      (2L, "newest newest widest widest widest")).toDF("doc_id", "text")
+    val got = LanguageModel.bpeTrainMerges(corpus, col("text"), numMerges = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (0, "e", "s", 8L), (1, "es", "t", 8L), (2, "e", "w", 5L)), s"got: ${got.toSeq}")
+  }
+
+  test("BPE training: single-unit words leave the pair stream; merges stop when dry") {
+    import spark.implicits._
+    // "ab" fully merges in round 0; afterwards no word has ≥2 units, so
+    // training stops early with exactly one merge row.
+    val corpus = Seq((1L, "ab ab x y")).toDF("doc_id", "text")
+    val got = LanguageModel.bpeTrainMerges(corpus, col("text"), numMerges = 5)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq((0, "a", "b", 2L)), s"got: ${got.toSeq}")
+  }
+
   test("bigram LM: scaled sums are partitioning-independent on the real corpus") {
     val d = docs
     val v = d.select(explode(split(trim(lower(col("text"))), "\\s+")).as("t"))
