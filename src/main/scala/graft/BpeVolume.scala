@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Volume rehearsal for full BPE training over a 2M-word vocabulary with a
+  * planted dominant pair: 40% of words start with "qz" (an 800k-count pair
+  * — the Zipf-head case), the rest are base-36 serials whose ~1300 distinct
+  * pairs spread a few thousand counts each.
+  *
+  * What the claim "per-round work is vocab-sized and skew-proof" must mean
+  * in task terms:
+  *   - pair counting is a hash aggregate over the exploded adjacent pairs:
+  *     map-side combine emits at most one row per (pair × map partition),
+  *     so the 800k-hot (q,z) key reaches its reducer as ≤ #partitions
+  *     combined rows — the listener asserts no task reads a hot-pair-sized
+  *     row count;
+  *   - the argmax is TakeOrdered(1): per-partition top-1 heaps, a 1-row
+  *     driver merge — never a global sort;
+  *   - re-segmentation is a narrow literal `replace` over the
+  *     localCheckpoint-ed vocab — no shuffle at all between rounds.
+  * The result assertion pins round 0 to the planted (q, z) merge with its
+  * exact corpus count. */
+object BpeVolume {
+  def time[T](label: String)(f: => T): T = {
+    val t0 = System.nanoTime(); val r = f
+    println(f"[bpe-vol] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s"); r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // one word per row: 40% "qz"-prefixed serials, 60% plain serials
+    val corpus = spark.range(2000000).select(
+      col("id").as("doc_id"),
+      when(col("id") % 5 < 2, concat(lit("qz"), lower(conv(col("id"), 10, 36))))
+        .otherwise(lower(conv(col("id") + 7777777L, 10, 36))).as("text"))
+
+    val listener = StageShuffleListener.install(spark)
+    val merges = time("BPE training, 2M-word vocab, 6 merge rounds")(
+      graft.operators.LanguageModel.bpeTrainMerges(corpus, col("text"), numMerges = 6)
+        .collect())
+    merges.foreach(r => println(s"[bpe-vol] merge ${r.getInt(0)}: " +
+      s"(${r.getString(1)}, ${r.getString(2)}) n=${r.getLong(3)}"))
+    assert(merges.length == 6, s"expected 6 merges, got ${merges.length}")
+    // ≥ 800k: the planted prefix, plus incidental "qz" runs inside the
+    // base-36 serials themselves
+    assert(merges(0).getString(1) == "q" && merges(0).getString(2) == "z" &&
+      merges(0).getLong(3) >= 800000L,
+      s"round 0 must learn the planted (q, z) pair (n >= 800000)")
+    val pairs = merges.map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(pairs.distinct.length == 6, s"merged pairs must be distinct: $pairs")
+
+    listener.drain(minTasks = 50L)
+    // ~2M words × ~4 adjacent pairs = ~8M exploded rows per round, but the
+    // SHUFFLE sees only map-side-combined (pair × partition) rows: ~1300
+    // distinct pairs × 64 partitions ≈ 85k rows/round ceiling. A plan that
+    // shuffled raw postings would put the 800k-count hot pair's rows on
+    // one reducer task.
+    val worst = listener.worstTaskRows
+    assert(worst < 400000, s"a task read a hot-pair-sized row count: $worst")
+    println(s"[bpe-vol] worst task shuffle rows: $worst (bound 400000)")
+    spark.stop()
+  }
+}

@@ -72,4 +72,56 @@ object Sampling {
       .orderBy(col("_wk").desc, key)
       .limit(k)
       .drop("_wk")
+
+  /** Uniform bucket in [0, 65536) from the first four hex chars of
+    * md5(key) — 16-bit granularity for DATA-DERIVED acceptance rates,
+    * where the 8-bit bucket would quantize a computed rate too coarsely. */
+  def hashBucket65536(key: Column): Column =
+    conv(substring(md5(key.cast("string").cast("binary")), 1, 4), 16, 10).cast("int")
+
+  /** One stratum's computed acceptance plan: corpus mass found, the
+    * acceptance rate hitting the target share of the budget (capped at 1 —
+    * sampling is without replacement), and the 16-bit hash threshold. */
+  final case class MixtureRate(stratum: String, total: Long, rate: Double, threshold: Int)
+
+  final case class MixtureResult(sampled: DataFrame, plan: Seq[MixtureRate])
+
+  /** Domain-mixture construction (the Pile/DoReMi recipe): given target
+    * mixture weights over a stratum column and a total mass budget, keep
+    * each stratum at rate `min(1, (w/Σw · budget) / mass_s)` so the sample
+    * approaches the target mixture — deterministically, by content hash.
+    *
+    * Two passes: one hash-aggregate for per-stratum mass (the collect is
+    * bounded at one row per stratum — corpus catalogs, not corpus rows),
+    * then a pure codegen'd hash filter that rides the scan: no shuffle,
+    * no state, any partitioning. Strata not in `targetWeights` get weight
+    * 0 and are dropped. An under-massed stratum caps at rate 1 (can't
+    * oversample without replacement) — visible in the returned plan as
+    * threshold 65536, so mixture shortfall is measured, never silent.
+    *
+    * Rate arithmetic is pinned to `((w / wsum) * budget) / total` with
+    * wsum summed over strata in SORTED order — double addition isn't
+    * associative, and the oracle must replay the same floating-point
+    * steps to land on the same 16-bit threshold. */
+  def mixtureSample(
+      df: DataFrame,
+      key: Column,
+      stratum: Column,
+      mass: Column,
+      targetWeights: Map[String, Double],
+      budget: Long): MixtureResult = {
+    val ordered = targetWeights.toSeq.sortBy(_._1)
+    val wsum = ordered.map(_._2).sum
+    val totals = df.groupBy(stratum.as("_s")).agg(sum(mass).as("_t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val plan = ordered.map { case (s, w) =>
+      val t = totals.getOrElse(s, 0L)
+      val rate = if (t == 0L) 0.0 else math.min(1.0, ((w / wsum) * budget) / t)
+      MixtureRate(s, t, rate, math.floor(rate * 65536.0).toInt)
+    }
+    val thr = plan.foldLeft(lit(0)) { case (acc, m) =>
+      when(stratum === m.stratum, lit(m.threshold)).otherwise(acc)
+    }
+    MixtureResult(df.filter(hashBucket65536(key) < thr), plan)
+  }
 }

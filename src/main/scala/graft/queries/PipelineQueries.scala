@@ -152,6 +152,50 @@ object PipelineQueries {
     ),
 
     QueryDef(
+      "q_mixture_sample",
+      // Domain-mixture construction (Pile/DoReMi recipe): acceptance rates
+      // are DERIVED FROM THE DATA — one per-source mass aggregate (bounded
+      // collect, one row per source), rate = min(1, target-share · budget
+      // / mass), then a pure codegen'd 16-bit-hash filter riding the scan.
+      // src0's 0.5 share caps at rate 1 on this corpus (under-massed —
+      // shortfall is measured, not silent); unlisted sources drop. The
+      // oracle replays the same double arithmetic ((w / wsum) * budget) /
+      // mass against its own aggregate, so the derived thresholds AND the
+      // membership are both checked.
+      (s, dir) => {
+        val res = Sampling.mixtureSample(
+          t(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars")),
+          key = col("doc_id"), stratum = col("source"), mass = col("n_chars"),
+          targetWeights = Map(
+            "src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.125, "src3" -> 0.125),
+          budget = 20000L)
+        res.sampled.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars_kept"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH tot AS (
+             |  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS t
+             |  FROM documents GROUP BY source),
+             |thr AS (
+             |  SELECT source,
+             |    CAST(floor(least(1.0, ((w / 1.0) * 20000) / t) * 65536.0) AS INT) AS thr
+             |  FROM (SELECT source, t,
+             |          CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.25
+             |               WHEN 'src2' THEN 0.125 WHEN 'src3' THEN 0.125
+             |               ELSE 0.0 END AS w
+             |        FROM tot)
+             |  WHERE w > 0),
+             |b AS (
+             |  SELECT doc_id, source, n_chars,
+             |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT AS INT) AS bucket
+             |  FROM documents)
+             |SELECT b.source, COUNT(*) AS n_docs, CAST(SUM(b.n_chars) AS BIGINT) AS chars_kept
+             |FROM b JOIN thr ON b.source = thr.source
+             |WHERE b.bucket < thr.thr
+             |GROUP BY b.source ORDER BY b.source""".stripMargin),
+    ),
+
+    QueryDef(
       "q_seq_packing",
       // Sequence packing (concat-and-chunk into 2048-token context
       // windows), sharded by source: every document gets its token start

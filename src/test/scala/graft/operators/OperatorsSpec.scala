@@ -1109,6 +1109,33 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == Seq(("ab", 3L), ("bc", 1L)), s"got: ${got.toSeq}")
   }
 
+  test("mixture sampling: data-derived rates cap at 1, unlisted strata drop") {
+    import spark.implicits._
+    // a: mass 100, target 0.75 of budget 200 → desired 150 > 100 → capped
+    //    (threshold 65536, every row kept — shortfall visible in the plan);
+    // b: mass 200, target 0.25 → desired 50 → rate 0.25, thr 16384;
+    // c: weight 0 → dropped entirely.
+    val df = (
+      (1 to 10).map(i => (i.toLong, "a", 10L)) ++
+      (11 to 30).map(i => (i.toLong, "b", 10L)) ++
+      (31 to 40).map(i => (i.toLong, "c", 10L))).toDF("id", "s", "m")
+    val res = Sampling.mixtureSample(df, col("id"), col("s"), col("m"),
+      targetWeights = Map("a" -> 0.75, "b" -> 0.25), budget = 200L)
+    assert(res.plan == Seq(
+      Sampling.MixtureRate("a", 100L, 1.0, 65536),
+      Sampling.MixtureRate("b", 200L, 0.25, 16384)), s"plan: ${res.plan}")
+    val kept = res.sampled.select("id", "s").as[(Long, String)].collect().toSet
+    assert(kept.count(_._2 == "a") == 10, "capped stratum must keep every row")
+    assert(kept.count(_._2 == "c") == 0, "unlisted stratum must drop")
+    val bKept = kept.filter(_._2 == "b").map(_._1)
+    // membership is the pure 16-bit md5 bucket — recompute it here
+    val expB = (11 to 30).map(_.toLong).filter { i =>
+      Integer.parseInt(org.apache.commons.codec.digest.DigestUtils.md5Hex(
+        i.toString.getBytes("UTF-8")).substring(0, 4), 16) < 16384
+    }.toSet
+    assert(bKept == expB, s"b membership: got $bKept expected $expB")
+  }
+
   test("BPE training: merge sequence on the Sennrich-style corpus is exact") {
     import spark.implicits._
     // wf: low×3, lower×2, newest×5, widest×3. Round-0 pair counts:
