@@ -165,4 +165,37 @@ object LanguageModel {
     spark.createDataFrame(
       java.util.Arrays.asList(merges.toArray: _*), schema)
   }
+
+  /** BPE ENCODE — apply a learned merge table to the corpus, returning
+    * per-document (n_words, n_units): the token-budget accounting a
+    * training-data pipeline runs after tokenizer training. Merges apply
+    * in rank order (the BPE encode rule), each as a literal
+    * sentinel-string replace — all of them fuse into ONE codegen'd
+    * projection, applied over the DISTINCT word vocabulary only; the
+    * corpus token stream then joins the per-word unit count (build side
+    * unique per word, so Zipf-hot words only skew probe partition sizes —
+    * AQE-split). One corpus pass + vocab-sized merge work.
+    *
+    * The plan-literal replace chain is the right shape for merge tables
+    * up to O(100) ranks (the demo/query scale here); a production 32k-rank
+    * tokenizer would compile the merge table into a single native
+    * expression instead — same join topology, deeper per-word loop. */
+  def bpeEncode(
+      df: DataFrame, id: Column, text: Column, merges: Seq[(String, String)]): DataFrame = {
+    val toks = df.select(id.as("id"), explode(TextOps.tokens(text)).as("word"))
+    val seg0 = regexp_replace(col("word"), "(.)", s"$SegOpen$$1$SegClose")
+    val segN = merges.foldLeft(seg0) { case (c, (a, b)) =>
+      call_function("replace", c,
+        lit(SegOpen + a + SegClose + SegOpen + b + SegClose),
+        lit(SegOpen + a + b + SegClose))
+    }
+    val vocab = toks.select(col("word")).distinct()
+      .select(col("word"), segN.as("seg"))
+      .select(col("word"),
+        size(split(col("seg").substr(lit(2), greatest(length(col("seg")) - 2, lit(0))),
+          s"$SegClose$SegOpen")).as("n_units"))
+    toks.join(vocab, "word")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_units")).as("n_units"))
+  }
 }

@@ -34,9 +34,17 @@ object TextAnalysis {
     * argmax (n DESC, a, b), and applies the merge with the same literal
     * `replace` on the next seg CTE. chr(2)/chr(3) = the operator's
     * SegOpen/SegClose sentinels. */
-  private def bpeTrainOracle(numMerges: Int): String = {
-    val O = "chr(2)"
-    val C = "chr(3)"
+  private val dkO = "chr(2)"
+  private val dkC = "chr(3)"
+
+  /** The shared training-CTE chain: wf → seg0 → (tk/pairs/best/seg)×k,
+    * ending at best{numMerges-1}. Every CTE is MATERIALIZED — each segK
+    * carries four scalar-subquery references to bestK, and DuckDB's
+    * default CTE inlining makes the chain's expansion exponential in
+    * numMerges without it. */
+  private def bpeCtes(numMerges: Int): String = {
+    val O = dkO
+    val C = dkC
     val sb = new StringBuilder
     sb.append(
       s"""WITH wf AS MATERIALIZED (
@@ -58,10 +66,40 @@ object TextAnalysis {
            |  $O || (SELECT a FROM best$k) || $C || $O || (SELECT b FROM best$k) || $C,
            |  $O || (SELECT a FROM best$k) || (SELECT b FROM best$k) || $C) AS seg FROM seg$k)""".stripMargin)
     }
-    sb.append(
+    sb.toString
+  }
+
+  private def bpeTrainOracle(numMerges: Int): String =
+    bpeCtes(numMerges) +
       (0 until numMerges).map(k =>
         s"SELECT $k AS rank, a, b, n FROM best$k").mkString(
-        "\nSELECT * FROM (\n", "\nUNION ALL ", "\n) ORDER BY rank"))
+        "\nSELECT * FROM (\n", "\nUNION ALL ", "\n) ORDER BY rank")
+
+  /** Encode tail on top of [[bpeCtes]]: re-derive the learned merges from
+    * the training chain's bestK rows, then apply them IN RANK ORDER to
+    * every token occurrence (no vocab length filter — encode covers
+    * 1-char words too) and aggregate per-document unit counts. */
+  private def bpeEncodeOracle(numMerges: Int): String = {
+    val O = dkO
+    val C = dkC
+    val sb = new StringBuilder(bpeCtes(numMerges))
+    sb.append(
+      s""",
+         |enc0 AS MATERIALIZED (
+         |  SELECT doc_id, regexp_replace(word, '(.)', $O || '\\1' || $C, 'g') AS seg
+         |  FROM (SELECT doc_id, unnest($dkTokens) AS word FROM documents))""".stripMargin)
+    for (k <- 0 until numMerges) {
+      sb.append(
+        s""",
+           |enc${k + 1} AS MATERIALIZED (SELECT doc_id, replace(seg,
+           |  $O || (SELECT a FROM best$k) || $C || $O || (SELECT b FROM best$k) || $C,
+           |  $O || (SELECT a FROM best$k) || (SELECT b FROM best$k) || $C) AS seg FROM enc$k)""".stripMargin)
+    }
+    sb.append(
+      s"""
+         |SELECT doc_id, COUNT(*) AS n_words,
+         |  CAST(SUM(len(string_split(substr(seg, 2, greatest(length(seg) - 2, 0)), $C || $O))) AS BIGINT) AS n_units
+         |FROM enc$numMerges GROUP BY doc_id ORDER BY doc_id""".stripMargin)
     sb.toString
   }
 
@@ -404,6 +442,27 @@ object TextAnalysis {
         graft.operators.LanguageModel.bpeTrainMerges(docs(s, dir), col("text"), numMerges = 6)
       },
       Some(bpeTrainOracle(6)),
+    ),
+
+    QueryDef(
+      "q_bpe_encode",
+      // Tokenizer train → APPLY: learn 6 merges, then encode the corpus
+      // with them — per-doc word and sub-word-unit counts, the token-budget
+      // accounting step. All 6 replaces fuse into one codegen'd projection
+      // over the DISTINCT vocabulary; the token stream joins the unique
+      // per-word unit count. The oracle re-derives the merges through the
+      // same unrolled training chain and applies them in rank order to
+      // every token occurrence.
+      (s, dir) => {
+        val m = graft.operators.LanguageModel
+          .bpeTrainMerges(docs(s, dir), col("text"), numMerges = 6)
+          .collect().sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+        graft.operators.LanguageModel
+          .bpeEncode(docs(s, dir), col("doc_id"), col("text"), m)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy(col("doc_id"))
+      },
+      Some(bpeEncodeOracle(6)),
     ),
 
     QueryDef(

@@ -1162,6 +1162,19 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == Seq((0, "a", "b", 2L)), s"got: ${got.toSeq}")
   }
 
+  test("BPE encode: rank-ordered merge application yields exact unit counts") {
+    import spark.implicits._
+    // merges (l,o) then (lo,w): low → [low] (1 unit), lower → [low,e,r]
+    // (3 units), wide → untouched (4 units). Rank order matters: (lo,w)
+    // can only fire after (l,o) created the "lo" unit.
+    val corpus = Seq((1L, "low low lower"), (2L, "wide low")).toDF("doc_id", "text")
+    val got = LanguageModel.bpeEncode(corpus, col("doc_id"), col("text"),
+      merges = Seq(("l", "o"), ("lo", "w")))
+      .orderBy(col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 3L, 5L), (2L, 2L, 5L)), s"got: ${got.toSeq}")
+  }
+
   test("bigram LM: scaled sums are partitioning-independent on the real corpus") {
     val d = docs
     val v = d.select(explode(split(trim(lower(col("text"))), "\\s+")).as("t"))
