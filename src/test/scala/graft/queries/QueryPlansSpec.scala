@@ -99,6 +99,37 @@ class QueryPlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("q_mixture_sample: the hash filter rides the scan — no Exchange before the aggregate") {
+    val p = plan("q_mixture_sample")
+    // membership is a codegen'd filter over md5-bucket arithmetic; the only
+    // shuffles are the final per-source aggregate (+AQE artifacts), never
+    // one feeding the filter itself
+    assert(p.contains("Filter"), p.take(2000))
+    val filterIdx = p.indexOf("Filter")
+    val scanIdx = p.indexOf("FileScan")
+    assert(scanIdx > filterIdx, "filter must sit directly on the scan:\n" + p.take(2000))
+    assert(!p.substring(filterIdx, scanIdx).contains("Exchange"),
+      "a shuffle crept between filter and scan:\n" + p.take(2000))
+  }
+
+  test("q_bpe_encode: vocab merge-application fuses into one projection, join is not cartesian") {
+    // toString truncates the deep replace chain, so inspect the optimized
+    // logical plan directly: all six rank-ordered replaces must live
+    // nested inside a SINGLE Project (one pass over the vocab, not one
+    // projection per merge), and the word join must not be a cartesian.
+    import org.apache.spark.sql.catalyst.expressions.StringReplace
+    val qe = SparkEntry.queries("q_bpe_encode")(spark, dir).queryExecution
+    assert(!qe.executedPlan.toString.contains("CartesianProduct"))
+    // CollapseProject folds the seg projection into the distinct-vocab
+    // Aggregate's result expressions — fine; the claim is all 6 replaces
+    // nested in ONE node's expression list, not spread across stages
+    val perNode = qe.optimizedPlan.collect { case n =>
+      n.expressions.map(e => e.collect { case _: StringReplace => 1 }.sum).sum
+    }.filter(_ > 0)
+    assert(perNode == Seq(6),
+      s"expected one node carrying all 6 replaces, got per-node counts $perNode")
+  }
+
   test("q_ann_ivf / q_ann_lsh: the exact brute-force top-k runs ONCE, not per reference") {
     // annVsExact materializes the nQueries-row exact aggregate with a
     // localCheckpoint, so the lazy plan must carry NO brute-force
