@@ -1185,4 +1185,33 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sums(d.repartition(7)) == sums(d),
       "sum_logp_scaled must be partitioning-independent")
   }
+
+  test("BPE train/encode invariants: partitioning-independent merges, monotone unit counts") {
+    val d = docs.limit(120)
+    def train(df: org.apache.spark.sql.DataFrame, n: Int) =
+      LanguageModel.bpeTrainMerges(df, col("text"), numMerges = n)
+        .collect().sortBy(_.getInt(0))
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    // the merge sequence is an argmax chain over exact counts — it must
+    // not depend on how the corpus is partitioned
+    assert(train(d.repartition(7), 4) == train(d, 4),
+      "merge sequence must be partitioning-independent")
+    // encode with 0 merges counts characters; every further merge can only
+    // shrink (or preserve) each doc's unit count
+    def units(n: Int): Map[Long, Long] = {
+      val m = train(d, n).map(t => (t._2, t._3))
+      LanguageModel.bpeEncode(d, col("doc_id"), col("text"), m)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    }
+    val u0 = units(0)
+    val u2 = units(2)
+    val u4 = units(4)
+    val chars = d.select(col("doc_id"),
+      expr("aggregate(split(trim(lower(text)), '\\\\s+'), 0L, (a, w) -> a + length(w))")
+        .as("c")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(u0 == chars, "0-merge encode must count characters per doc")
+    assert(u0.forall { case (k, v) => u2(k) <= v }, "2-merge units must not exceed 0-merge")
+    assert(u2.forall { case (k, v) => u4(k) <= v }, "4-merge units must not exceed 2-merge")
+    assert(u4.values.sum < u0.values.sum, "4 merges must shrink the corpus total")
+  }
 }
