@@ -404,6 +404,39 @@ object Dedup extends org.apache.spark.internal.Logging {
         round(col("n_overlap").cast("double") / col("n_sh"), 6).as("overlap"))
   }
 
+  /** Cross-source n-gram overlap matrix — the corpus-curation diagnostic
+    * answering "which sources republish each other's text?" (mirrors,
+    * scrapes of scrapes, cross-posted boilerplate): for every source pair,
+    * the count of distinct word-`shingleSize`-grams they share and the
+    * containment fraction `shared / min(|grams₁|, |grams₂|)`.
+    *
+    * Scale shape: the corpus collapses to the DISTINCT (source, gram)
+    * frame FIRST — one corpus-scale hash-aggregate (map-side combine eats
+    * repeated boilerplate before the shuffle). Everything after is bounded
+    * by #sources, not corpus size: the self-join on the gram key fans out
+    * at most (#sources choose 2) pairs PER GRAM — a gram present in every
+    * source costs |S|²/2 rows, so no df cap is needed (the per-key bound
+    * is structural, unlike doc-keyed n-gram joins) — and the matrix
+    * aggregate emits ≤ |S|² rows. */
+  def crossSourceOverlap(
+      df: DataFrame, stratum: Column, text: Column, shingleSize: Int = 8): DataFrame = {
+    graft.functions.NativeHashes.register(df.sparkSession)
+    val grams = df
+      .select(stratum.as("src"), explode(array_distinct(
+        TextOps.shingles(text, shingleSize))).as("g"))
+      .distinct()
+    val totals = grams.groupBy(col("src")).agg(count(lit(1)).as("n"))
+    grams.as("a")
+      .join(grams.as("b"), col("a.g") === col("b.g") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("src1"), col("b.src").as("src2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(totals.select(col("src").as("src1"), col("n").as("n1"))), "src1")
+      .join(broadcast(totals.select(col("src").as("src2"), col("n").as("n2"))), "src2")
+      .select(col("src1"), col("src2"), col("n_shared"), col("n1"), col("n2"),
+        round(col("n_shared").cast("double") / least(col("n1"), col("n2")), 6)
+          .as("containment"))
+  }
+
   /** Fuzzy eval-set decontamination: catches PARAPHRASED contamination
     * that [[contaminationScores]]' exact 8-gram scan misses (a one-token
     * edit breaks every 8-gram window crossing it, but barely moves 3-gram

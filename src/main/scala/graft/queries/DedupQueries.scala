@@ -311,6 +311,37 @@ object DedupQueries {
     ),
 
     QueryDef(
+      "q_source_overlap",
+      // Cross-source 8-gram overlap matrix: which sources republish each
+      // other's text (mirrors, cross-posted boilerplate). The corpus
+      // collapses to DISTINCT (source, gram) first; the gram self-join
+      // then fans out at most (#sources choose 2) pairs per gram — the
+      // per-key bound is structural, so no df cap is needed.
+      (s, dir) => {
+        graft.operators.Dedup.crossSourceOverlap(
+          docs(s, dir), col("source"), col("text"))
+          .filter(col("n_shared") >= 5)
+          .orderBy(col("src1"), col("src2"))
+      },
+      Some("""WITH grams AS (
+             |  SELECT DISTINCT src, g FROM (
+             |    SELECT source AS src, unnest(list_distinct(list_transform(
+             |      range(1, greatest(len(string_split_regex(trim(lower(text)), '\s+')) - 7, 1) + 1),
+             |      i -> array_to_string((string_split_regex(trim(lower(text)), '\s+'))[i:i+7], ' ')))) AS g
+             |    FROM documents)),
+             |tot AS (SELECT src, COUNT(*) AS n FROM grams GROUP BY src),
+             |pairs AS (
+             |  SELECT a.src AS src1, b.src AS src2, COUNT(*) AS n_shared
+             |  FROM grams a JOIN grams b ON a.g = b.g AND a.src < b.src
+             |  GROUP BY a.src, b.src)
+             |SELECT src1, src2, n_shared, t1.n AS n1, t2.n AS n2,
+             |  round(CAST(n_shared AS DOUBLE) / least(t1.n, t2.n), 6) AS containment
+             |FROM pairs JOIN tot t1 ON src1 = t1.src JOIN tot t2 ON src2 = t2.src
+             |WHERE n_shared >= 5
+             |ORDER BY src1, src2""".stripMargin),
+    ),
+
+    QueryDef(
       "q_dedup_clean",
       // End-to-end corpus cleaning: exact-fingerprint pairs ∪ df-capped
       // ngram-Jaccard pairs → connected components → keep the min-id

@@ -1109,6 +1109,23 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == Seq(("ab", 3L), ("bc", 1L)), s"got: ${got.toSeq}")
   }
 
+  test("cross-source overlap: a mirrored doc yields full containment, disjoint sources none") {
+    import spark.implicits._
+    val shared = (1 to 9).map(i => s"w$i").mkString(" ") // 9 tokens → two 8-grams
+    val corpus = Seq(
+      (1L, "A", shared),
+      (2L, "B", shared),                                  // B mirrors A's doc
+      (3L, "B", (1 to 9).map(i => s"x$i").mkString(" ")), // plus B-only text
+      (4L, "C", (1 to 9).map(i => s"y$i").mkString(" "))  // disjoint source
+    ).toDF("doc_id", "src", "text")
+    val got = Dedup.crossSourceOverlap(corpus, col("src"), col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    // A's whole gram set (2) is inside B's (4) → containment 1.0; C pairs
+    // with nobody
+    assert(got.toSeq == Seq(("A", "B", 2L, 2L, 4L, 1.0)), s"got: ${got.toSeq}")
+  }
+
   test("mixture sampling: data-derived rates cap at 1, unlisted strata drop") {
     import spark.implicits._
     // a: mass 100, target 0.75 of budget 200 → desired 150 > 100 → capped
