@@ -124,4 +124,34 @@ object Sampling {
     }
     MixtureResult(df.filter(hashBucket65536(key) < thr), plan)
   }
+
+  /** Leakage-safe train/val/test split: a naive per-row hash split puts two
+    * copies of the same document on opposite sides of the split — the
+    * test set then "measures" memorization of training rows. Here every
+    * row hashes its duplicate-class REPRESENTATIVE (min `id` over
+    * `groupKey`, e.g. a normalized-text fingerprint), so an entire dup
+    * class always lands on one side. Plug a near-dup cluster label in as
+    * `groupKey` to extend the guarantee from exact to fuzzy duplicates.
+    *
+    * Scale shape: one hash-aggregate builds the (groupKey → rep) frame
+    * (map-side combine shuffles one row per distinct class), one equi-join
+    * hands each row its rep — a mega-duplicated document only skews probe
+    * partition sizes (AQE-split) — and the bucket/split columns are pure
+    * codegen'd md5 arithmetic. Assignment is a function of content alone:
+    * engine-, run-, and partitioning-independent. */
+  def leakageSafeSplit(
+      df: DataFrame,
+      id: Column,
+      groupKey: Column,
+      trainUpper: Int = 205,
+      valUpper: Int = 230): DataFrame = {
+    val reps = df.groupBy(groupKey.as("_gk")).agg(min(id).as("rep"))
+    df.select(id.as("id"), groupKey.as("_gk"))
+      .join(reps, "_gk")
+      .select(col("id"), col("rep"), hashBucket256(col("rep")).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < trainUpper, "train")
+          .when(col("bucket") < valUpper, "val")
+          .otherwise("test"))
+  }
 }

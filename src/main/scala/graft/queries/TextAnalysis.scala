@@ -261,6 +261,41 @@ object TextAnalysis {
     ),
 
     QueryDef(
+      "q_split_leakage_safe",
+      // Dedup-aware split: a naive per-row hash split puts copies of one
+      // document on both sides (the test set then scores memorization).
+      // Every row hashes its duplicate-class representative (min doc_id
+      // over the normalized-text fingerprint) instead — planted
+      // whitespace-perturbed copies (+500000) provably co-assign with
+      // their originals, checked by the oracle on every row.
+      (s, dir) => {
+        val d = docs(s, dir).select(col("doc_id"), col("text"))
+        val corpus = d.unionAll(
+          d.filter(col("doc_id") < 25).select((col("doc_id") + 500000).as("doc_id"),
+            concat(lit("  "), col("text"), lit(" ")).as("text")))
+        graft.operators.Sampling
+          .leakageSafeSplit(corpus, col("doc_id"), TextOps.fingerprint(col("text")))
+          .withColumnRenamed("id", "doc_id")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL SELECT doc_id + 500000, '  ' || text || ' '
+             |    FROM documents WHERE doc_id < 25),
+             |fp AS (SELECT doc_id,
+             |         md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS gk
+             |       FROM corpus),
+             |reps AS (SELECT gk, CAST(MIN(doc_id) AS BIGINT) AS rep FROM fp GROUP BY gk),
+             |j AS (SELECT f.doc_id, r.rep,
+             |        CAST((strpos('0123456789abcdef', substr(md5(CAST(r.rep AS VARCHAR)), 1, 1)) - 1) * 16
+             |           + (strpos('0123456789abcdef', substr(md5(CAST(r.rep AS VARCHAR)), 2, 1)) - 1) AS INT) AS bucket
+             |      FROM fp f JOIN reps r USING (gk))
+             |SELECT doc_id, rep, bucket,
+             |  CASE WHEN bucket < 205 THEN 'train' WHEN bucket < 230 THEN 'val' ELSE 'test' END AS split
+             |FROM j ORDER BY doc_id""".stripMargin),
+    ),
+
+    QueryDef(
       "q_vocab_topk",
       // Corpus vocabulary extraction: top-100 tokens by document frequency.
       // Distinct-per-doc explode → hash-aggregate (map-side combine) →

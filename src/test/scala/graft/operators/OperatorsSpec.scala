@@ -1109,6 +1109,29 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == Seq(("ab", 3L), ("bc", 1L)), s"got: ${got.toSeq}")
   }
 
+  test("leakage-safe split: duplicate classes never straddle the split boundary") {
+    import spark.implicits._
+    val d = Tables.table(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val corpus = d.unionAll(d.select((col("doc_id") + 900000).as("doc_id"),
+      concat(lit(" "), col("text"), lit("  ")).as("text"))) // every doc duplicated
+    def splits(df: org.apache.spark.sql.DataFrame) =
+      Sampling.leakageSafeSplit(df, col("doc_id"), TextOps.fingerprint(col("text")))
+        .select(col("id"), col("split")).as[(Long, String)].collect().toMap
+    val s = splits(corpus)
+    d.select(col("doc_id")).as[Long].collect().foreach { i =>
+      assert(s(i) == s(i + 900000), s"copy of doc $i crossed the split boundary")
+    }
+    // a function of content only — partitioning must not move anything
+    assert(splits(corpus.repartition(7)) == s, "split must be partitioning-independent")
+    // and the naive per-row hash split WOULD leak on this corpus — the
+    // guard is load-bearing, not vacuous
+    val naive = corpus.select(col("doc_id"),
+      Sampling.hashBucket256(col("doc_id")).as("b")).as[(Long, Int)].collect().toMap
+    val leaked = d.select(col("doc_id")).as[Long].collect().count(i =>
+      (naive(i) < 205) != (naive(i + 900000) < 205))
+    assert(leaked > 0, "corpus too small to demonstrate the naive-split leak")
+  }
+
   test("cross-source overlap: a mirrored doc yields full containment, disjoint sources none") {
     import spark.implicits._
     val shared = (1 to 9).map(i => s"w$i").mkString(" ") // 9 tokens → two 8-grams
