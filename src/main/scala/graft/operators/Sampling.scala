@@ -138,7 +138,14 @@ object Sampling {
     * hands each row its rep — a mega-duplicated document only skews probe
     * partition sizes (AQE-split) — and the bucket/split columns are pure
     * codegen'd md5 arithmetic. Assignment is a function of content alone:
-    * engine-, run-, and partitioning-independent. */
+    * engine-, run-, and partitioning-independent.
+    *
+    * Growth stability caveat: the class representative is `min(id)`, so
+    * assignments survive corpus growth ONLY when ids are assigned
+    * monotonically (a later-ingested duplicate with a smaller id would
+    * re-elect the rep and could move its whole class). Append-only
+    * pipelines with monotone ids — the ODF ledger model — satisfy this
+    * by construction. */
   def leakageSafeSplit(
       df: DataFrame,
       id: Column,

@@ -70,7 +70,9 @@ import org.scalatest.BeforeAndAfterAll
   * lives in the uncorrelated shapes. Post-guard all-nine-modes batch:
   * scalar 33221(400, depth 5), agg 44332(300), win 55443(300),
   * json 66554(300), rel 77665(300), cte 88776(300), dec 99887(300),
-  * hof 11998(300), subq 22119(300) — 2,800 cases, 0 divergences).
+  * hof 11998(300), subq 22119(300) — 2,800 cases, 0 divergences;
+  * plus third-seed sweeps of the two new modes, subq 31337(500) and
+  * hof 424242(500), both green).
   */
 class FuzzDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
 
