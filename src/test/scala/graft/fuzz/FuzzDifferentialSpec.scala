@@ -72,7 +72,8 @@ import org.scalatest.BeforeAndAfterAll
   * json 66554(300), rel 77665(300), cte 88776(300), dec 99887(300),
   * hof 11998(300), subq 22119(300) — 2,800 cases, 0 divergences;
   * plus third-seed sweeps of the two new modes, subq 31337(500) and
-  * hof 424242(500), both green).
+  * hof 424242(500), and two depth-5 scalar sweeps 555777(400) /
+  * 888999(400) — all green).
   */
 class FuzzDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
 
