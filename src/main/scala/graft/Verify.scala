@@ -19,6 +19,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // subset runs must not leave stale outputs from prior full runs in
+    // outDir (a later compare would silently mix fresh and stale results):
+    // drop the unselected queries' directories and emit a subset oracle
+    // json, so the compare sees exactly what this run produced
+    only.foreach { sel =>
+      SparkEntry.queries.keys.filterNot(sel.contains).foreach { name =>
+        val dir = Paths.get(outDir, name)
+        if (Files.exists(dir)) {
+          import scala.jdk.CollectionConverters._
+          Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(Files.delete)
+        }
+      }
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       if (only.forall(_.contains(name))) {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -41,6 +55,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     graft.queries.SimilarityQueries.clearExactTopKCache()

@@ -421,10 +421,16 @@ object Dedup extends org.apache.spark.internal.Logging {
   def crossSourceOverlap(
       df: DataFrame, stratum: Column, text: Column, shingleSize: Int = 8): DataFrame = {
     graft.functions.NativeHashes.register(df.sparkSession)
+    // the distinct (source, gram) frame feeds THREE consumers — the totals
+    // aggregate and both self-join sides. Exchange reuse covers the two
+    // identical join sides, but totals is a different plan shape, so
+    // without materialization the corpus-scale distinct runs twice;
+    // localCheckpoint it once (the duplicateSpans idiom)
     val grams = df
       .select(stratum.as("src"), explode(array_distinct(
         TextOps.shingles(text, shingleSize))).as("g"))
       .distinct()
+      .localCheckpoint(false)
     val totals = grams.groupBy(col("src")).agg(count(lit(1)).as("n"))
     grams.as("a")
       .join(grams.as("b"), col("a.g") === col("b.g") && col("a.src") < col("b.src"))
@@ -619,10 +625,14 @@ object Dedup extends org.apache.spark.internal.Logging {
     *
     * Same posting pipeline as [[duplicateSpans]]; the rewrite is a left
     * join of the per-doc duplicated-start lists back onto the token frame
-    * plus a pure array-expression rebuild: covered positions =
-    * flatten of the start intervals, kept text = tokens whose position is
-    * not covered. Per-row cost is O(dup windows × W) ints — bounded by
-    * doc length × W, map-side, no extra shuffle beyond the span scan's.
+    * plus a pure array-expression rebuild: the SORTED start list is walked
+    * once — consecutive starts s, nx leave an uncovered gap iff
+    * nx − s > W — emitting the kept POSITION ranges directly, and kept
+    * text = one element_at per kept position. Per-row cost is
+    * O(dup windows + kept tokens) = O(L + C); the earlier per-token
+    * `array_contains(covered, i)` probe was O(L × C), quadratic for a
+    * boilerplate-saturated long doc (a 100k-token doc with 100k covered
+    * positions paid ~10¹⁰ comparisons, map-side).
     *
     * Returns (id, text, n_tokens, dup_tokens, clean_text, n_clean_tokens);
     * docs with no duplicated span pass through with their normalized
@@ -646,24 +656,32 @@ object Dedup extends org.apache.spark.internal.Logging {
       .groupBy(col("win")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2)
       .select(col("win"))
-    // the covered-position set is computed on the AGGREGATE side of the
-    // join, not in the final projection: an alias in the same projection
-    // as the filter lambda gets CollapseProject-inlined INTO the lambda
-    // and re-evaluated per TOKEN (measured: the whole query 2.4 → 4.1 s
-    // warm at sf0.1); across the join boundary it is evaluated once per
-    // flagged doc and arrives as a plain column
     val dupStarts = wins.join(dupWins, Seq("win"), "left_semi")
       .groupBy(col("id"))
       .agg(sort_array(collect_list(col("start"))).as("starts"))
-      .select(col("id"), size(col("starts")).as("n_dup_windows"),
-        array_distinct(flatten(transform(col("starts"),
-          s => sequence(s, s + (w - 1))))).as("covered"))
+      .select(col("id"), size(col("starts")).as("n_dup_windows"), col("starts"))
+    // kept positions from the SORTED starts in one pass — O(C) ranges,
+    // O(L) element_at lookups, never a per-token membership probe:
+    //   prefix  [1, s₁−1]            (guarded: sequence() REVERSES when
+    //                                 stop < start, so an empty range must
+    //                                 short-circuit, not evaluate)
+    //   gaps    [sⱼ+W, s_{j+1}−1]    iff s_{j+1} − sⱼ > W
+    //   suffix  via sentinel lead n_tokens+1 on the last start
+    val starts = col("starts")
+    val emptyInts = array().cast("array<int>")
+    val leads = concat(
+      slice(starts, lit(2), size(starts) - 1), array(col("n_tokens") + 1))
+    val gaps = zip_with(starts, leads, (s, nx) =>
+      when(nx - s > w, sequence(s + w, nx - 1)).otherwise(emptyInts))
+    val prefix = when(element_at(starts, 1) > 1,
+      sequence(lit(1), element_at(starts, 1) - 1)).otherwise(emptyInts)
+    val keptPos = concat(prefix, flatten(gaps))
     toks.join(dupStarts, Seq("id"), "left")
       .select(col("id"), concat_ws(" ", col("toks")).as("text"), col("n_tokens"),
         coalesce(col("n_dup_windows"), lit(0)).as("n_dup_windows"),
-        when(col("covered").isNull, col("toks"))
-          .otherwise(filter(col("toks"),
-            (t, i) => !array_contains(col("covered"), i + 1))).as("clean_toks"))
+        when(starts.isNull, col("toks"))
+          .otherwise(transform(keptPos, p => element_at(col("toks"), p)))
+          .as("clean_toks"))
       .select(col("id"), col("text"), col("n_tokens"), col("n_dup_windows"),
         (col("n_tokens") - size(col("clean_toks"))).as("dup_tokens"),
         concat_ws(" ", col("clean_toks")).as("clean_text"),

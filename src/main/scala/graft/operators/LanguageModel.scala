@@ -39,9 +39,29 @@ object LanguageModel {
     * corpus' distinct-token count (a bounded one-scalar action, same idiom
     * as TF-IDF's N). α is fixed at 0.5 so c+α stays exactly representable
     * in a double. */
-  def bigramNllScores(df: DataFrame, id: Column, text: Column, vocabSize: Long): DataFrame = {
-    val occ = df
-      .select(id.as("id"), TextOps.tokens(text).as("toks"))
+  def bigramNllScores(df: DataFrame, id: Column, text: Column, vocabSize: Long): DataFrame =
+    bigramNllFromTokens(
+      df.select(id.as("id"), TextOps.tokens(text).as("toks")).localCheckpoint(false),
+      vocabSize)
+
+  /** [[bigramNllScores]] with V = the corpus' own distinct-token count,
+    * computed from the SAME materialized token frame the scoring plan
+    * reads — the whole operator touches `df` exactly once (callers that
+    * ran a separate vocab-count scan paid a 4th corpus pass). */
+  def bigramNllScoresCorpusVocab(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks =
+      df.select(id.as("id"), TextOps.tokens(text).as("toks")).localCheckpoint(false)
+    val v = toks.select(explode(col("toks")).as("tok")).distinct().count()
+    bigramNllFromTokens(toks, v)
+  }
+
+  /** Scoring plan over a (id, toks) frame. The occurrence stream feeds
+    * THREE consumers (c12, c1, the probe join); the caller materializes
+    * the compact token frame once (localCheckpoint — the duplicateSpans
+    * idiom) so each consumer re-derives bigrams with a cheap map-side
+    * explode over stored doc rows instead of re-scanning the corpus. */
+  private def bigramNllFromTokens(toks: DataFrame, vocabSize: Long): DataFrame = {
+    val occ = toks
       .filter(size(col("toks")) >= 2)
       .select(col("id"),
         explode(transform(sequence(lit(1), size(col("toks")) - 1),
@@ -78,7 +98,7 @@ object LanguageModel {
     * BPE training at 100 TB is one corpus pass + cheap vocab-local loops. */
   def bpeMergeCandidates(df: DataFrame, text: Column, k: Int = 20): DataFrame = {
     val wf = df
-      .select(explode(TextOps.tokens(text)).as("word"))
+      .select(explode(bpeWords(text)).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("wf"))
       .filter(length(col("word")) >= 2)
     wf.select(col("wf"),
@@ -94,11 +114,25 @@ object LanguageModel {
     * `replace` of `␂a␃␂b␃ → ␂ab␃` consume whole adjacent units with NO
     * overlapping matches — left-to-right non-overlapping replace is
     * exactly BPE's merge application ("aaa" under (a,a) → "aa"+"a").
-    * Control chars never occur in whitespace-split tokens of the text
-    * corpora this runs on (corpus-pinned, same class as the repo's other
-    * operating points). */
+    * The sentinels are made structurally safe by [[bpeWords]]: every BPE
+    * entry point strips U+0000-U+0008 from tokens first, so a sentinel
+    * byte can never be CONTENT inside a segmentation string. */
   private[operators] val SegOpen = "\u0002"
   private[operators] val SegClose = "\u0003"
+
+  /** The word stream every BPE entry point trains/encodes over: whitespace
+    * tokens with U+0000-U+0008 stripped and then-empty tokens dropped.
+    * Control characters DO survive whitespace tokenization (`\\s+` excludes
+    * them), and on a hostile web corpus a literal U+0002/U+0003 inside a
+    * token would silently corrupt the sentinel segmentation - the token is
+    * mis-split at the embedded sentinel and the learned merges go wrong
+    * with no error. U+0000-U+0008 carry no printable content, so stripping
+    * them is a no-op on clean corpora (the DuckDB oracle replay stays
+    * value-exact) and a correctness fix on dirty ones. TextContractProps
+    * fuzzes this with control-char corpora. */
+  private[operators] def bpeWords(text: Column): Column =
+    filter(transform(TextOps.tokens(text),
+      t => regexp_replace(t, "[\\x00-\\x08]", "")), t => length(t) > 0)
 
   /** Full BPE tokenizer training (Sennrich-style): `numMerges` rounds of
     * (count corpus-weighted adjacent sub-word pairs over the vocabulary →
@@ -125,7 +159,7 @@ object LanguageModel {
     import org.apache.spark.sql.types._
     val spark = df.sparkSession
     var vocab = df
-      .select(explode(TextOps.tokens(text)).as("word"))
+      .select(explode(bpeWords(text)).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("wf"))
       .filter(length(col("word")) >= 2)
       .select(col("wf"),
@@ -182,7 +216,7 @@ object LanguageModel {
     * expression instead — same join topology, deeper per-word loop. */
   def bpeEncode(
       df: DataFrame, id: Column, text: Column, merges: Seq[(String, String)]): DataFrame = {
-    val toks = df.select(id.as("id"), explode(TextOps.tokens(text)).as("word"))
+    val toks = df.select(id.as("id"), explode(bpeWords(text)).as("word"))
     val seg0 = regexp_replace(col("word"), "(.)", s"$SegOpen$$1$SegClose")
     val segN = merges.foldLeft(seg0) { case (c, (a, b)) =>
       call_function("replace", c,

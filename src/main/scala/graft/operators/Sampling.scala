@@ -112,15 +112,27 @@ object Sampling {
       budget: Long): MixtureResult = {
     val ordered = targetWeights.toSeq.sortBy(_._1)
     val wsum = ordered.map(_._2).sum
-    val totals = df.groupBy(stratum.as("_s")).agg(sum(mass).as("_t"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // type hygiene at the collect boundary: stratum is cast to string and
+    // the mass sum to long IN the aggregate, so a non-string stratum column
+    // or a DoubleType mass never throws ClassCastException at collect time
+    // (fractional mass truncates — mass is a row/byte/token count in every
+    // caller). A NULL stratum aggregates like any other value but can never
+    // match a key of targetWeights (Map[String, _] holds no null), so its
+    // rows fall to threshold 0 and are dropped — same rule as any unlisted
+    // stratum.
+    val totals = df
+      .groupBy(stratum.cast("string").as("_s"))
+      .agg(sum(mass).cast("long").as("_t"))
+      .collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
+      .toMap
     val plan = ordered.map { case (s, w) =>
       val t = totals.getOrElse(s, 0L)
       val rate = if (t == 0L) 0.0 else math.min(1.0, ((w / wsum) * budget) / t)
       MixtureRate(s, t, rate, math.floor(rate * 65536.0).toInt)
     }
     val thr = plan.foldLeft(lit(0)) { case (acc, m) =>
-      when(stratum === m.stratum, lit(m.threshold)).otherwise(acc)
+      when(stratum.cast("string") === m.stratum, lit(m.threshold)).otherwise(acc)
     }
     MixtureResult(df.filter(hashBucket65536(key) < thr), plan)
   }
@@ -152,9 +164,13 @@ object Sampling {
       groupKey: Column,
       trainUpper: Int = 205,
       valUpper: Int = 230): DataFrame = {
-    val reps = df.groupBy(groupKey.as("_gk")).agg(min(id).as("rep"))
+    // null-safe key equality: a NULL groupKey (e.g. the fingerprint of a
+    // NULL text) forms its own dup class — groupBy already emits the NULL
+    // group, and <=> lets its rows find their rep instead of vanishing
+    // from the split (a plain equi-join never matches NULL keys)
+    val reps = df.groupBy(groupKey.as("_gkr")).agg(min(id).as("rep"))
     df.select(id.as("id"), groupKey.as("_gk"))
-      .join(reps, "_gk")
+      .join(reps, col("_gk") <=> col("_gkr"))
       .select(col("id"), col("rep"), hashBucket256(col("rep")).as("bucket"))
       .withColumn("split",
         when(col("bucket") < trainUpper, "train")

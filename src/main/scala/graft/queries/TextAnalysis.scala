@@ -419,10 +419,8 @@ object TextAnalysis {
       // per-doc sums are integer math — partial-aggregation-order- and
       // libm-independent (see LanguageModel's determinism contract).
       (s, dir) => {
-        val d = docs(s, dir)
-        val v = d.select(explode(TextOps.tokens(col("text"))).as("tok")).distinct().count()
         graft.operators.LanguageModel
-          .bigramNllScores(d, col("doc_id"), col("text"), v)
+          .bigramNllScoresCorpusVocab(docs(s, dir), col("doc_id"), col("text"))
           .withColumnRenamed("id", "doc_id")
           .orderBy(col("doc_id"))
       },

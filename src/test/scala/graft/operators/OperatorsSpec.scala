@@ -1254,4 +1254,83 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(u2.forall { case (k, v) => u4(k) <= v }, "4-merge units must not exceed 2-merge")
     assert(u4.values.sum < u0.values.sum, "4 merges must shrink the corpus total")
   }
+
+  test("leakage-safe split: NULL group keys get an assignment instead of vanishing") {
+    import spark.implicits._
+    // fingerprint(NULL text) is NULL — a plain equi-join would silently
+    // drop docs 3 and 4 from the split; the null-safe join keeps them as
+    // one dup class with rep = min id
+    val df = Seq((1L, Some("x")), (2L, Some("x")), (3L, None),
+      (4L, None), (5L, Some("y"))).toDF("doc_id", "text")
+    val got = Sampling.leakageSafeSplit(df, col("doc_id"), TextOps.fingerprint(col("text")))
+      .select(col("id"), col("rep"), col("split"))
+      .as[(Long, Long, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L), s"every row must be assigned: $got")
+    assert(got(3L) == got(4L), "NULL-keyed rows form one class")
+    assert(got(3L)._1 == 3L, "NULL class rep must be its min id")
+    assert(got(1L) == got(2L) && got(1L)._1 == 1L)
+  }
+
+  test("mixture sampling: non-string stratum and fractional mass collect safely") {
+    import spark.implicits._
+    // an Int stratum and a Double mass used to ClassCastException at the
+    // totals collect; NULL stratum rows behave like any unlisted stratum
+    val df = Seq((1L, Some(7), 10.5), (2L, Some(7), 10.5), (3L, Some(8), 21.0),
+      (4L, None, 5.0)).toDF("id", "s", "m")
+    val res = Sampling.mixtureSample(df, col("id"), col("s"), col("m"),
+      targetWeights = Map("7" -> 1.0), budget = 100L)
+    // mass sums truncate to long: stratum 7 → 21, capped at rate 1
+    assert(res.plan == Seq(Sampling.MixtureRate("7", 21L, 1.0, 65536)), s"plan: ${res.plan}")
+    val kept = res.sampled.select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L), s"listed stratum keeps all, NULL/unlisted drop: $kept")
+  }
+
+  test("duplicate-span removal: fully-duplicated 30k-token docs stay near-linear") {
+    // adversarial long-doc shape for the rewrite step: every window of both
+    // docs is duplicated, so covered ≈ L — the old per-token
+    // array_contains probe was O(L×C) ≈ 9·10⁸ comparisons PER DOC here
+    // (minutes); the interval-walk rewrite is O(L + C). Also pins the
+    // empty-prefix/empty-suffix sequence() guard: coverage starts at
+    // position 1 and runs to the end, so every kept-range is empty.
+    val n = 30000
+    val doc = (1 to n).map(i => s"t$i").mkString(" ")
+    val corpus = spark.createDataFrame(Seq((1L, doc), (2L, doc)))
+      .toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val got = Dedup.removeDuplicateSpans(corpus, col("doc_id"), col("text"), windowSize = 15)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Int]("dup_tokens"),
+        r.getAs[String]("clean_text"), r.getAs[Int]("n_clean_tokens")))
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(got.length == 2)
+    got.foreach { case (id, dup, clean, nClean) =>
+      assert(dup == n && nClean == 0 && clean == "", s"doc $id: dup=$dup nClean=$nClean")
+    }
+    assert(sec < 60.0, f"near-linear rewrite took $sec%.1f s — quadratic probe regressed?")
+  }
+
+  test("BPE entry points strip embedded sentinel control chars") {
+    import spark.implicits._
+    // / survive whitespace tokenization; unsanitized they
+    // corrupt the sentinel segmentation silently. Training, encoding, and
+    // pair counting must behave exactly as on the stripped corpus, and a
+    // control-char-only token must drop rather than become an empty word.
+    val dirty = Seq((1L, "ab\u0002 ab \u0002\u0003 ab\u0003cd abcd"))
+      .toDF("doc_id", "text")
+    val clean = Seq((1L, "ab ab abcd abcd")).toDF("doc_id", "text")
+    def train(df: org.apache.spark.sql.DataFrame) =
+      LanguageModel.bpeTrainMerges(df, col("text"), numMerges = 2)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(train(dirty) == train(clean), s"dirty: ${train(dirty)} clean: ${train(clean)}")
+    assert(train(clean) == Seq((0, "a", "b", 4L), (1, "ab", "c", 2L)))
+    def enc(df: org.apache.spark.sql.DataFrame) =
+      LanguageModel.bpeEncode(df, col("doc_id"), col("text"),
+        merges = Seq(("a", "b"), ("ab", "c")))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(enc(dirty) == enc(clean) && enc(clean) == Seq((1L, 4L, 6L)),
+      s"dirty: ${enc(dirty)} clean: ${enc(clean)}")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      LanguageModel.bpeMergeCandidates(df, col("text"), k = 5)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(pairs(dirty) == pairs(clean), s"dirty: ${pairs(dirty)} clean: ${pairs(clean)}")
+  }
 }
