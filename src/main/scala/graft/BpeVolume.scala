@@ -43,6 +43,32 @@ object BpeVolume {
       when(col("id") % 5 < 2, concat(lit("qz"), lower(conv(col("id"), 10, 36))))
         .otherwise(lower(conv(col("id") + 7777777L, 10, 36))).as("text"))
 
+    // optional first arg: a large rank budget (e.g. 256) switches to the
+    // replace-chain-depth rehearsal — train numMerges/2 then numMerges
+    // ranks and compare wall times. With the every-16-rounds vocab
+    // re-checkpoint the per-round cost is flat, so t(n) ≈ 2·t(n/2); the
+    // unbounded chain's O(rounds²) growth would give ~4×. Bound 3×.
+    args.headOption.map(_.toInt).filter(_ >= 64).foreach { n =>
+      def train(rounds: Int): Double = {
+        val t0 = System.nanoTime()
+        val m = graft.operators.LanguageModel
+          .bpeTrainMerges(corpus, col("text"), numMerges = rounds).collect()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[bpe-vol] $rounds%4d ranks: $sec%.1f s (${m.length} merges, " +
+          f"last n=${m.last.getLong(3)})")
+        assert(m.length == rounds, s"corpus must sustain $rounds merges, got ${m.length}")
+        sec
+      }
+      val tHalf = train(n / 2)
+      val tFull = train(n)
+      val ratio = tFull / tHalf
+      println(f"[bpe-vol] per-round flatness: t($n)/t(${n / 2}) = $ratio%.2f (bound 3.0)")
+      assert(ratio < 3.0,
+        f"replace-chain depth not bounded: doubling ranks cost $ratio%.2fx")
+      spark.stop()
+      return
+    }
+
     val listener = StageShuffleListener.install(spark)
     val merges = time("BPE training, 2M-word vocab, 6 merge rounds")(
       graft.operators.LanguageModel.bpeTrainMerges(corpus, col("text"), numMerges = 6)

@@ -153,8 +153,20 @@ object LanguageModel {
     * Pair counting is overlapping (every adjacent index pair, the
     * classic get_stats), merge application non-overlapping left-to-right
     * — both via the sentinel-string representation, so the DuckDB oracle
-    * can mirror each round with the same substr/split/replace calls. */
-  def bpeTrainMerges(df: DataFrame, text: Column, numMerges: Int = 6): DataFrame = {
+    * can mirror each round with the same substr/split/replace calls.
+    *
+    * Replace-chain depth is BOUNDED: each round appends one literal
+    * `replace` to the plan over the last checkpointed vocab, so round r
+    * would re-apply r prior replaces — O(rounds²/2) replace evaluations
+    * across training. Re-checkpointing the vocab every `checkpointEvery`
+    * rounds truncates the chain to <`checkpointEvery`, making per-round
+    * cost flat: O(rounds · checkpointEvery) total replace work plus one
+    * vocab materialization per window — the shape that holds at a
+    * production 32k-rank budget (BpeVolume rehearses 256 ranks and checks
+    * the two-halves wall-time ratio). */
+  def bpeTrainMerges(
+      df: DataFrame, text: Column, numMerges: Int = 6,
+      checkpointEvery: Int = 16): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val spark = df.sparkSession
@@ -189,6 +201,7 @@ object LanguageModel {
           lit(SegOpen + a + SegClose + SegOpen + b + SegClose),
           lit(SegOpen + a + b + SegClose)))
         r += 1
+        if (r % checkpointEvery == 0) vocab = vocab.localCheckpoint()
       }
     }
     val schema = StructType(Seq(
