@@ -1,0 +1,179 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{BloomJoin, Dedup, Sampling, VectorOps}
+
+/** End-to-end volume rehearsal of the INCREMENTAL production pipeline —
+  * the steady-state shape a growing 100 TB corpus actually runs, chaining
+  * the four incremental operators that are elsewhere rehearsed only in
+  * isolation:
+  *
+  *   existing corpus (100k docs, already deduped)
+  *     + incoming slice (25k docs: 5k exact dups, 2.5k near-dups, 17.5k
+  *       new — 30% of the new carrying a shared boilerplate paragraph)
+  *   A. exact incremental dedup — [[BloomJoin.bloomAntiJoin]] on the
+  *      fingerprint hash: the ~all-new majority of the slice skips the
+  *      anti-join shuffle entirely (bloom definite-miss fast path);
+  *   B. incremental SemDeDup — [[VectorOps.semanticDedupIncrementalLabels]]:
+  *      centroids fit on history only, existing×existing pairs never
+  *      generated; half-scale embedding copies anchor to their originals;
+  *   C. duplicate-span clean — [[Dedup.removeDuplicateSpans]] over the
+  *      kept slice: the shared paragraph (a ~5k-occurrence viral window)
+  *      is excised, unique remainders survive;
+  *   D. leakage-safe split — [[Sampling.leakageSafeSplit]] with the
+  *      NEAR-DUP CLUSTER LABEL as groupKey (the documented fuzzy
+  *      extension): a kept near-dup and its existing anchor share a
+  *      label, so they can never straddle train/test — exactly what a
+  *      per-row fingerprint split would get wrong.
+  *
+  * Every stage's effect is asserted EXACTLY (planted counts, anchors,
+  * coverage, co-assignment), and StageShuffleListener bounds the worst
+  * shuffle task across the whole chain.
+  */
+object IncrementalVolume {
+  def time[T](label: String)(f: => T): T = {
+    val t0 = System.nanoTime(); val r = f
+    println(f"[incr-vol] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s"); r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val listener = StageShuffleListener.install(spark)
+
+    val dims = 64
+    val boiler = (1 to 20).map(i => s"boiler$i").mkString(" ")
+
+    // planted-direction embeddings with hash jitter (the SemdedupVolume
+    // idiom: natural same-cluster cosines ≈ 0.96-0.98, far from 0.999;
+    // half-scale copies co-cluster with exactly-1.0 cosine)
+    def embed(idc: org.apache.spark.sql.Column) =
+      transform(sequence(lit(0), lit(dims - 1)), d =>
+        (when(d === (idc % dims).cast("int"), lit(8.0)).otherwise(lit(0.0))
+          + pmod(xxhash64(idc, d), lit(1000)).cast("double") / 1000.0 - 0.5)
+          .cast("float"))
+
+    def filler(idc: org.apache.spark.sql.Column, tag: String, n: Int) =
+      concat_ws(" ", (1 to n).map(i => concat(lit("u"), idc, lit(s"_$tag$i"))): _*)
+
+    val existing = spark.range(100000).select(
+      col("id"),
+      filler(col("id"), "e", 8).as("text"),
+      embed(col("id")).as("vec"))
+      .localCheckpoint()
+
+    // incoming index i in [0, 25000), ids offset by 1M:
+    //   i <  5000  → exact dup of existing 50000+i (text copied verbatim)
+    //   i < 7500   → near-dup of existing i-5000 (one appended token breaks
+    //                the exact fingerprint; half-scale vec co-clusters)
+    //   else       → new doc; i%10<3 embeds the shared boilerplate paragraph
+    val incoming = spark.range(25000).select(
+      (col("id") + 1000000L).as("id"), col("id").as("i"))
+      .select(col("id"),
+        when(col("i") < 5000, filler(col("i") + 50000L, "e", 8))
+          .when(col("i") < 7500,
+            concat(filler(col("i") - 5000L, "e", 8), lit(" mutated")))
+          .when(col("i") % 10 < 3,
+            concat_ws(" ", filler(col("id"), "n", 15), lit(boiler),
+              filler(col("id"), "m", 15)))
+          .otherwise(filler(col("id"), "n", 30)).as("text"),
+        when(col("i") >= 5000 && col("i") < 7500,
+          transform(embed(col("i") - 5000L), x => x * lit(0.5f)))
+          .otherwise(embed(col("id"))).as("vec"),
+        col("i"))
+      .localCheckpoint()
+
+    // --- A. exact incremental dedup (bloom anti-join on fingerprint hash)
+    val exKeys = existing
+      .select(xxhash64(graft.operators.TextOps.fingerprint(col("text"))).as("fh2"))
+      .localCheckpoint()
+    val survivorsA = time("A: bloom exact incremental dedup, 25k vs 100k")(
+      BloomJoin.bloomAntiJoin(
+        incoming.withColumn("fh", xxhash64(
+          graft.operators.TextOps.fingerprint(col("text")))),
+        exKeys, col("fh"), col("fh2"), col("fh") === col("fh2"),
+        fpp = 0.001)
+        .drop("fh").localCheckpoint())
+    val nA = survivorsA.count()
+    assert(nA == 20000L, s"stage A must drop exactly the 5k exact dups: $nA")
+    assert(survivorsA.filter(col("i") < 5000).count() == 0L,
+      "no exact dup may survive stage A")
+
+    // --- B. incremental SemDeDup (new slice vs history, anchor-priority)
+    val labelsB = time("B: incremental SemDeDup k=64, threshold 0.999")(
+      VectorOps.semanticDedupIncrementalLabels(
+        existing.select(col("id"), col("vec")),
+        survivorsA.select(col("id"), col("vec")),
+        "id", "vec", k = dims, threshold = 0.999)
+        .localCheckpoint())
+    val flagged = labelsB.filter(col("id") =!= col("rep"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged.size == 2500, s"stage B must flag exactly the near-dups: ${flagged.size}")
+    assert(flagged.forall { case (id, rep) => rep == id - 1000000L - 5000L },
+      "every near-dup must anchor to its existing original (min EXISTING id)")
+    val keptB = survivorsA.join(
+      labelsB.filter(col("id") === col("rep")).select(col("id")), Seq("id"), "left_semi")
+      .localCheckpoint()
+    assert(keptB.count() == 17500L, "stage B keeps the 17.5k genuinely-new docs")
+
+    // --- C. duplicate-span clean over the kept slice
+    val cleaned = time("C: duplicate-span clean, 17.5k docs, ~5k-viral paragraph")(
+      Dedup.removeDuplicateSpans(keptB, col("id"), col("text"), windowSize = 15)
+        .localCheckpoint())
+    val carriers = cleaned.filter(col("n_dup_windows") > 0)
+      .agg(count(lit(1)), min(col("dup_tokens")), max(col("dup_tokens")),
+        min(col("n_clean_tokens")), max(col("n_clean_tokens"))).collect()(0)
+    assert(carriers.getLong(0) == 5250L,
+      s"exactly the 30% boilerplate carriers are flagged: ${carriers.getLong(0)}")
+    assert(carriers.getInt(1) == 20 && carriers.getInt(2) == 20,
+      "excised coverage must be exactly the 20-token paragraph")
+    assert(carriers.getInt(3) == 30 && carriers.getInt(4) == 30,
+      "each carrier's unique 30-token remainder must survive")
+    assert(cleaned.filter(col("n_dup_windows") === 0).count() == 12250L)
+
+    // --- D. leakage-safe split with the near-dup cluster label as groupKey
+    // history keeps its own id as label (already deduped); the incoming
+    // slice CARRIES its stage-B label — so a kept near-dup and its anchor
+    // form one class and can never straddle the split boundary
+    val grown = existing.select(col("id"), col("id").as("label"))
+      .unionAll(survivorsA.select(col("id")).join(labelsB, "id")
+        .select(col("id"), col("rep").as("label")))
+    val split = time("D: leakage-safe split over 120k grown corpus")(
+      Sampling.leakageSafeSplit(grown, col("id"), col("label"))
+        .localCheckpoint())
+    assert(split.count() == 120000L, "every grown-corpus row gets an assignment")
+    val straddle = split.as("a")
+      .filter(col("a.id") >= 1005000L && col("a.id") < 1007500L)
+      .join(split.as("b"), col("a.id") === col("b.id") + 1000000L + 5000L)
+      .filter(col("a.split") =!= col("b.split")).count()
+    assert(straddle == 0L,
+      s"a near-dup pair straddles train/test despite the fuzzy label: $straddle")
+    // the fuzzy label is LOAD-BEARING: the same split keyed on the exact
+    // fingerprint separates at least one of the 2.5k mutated pairs
+    val exactSplit = Sampling.leakageSafeSplit(
+      existing.select(col("id"), col("text"))
+        .unionAll(survivorsA.select(col("id"), col("text"))),
+      col("id"), graft.operators.TextOps.fingerprint(col("text")))
+    val leaked = exactSplit.as("a")
+      .filter(col("a.id") >= 1005000L && col("a.id") < 1007500L)
+      .join(exactSplit.as("b"), col("a.id") === col("b.id") + 1000000L + 5000L)
+      .filter(col("a.split") =!= col("b.split")).count()
+    assert(leaked > 0L, "corpus too small to demonstrate the exact-split leak")
+    println(s"[incr-vol] fuzzy split: 0/2500 near-dup pairs straddle; " +
+      s"exact-fingerprint split would leak $leaked/2500")
+
+    listener.drain(minTasks = 100L)
+    val worst = listener.worstTaskRows
+    println(s"[incr-vol] worst shuffle task rows across the chain: $worst (bound 500000)")
+    assert(worst < 500000, s"a task read a corpus-scale row count: $worst")
+    spark.stop()
+  }
+}

@@ -1255,6 +1255,40 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(u4.values.sum < u0.values.sum, "4 merges must shrink the corpus total")
   }
 
+  test("fuzzy leakage-safe split: near-dup cluster labels co-assign what fingerprints miss") {
+    import spark.implicits._
+    // doc 200001 is a one-token edit of doc 1: exact fingerprints differ
+    // (a naive exact-keyed split can separate them), but the minhash
+    // near-dup CLUSTER label — the documented fuzzy groupKey extension —
+    // puts them in one class, so they co-assign by construction
+    val near = docs.filter(col("doc_id") < 40).unionAll(
+      docs.filter(col("doc_id") < 40)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          regexp_replace(col("text"), "\\bthe\\b", "thee").as("text")))
+    val pairs = Dedup.minhashCandidates(near, col("doc_id"), col("text"))
+    val labels = Dedup.connectedComponentsMin(
+      near.select(col("doc_id").as("id")), pairs)
+    val planted: Set[(Long, Long)] = pairs
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .filter(p => p._2 == p._1 + 200000)
+    assert(planted.nonEmpty, "minhash must surface at least one mutated pair")
+    val withLabel = near.join(labels, near("doc_id") === labels("id"))
+      .select(col("doc_id"), col("rep"))
+    val splits = Sampling.leakageSafeSplit(withLabel, col("doc_id"), col("rep"))
+      .select(col("id"), col("split")).as[(Long, String)].collect().toMap
+    planted.foreach { case (a, b) =>
+      assert(splits(a) == splits(b),
+        s"near-dup pair ($a, $b) straddled the split despite a shared cluster label")
+    }
+    // and for the genuinely mutated pairs (docs containing "the") the
+    // fingerprint key differs — the exact split has no class tying them
+    val fps = near.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .as[(Long, String)].collect().toMap
+    val mutated = planted.filter { case (a, b) => fps(a) != fps(b) }
+    assert(mutated.nonEmpty,
+      "at least one planted pair must be a true near-dup (not an exact copy)")
+  }
+
   test("leakage-safe split: NULL group keys get an assignment instead of vanishing") {
     import spark.implicits._
     // fingerprint(NULL text) is NULL — a plain equi-join would silently
