@@ -359,6 +359,215 @@ class EngineContractProps extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  /** One random chained request SEQUENCE — the ODF model is a LEDGER, and
+    * the single-request loop above never exercises state that only exists
+    * ACROSS requests: an upstream ledger that grows a slice per round
+    * (dataPaths accumulate, the offset interval walks forward), schema
+    * evolution arriving mid-sequence, output nextOffset chaining
+    * (round r+1's nextOffset = round r's end + 1), per-round retraction
+    * pass-through, and watermarks advancing per input. Each round is
+    * checked against the stepwise-evolved in-memory model; after the last
+    * round the CONCATENATED output ledger must read back as one dense
+    * append-only history. The query chain, vocabularies, and propagation
+    * mode are fixed per case — a derived dataset's transform doesn't
+    * change between pulls. */
+  private def runSequence(seed: Long, dir: Path): Unit = {
+    val rnd = new Random(seed)
+    def pick[T](xs: Seq[T]): T = xs(rnd.nextInt(xs.length))
+    val iv = DatasetVocabulary(pick(offsetNames), pick(opNames), pick(stNames), pick(etNames))
+    val ov = DatasetVocabulary(pick(offsetNames), pick(opNames), pick(stNames), pick(etNames))
+    val alias = pick(aliasPool)
+    val rounds = 3 + rnd.nextInt(3)
+    val propagate = rnd.nextInt(3) == 0
+    val opNarrow = rnd.nextBoolean()
+    val filterMod = 2 + rnd.nextInt(4)
+    val filterRes = rnd.nextInt(filterMod)
+    val twoSteps = rnd.nextBoolean()
+    val addConst = if (twoSteps) rnd.nextInt(100).toLong else 0L
+    // slices written from round `evolveFrom` on carry an extra column the
+    // schema file (slice 0) doesn't know — may be ≥ rounds (no evolution)
+    val evolveFrom = 1 + rnd.nextInt(rounds + 2)
+    val ghost = rnd.nextInt(3) == 0
+    val et0 = pick(instPool)
+    val nextOffset0 = Seq(0L, 7L, 1000L)(rnd.nextInt(3))
+    val ingestTime = Timestamp.from(Instant.parse("2023-12-01T00:00:00Z"))
+    val opType: DataType = if (opNarrow) ShortType else IntegerType
+
+    val ghostPath = dir.resolve("ghost.parquet")
+    if (ghost) writeSlice(
+      StructType(Seq(
+        StructField("offset", LongType, nullable = false),
+        StructField("op", IntegerType, nullable = false),
+        StructField("system_time", TimestampType, nullable = false),
+        StructField("event_time", TimestampType, nullable = false),
+        StructField("gv", LongType, nullable = false)).toIndexedSeq),
+      Seq(Row(0L, 0, ingestTime, ingestTime, 1L)), ghostPath)
+
+    val opSel1 = if (propagate) s", ${q(iv.operationTypeColumn)} AS op_tmp" else ""
+    val opSelN = if (propagate) ", op_tmp" else ""
+    val opOut = if (propagate) s", op_tmp AS ${q(ov.operationTypeColumn)}" else ""
+    val s1 = s"SELECT ${q(iv.eventTimeColumn)} AS et_tmp, v, w$opSel1 " +
+      s"FROM ${q(alias)} WHERE v % $filterMod != $filterRes"
+    val steps =
+      if (twoSteps) Seq(
+        SqlQueryStep.named("step1", s1),
+        SqlQueryStep.named("step2", s"SELECT et_tmp, v + $addConst AS v, w$opSelN FROM step1"),
+        SqlQueryStep.output(s"SELECT et_tmp AS ${q(ov.eventTimeColumn)}, v AS v2, w$opOut FROM step2"))
+      else Seq(
+        SqlQueryStep.named("step1", s1),
+        SqlQueryStep.output(s"SELECT et_tmp AS ${q(ov.eventTimeColumn)}, v AS v2, w$opOut FROM step1"))
+
+    var upOffset = 0L
+    var outOffset = nextOffset0
+    var slicePaths = Vector.empty[String]
+    var wmA = pick(instPool)
+    var wmB = pick(instPool)
+    var allWmPresent = true
+    val gotWms = scala.collection.mutable.ArrayBuffer.empty[Instant]
+    val outPaths = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cumulative = scala.collection.mutable.ArrayBuffer.empty[(Timestamp, Long, String)]
+
+    for (r <- 0 until rounds) {
+      // round 0 always has data (the schema file must exist); later rounds
+      // may be empty pulls (no new data — the None-interval path)
+      val nR = if (r == 0) 1 + rnd.nextInt(6) else rnd.nextInt(7)
+      val sysTime = et0.plusSeconds(3600L * (r + 1))
+      val evolve = r >= evolveFrom
+      val rows = (0 until nR).map { i =>
+        val off = upOffset + i
+        LRow(off, et0.plusSeconds(60L * off), off, s"w$off")
+      }
+      if (nR > 0) {
+        val fields = Seq(
+          StructField(iv.offsetColumn, LongType, nullable = false),
+          StructField(iv.operationTypeColumn, opType, nullable = false),
+          StructField(iv.systemTimeColumn, TimestampType, nullable = false),
+          StructField(iv.eventTimeColumn, TimestampType, nullable = false),
+          StructField("v", LongType, nullable = false),
+          StructField("w", StringType, nullable = false)) ++
+          (if (evolve) Seq(StructField("extra", LongType, nullable = true)) else Nil)
+        val sliceRows = rows.map { row =>
+          val opV: Any =
+            if (opNarrow) (row.offset % 4).toShort else (row.offset % 4).toInt
+          val core = Seq[Any](row.offset, opV, ingestTime, Timestamp.from(row.et),
+            row.v, row.w)
+          Row.fromSeq(if (evolve) core :+ (row.v * 10) else core)
+        }
+        val p = dir.resolve(s"slice$r.parquet")
+        writeSlice(StructType(fields.toIndexedSeq), sliceRows, p)
+        slicePaths :+= p.toString
+      }
+
+      wmA = wmA.plusSeconds(rnd.nextInt(500).toLong)
+      wmB = wmB.plusSeconds(rnd.nextInt(500).toLong)
+      val emitA = rnd.nextInt(5) != 0
+      val emitB = ghost && rnd.nextInt(5) != 0
+      if (!emitA || (ghost && !emitB)) allWmPresent = false
+      val wm1 = if (emitA)
+        Seq(Watermark(sysTime, wmA)) ++
+          (if (rnd.nextBoolean()) Seq(Watermark(sysTime, wmA.minusSeconds(60))) else Nil)
+      else Nil
+      val wm2 = if (emitB) Seq(Watermark(sysTime, wmB)) else Nil
+
+      val interval =
+        if (nR > 0) Some(OffsetInterval(upOffset, upOffset + nR - 1)) else None
+      val dataPaths = if (nR > 0) slicePaths else Nil
+      val outPath = dir.resolve(s"out$r.parquet").toString
+      val inputs = Seq(
+        TransformRequestInput(
+          datasetId = "did:odf:seq-in", datasetAlias = alias, queryAlias = alias,
+          vocab = iv, offsetInterval = interval, dataPaths = dataPaths,
+          schemaFile = slicePaths.head, explicitWatermarks = wm1)) ++
+        (if (ghost) Seq(TransformRequestInput(
+          datasetId = "did:odf:seq-ghost", datasetAlias = "ghost_t", queryAlias = "ghost_t",
+          vocab = DatasetVocabulary(), offsetInterval = None, dataPaths = Nil,
+          schemaFile = ghostPath.toString, explicitWatermarks = wm2))
+        else Nil)
+
+      val res = engine.executeTransform(TransformRequest(
+        datasetId = "did:odf:seq-out", datasetAlias = "seq_out",
+        systemTime = sysTime, vocab = ov, queries = steps, queryInputs = inputs,
+        nextOffset = outOffset, newDataPath = outPath))
+
+      // --- stepwise model ------------------------------------------------
+      val selected = rows.filter(_.v % filterMod != filterRes)
+      val n = selected.size.toLong
+      val expectedInterval =
+        if (n > 0) Some(OffsetInterval(outOffset, outOffset + n - 1)) else None
+      val perInputMax = Seq(
+        wm1.map(_.eventTime).maxOption,
+        if (ghost) wm2.map(_.eventTime).maxOption else None).flatten
+      val expectedWm = if (perInputMax.isEmpty) None else Some(perInputMax.min)
+      val ctx = s"seed=$seed round=$r/$rounds iv=$iv ov=$ov propagate=$propagate " +
+        s"narrow=$opNarrow evolveFrom=$evolveFrom ghost=$ghost nR=$nR"
+      assert(res == Right(TransformResponseSuccess(expectedInterval, expectedWm)),
+        s"$ctx res=$res")
+      expectedWm.foreach(gotWms += _)
+
+      if (n > 0) {
+        val out = spark.read.parquet(outPath)
+        val got = out.collect()
+        assert(got.length.toLong == n, ctx)
+        assert(got.map(_.getLong(0)).sorted.toSeq ==
+          (outOffset until outOffset + n), s"$ctx offsets not dense from $outOffset")
+        if (propagate)
+          assert(got.map(r2 => (r2.getLong(4) - addConst, r2.getInt(1))).toSet ==
+            selected.map(row => (row.v, (row.offset % 4).toInt)).toSet,
+            s"$ctx retraction ops not passed through")
+        else assert(got.forall(_.getInt(1) == OperationType.Append), ctx)
+        assert(got.forall(_.getTimestamp(2) == Timestamp.from(sysTime)), ctx)
+        val gotData = got.map(r2 =>
+          (r2.getTimestamp(3), r2.getLong(4), r2.getString(5))).toSeq
+        val expData = selected.map(row =>
+          (Timestamp.from(row.et), row.v + addConst, row.w))
+        assert(gotData.sortBy(t => (t._2, t._3)) == expData.sortBy(t => (t._2, t._3)),
+          s"$ctx data multiset mismatch")
+        cumulative ++= expData
+        outPaths += outPath
+      } else {
+        // an empty pull still writes the slice file (0 rows, full stamped
+        // schema) — kamu decides what to do with it; the engine's contract
+        // is the None interval in the response plus a readable empty file
+        val out = spark.read.parquet(outPath)
+        assert(out.count() == 0L, s"$ctx empty round wrote rows")
+        assert(out.schema.fieldNames.take(4).toSeq == Seq(
+          ov.offsetColumn, ov.operationTypeColumn,
+          ov.systemTimeColumn, ov.eventTimeColumn), s"$ctx empty-slice schema")
+      }
+
+      upOffset += nR
+      outOffset += n
+    }
+
+    // with every input emitting watermarks every round and per-input maxima
+    // only advancing, min-of-max must be non-decreasing across the sequence
+    if (allWmPresent && gotWms.length >= 2)
+      gotWms.toSeq.sliding(2).foreach { w =>
+        assert(!w(1).isBefore(w(0)), s"seed=$seed watermark regressed: $gotWms")
+      }
+
+    // the concatenated output ledger is one dense append-only history
+    if (outPaths.nonEmpty) {
+      val all = spark.read.parquet(outPaths.toSeq: _*).collect()
+      assert(all.length == cumulative.size, s"seed=$seed ledger row count")
+      assert(all.map(_.getLong(0)).sorted.toSeq ==
+        (nextOffset0 until nextOffset0 + cumulative.size),
+        s"seed=$seed ledger offsets not dense across rounds")
+      assert(all.map(r2 => (r2.getTimestamp(3), r2.getLong(4), r2.getString(5)))
+        .toSeq.sortBy(t => (t._2, t._3)) ==
+        cumulative.toSeq.sortBy(t => (t._2, t._3)),
+        s"seed=$seed ledger data mismatch")
+    }
+  }
+
+  test("sequence fuzz: 200 chained request sequences evolve the ledger model stepwise") {
+    val root = Files.createTempDirectory("odf-contract-seq")
+    for (seed <- 0L until 200L) {
+      val dir = Files.createDirectory(root.resolve(s"case$seed"))
+      runSequence(seed, dir)
+    }
+  }
+
   test("rejection fuzz: 60 mutated requests all surface InvalidQuery, no file written") {
     val root = Files.createTempDirectory("odf-contract-mut")
     val slice = root.resolve("src.parquet")
