@@ -36,6 +36,32 @@ object DupSpanVolume {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // optional first arg "longdoc": the REWRITE-step rehearsal — 64 pairs
+    // of identical 100k-token docs, so covered ≈ L for every doc. The old
+    // per-token array_contains probe was O(L×C) ≈ 10^10 comparisons per
+    // doc (hours); the interval-walk rewrite is O(L + C) and must clear
+    // the whole corpus in well under two minutes.
+    if (args.headOption.contains("longdoc")) {
+      val L = 100000
+      val docs = spark.range(64).select(
+        col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(1), lit(L)),
+          i => concat(lit("t"), (col("id") % 2) * 1000000 + i))).as("text"))
+      val t0 = System.nanoTime()
+      val agg = graft.operators.Dedup
+        .removeDuplicateSpans(docs, col("doc_id"), col("text"), windowSize = 15)
+        .agg(count(lit(1)), sum(col("dup_tokens")), max(col("n_clean_tokens")))
+        .collect()(0)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[dupspan-vol] longdoc: 64 x ${L} fully-duplicated tokens " +
+        f"rewritten in $sec%.1f s")
+      assert(agg.getLong(0) == 64L && agg.getLong(1) == 64L * L && agg.getInt(2) == 0,
+        s"every token of every doc must be excised: $agg")
+      assert(sec < 120.0, f"rewrite took $sec%.1f s — quadratic probe regressed?")
+      spark.stop()
+      return
+    }
+
     val boiler = (1 to 20).map(i => s"boiler$i").mkString(" ")
     // 15 unique tokens + the 20-token banner + 15 more unique tokens:
     // only windows fully inside the banner (6 per doc) are duplicated
