@@ -131,8 +131,8 @@ object LanguageModel {
     * value-exact) and a correctness fix on dirty ones. TextContractProps
     * fuzzes this with control-char corpora. */
   private[operators] def bpeWords(text: Column): Column =
-    filter(transform(TextOps.tokens(text),
-      t => regexp_replace(t, "[\\x00-\\x08]", "")), t => length(t) > 0)
+    filter(TextOps.tokens(regexp_replace(text, "[\\x00-\\x08]", "")),
+      t => length(t) > 0)
 
   /** Full BPE tokenizer training (Sennrich-style): `numMerges` rounds of
     * (count corpus-weighted adjacent sub-word pairs over the vocabulary →
