@@ -484,6 +484,27 @@ class EngineContractProps extends AnyFunSuite with BeforeAndAfterAll {
           schemaFile = ghostPath.toString, explicitWatermarks = wm2))
         else Nil)
 
+      // occasionally a BROKEN pull lands mid-sequence (bad transform
+      // version, operator error): it must reject WITHOUT writing a file,
+      // and the ledger must continue from the same nextOffset as if the
+      // failed pull never happened — no partial state survives a failure
+      if (rnd.nextInt(4) == 0) {
+        val badPath = dir.resolve(s"bad$r.parquet").toString
+        val badSteps = Seq(
+          SqlQueryStep.named("step1", s1),
+          SqlQueryStep.output(
+            s"SELECT ${q(iv.eventTimeColumn)} AS ${q(ov.eventTimeColumn)}, " +
+              s"1 AS ${q(ov.offsetColumn)} FROM ${q(alias)}"))
+        val bad = engine.executeTransform(TransformRequest(
+          datasetId = "did:odf:seq-out", datasetAlias = "seq_out",
+          systemTime = sysTime, vocab = ov, queries = badSteps, queryInputs = inputs,
+          nextOffset = outOffset, newDataPath = badPath))
+        assert(bad.isLeft && bad.swap.exists(_.isInstanceOf[InvalidQuery]),
+          s"seed=$seed round=$r broken pull must reject: $bad")
+        assert(Files.notExists(java.nio.file.Paths.get(badPath)),
+          s"seed=$seed round=$r broken pull wrote a file")
+      }
+
       val res = engine.executeTransform(TransformRequest(
         datasetId = "did:odf:seq-out", datasetAlias = "seq_out",
         systemTime = sysTime, vocab = ov, queries = steps, queryInputs = inputs,
