@@ -431,6 +431,76 @@ object TextContractChecks {
       s"overlap diverged (n=$n): got=$got want=$want ${clue(seed, docs)}")
   }
 
+  // --- TextOps scalar primitives -------------------------------------------
+
+  private def mNormalized(text: String): String =
+    trimSpaces(text.toLowerCase).replaceAll("\\s+", " ")
+
+  /** Independent model of the native RabinFingerprint expression: Horner
+    * fold h = (h·B + byte) mod P over the normalized text's UTF-8 bytes. */
+  private def mRollingFingerprint(text: String): Long = {
+    val B = 1000003L; val P = 2147483647L
+    var h = 0L
+    mNormalized(text).getBytes("UTF-8").foreach { b => h = (h * B + (b & 0xff)) % P }
+    h
+  }
+
+  private def mStopwordHits(tk: Array[String], lang: String): Int =
+    tk.count(TextOps.stopwords(lang).toSet)
+
+  private def mQualityScore(text: String): Double = {
+    val len = text.codePointCount(0, text.length)
+    val tk = mTokens(text)
+    val stripped = text.replaceAll("[.,!?;:'\"()-]", "")
+    val punct = (len - stripped.codePointCount(0, stripped.length)).toDouble /
+      math.max(len, 1)
+    val swr = mStopwordHits(tk, "en").toDouble / math.max(tk.length, 1)
+    math.floor((math.min(len.toDouble / 500.0, 1.0) * 0.4 +
+      math.min(swr * 5.0, 1.0) * 0.3 +
+      (1.0 - math.min(punct * 10.0, 1.0)) * 0.3) * 1e6) / 1e6
+  }
+
+  private def mLangId(tk: Array[String]): String = {
+    val (en, de, es, fr) = (mStopwordHits(tk, "en"), mStopwordHits(tk, "de"),
+      mStopwordHits(tk, "es"), mStopwordHits(tk, "fr"))
+    if (en >= de && en >= es && en >= fr) "en"
+    else if (de >= es && de >= fr) "de"
+    else if (es >= fr) "es"
+    else "fr"
+  }
+
+  /** Scalar primitives vs their models — token counting (with the ""→[""]
+    * quirk), heuristic language ID (tie priority en>de>es>fr), the
+    * floor-truncated quality score (exact double-op replay, code-point
+    * lengths), the md5 whole-doc fingerprint, the min-md5 1-hash MinHash
+    * shingle fingerprint (hex string order = byte order), and the NATIVE
+    * Rabin rolling fingerprint against an independent Horner fold. */
+  def checkTextOps(spark: SparkSession, seed: Long): Unit = {
+    val rnd = new Random(seed)
+    val docs = genCorpus(rnd, maxDocs = 15)
+    graft.functions.NativeHashes.register(spark)
+    val got = toDf(spark, docs).select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("tc"),
+        TextOps.langId(col("text")).as("lang"),
+        TextOps.qualityScore(col("text")).as("q"),
+        TextOps.fingerprint(col("text")).as("fp"),
+        TextOps.shingleFingerprint(col("text")).as("sfp"),
+        TextOps.rollingFingerprint(col("text")).as("rh"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getString(2), r.getDouble(3), r.getString(4),
+          r.getString(5), r.getLong(6))).toMap
+    val want = docs.map { case (id, t, _) =>
+      val text = t.get
+      val tk = mTokens(text)
+      id -> (tk.length, mLangId(tk), mQualityScore(text),
+        md5Hex(mNormalized(text)),
+        mShingles(text, 3).map(sh => md5Hex(sh)).min,
+        mRollingFingerprint(text))
+    }.toMap
+    check(got == want,
+      s"TextOps primitives diverged: got=$got want=$want ${clue(seed, docs)}")
+  }
+
   // --- partitioning independence (metamorphic) -----------------------------
 
   def checkPartitioning(spark: SparkSession, seed: Long): Unit = {
@@ -457,6 +527,7 @@ object TextContractChecks {
     "split" -> checkSplit _,
     "mixture" -> checkMixture _,
     "overlap" -> checkOverlap _,
+    "textops" -> checkTextOps _,
     "partitioning" -> checkPartitioning _)
 }
 

@@ -93,6 +93,10 @@ class TextContractProps extends AnyFunSuite with BeforeAndAfterAll {
     for (seed <- 600L until 720L) checkOverlap(spark, seed)
   }
 
+  test("TextOps scalar primitives match their models on random corpora") {
+    for (seed <- 900L until 1000L) checkTextOps(spark, seed)
+  }
+
   test("text operators are partitioning-independent on hostile corpora") {
     for (seed <- 800L until 805L) checkPartitioning(spark, seed)
   }
