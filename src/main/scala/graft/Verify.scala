@@ -28,8 +28,10 @@ object Verify {
         val dir = Paths.get(outDir, name)
         if (Files.exists(dir)) {
           import scala.jdk.CollectionConverters._
-          Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+          val walk = Files.walk(dir)
+          try walk.sorted(java.util.Comparator.reverseOrder())
             .iterator().asScala.foreach(Files.delete)
+          finally walk.close()
         }
       }
     }
