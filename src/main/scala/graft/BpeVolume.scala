@@ -43,6 +43,72 @@ object BpeVolume {
       when(col("id") % 5 < 2, concat(lit("qz"), lower(conv(col("id"), 10, 36))))
         .otherwise(lower(conv(col("id") + 7777777L, 10, 36))).as("text"))
 
+    // optional first arg "encode32k": rehearse PRODUCTION-scale encode —
+    // a synthetic well-formed 32,768-rank merge table (all 1,296 base-36
+    // char pairs ranked lexicographically, then 2-char-unit + char pairs
+    // up to the budget) applied to the 2M-word corpus through the native
+    // BpeUnits expression. The plan-literal replace chain this replaced
+    // ceilinged at O(100) ranks; the native path holds the whole table in
+    // one expression and skips inapplicable ranks in O(1).
+    if (args.headOption.contains("encode32k")) {
+      val alpha = "0123456789abcdefghijklmnopqrstuvwxyz"
+      val pairs1 = for (a <- alpha; b <- alpha) yield (a.toString, b.toString)
+      val pairs2 = for (a <- alpha; b <- alpha; c <- alpha)
+        yield (s"$a$b", c.toString)
+      val table = (pairs1 ++ pairs2).take(32768)
+      println(s"[bpe-vol] merge table ranks: ${table.length}")
+
+      // driver-side replica of the rank-order pass rule for spot checks
+      def encodeLocal(word: String): Int = {
+        var units = word.map(_.toString).toArray
+        val present = scala.collection.mutable.HashSet.empty[String] ++ units
+        for ((a, b) <- table if units.length > 1) {
+          if (present.contains(a) && present.contains(b)) {
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < units.length) {
+              if (i + 1 < units.length && units(i) == a && units(i + 1) == b) {
+                out += (a + b); present += (a + b); i += 2
+              } else { out += units(i); i += 1 }
+            }
+            units = out.toArray
+          }
+        }
+        units.length
+      }
+
+      val corpus = spark.range(2000000).select(
+        col("id").as("doc_id"),
+        when(col("id") % 5 < 2, concat(lit("qz"), lower(conv(col("id"), 10, 36))))
+          .otherwise(lower(conv(col("id") + 7777777L, 10, 36))).as("text"))
+      val t0 = System.nanoTime()
+      val enc = graft.operators.LanguageModel
+        .bpeEncode(corpus, col("doc_id"), col("text"), table)
+      val agg = enc.agg(count(lit(1)), sum(col("n_words")), sum(col("n_units")))
+        .collect()(0)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val chars = corpus.agg(sum(length(col("text")))).collect()(0).getLong(0)
+      println(f"[bpe-vol] encode32k: 2M words, 32768 ranks in $sec%.1f s — " +
+        s"docs=${agg.getLong(0)} words=${agg.getLong(1)} " +
+        s"units=${agg.getLong(2)} (chars=$chars)")
+      assert(agg.getLong(0) == 2000000L && agg.getLong(1) == 2000000L)
+      assert(agg.getLong(2) < chars / 2,
+        s"32k ranks must at least halve the unit count: ${agg.getLong(2)} vs $chars")
+      // spot-check three words end-to-end against the driver replica
+      val sample = corpus.filter(col("doc_id").isin(0L, 1L, 999999L))
+        .select(col("doc_id"), col("text")).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val got = enc.filter(col("id").isin(0L, 1L, 999999L))
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      sample.foreach { case (id, w) =>
+        assert(got(id) == encodeLocal(w).toLong,
+          s"doc $id ('$w'): native ${got(id)} != replica ${encodeLocal(w)}")
+      }
+      println(s"[bpe-vol] spot checks vs driver replica: ok")
+      spark.stop()
+      return
+    }
+
     // optional first arg: a large rank budget (e.g. 256) switches to the
     // replace-chain-depth rehearsal — train numMerges/2 then numMerges
     // ranks and compare wall times. With the every-16-rounds vocab

@@ -599,10 +599,117 @@ object NativeHashes {
       copy(vec = newLeft, centroidsExpr = newRight)
   }
 
+  /** BPE merge application compiled into ONE native expression — the
+    * production path for large merge tables, where a plan-literal
+    * `replace` chain (one call per rank) stops being viable past O(100)
+    * ranks. Semantics are EXACTLY the sentinel-replace chain it replaces
+    * ([[graft.operators.LanguageModel.bpeEncode]]'s documented rule):
+    * merges apply in rank order, each rank as one left-to-right
+    * non-overlapping pass over the unit sequence — NOT the
+    * lowest-rank-priority-queue variant some tokenizers use, whose result
+    * can differ on hand-crafted (non-train-produced) tables. Output is
+    * the final unit array.
+    *
+    * Per-word cost is O(ranks + applied·len): a unit-membership hash set
+    * (chars up front, each merged unit as it lands) lets a rank whose
+    * parts aren't both present — almost all of a 32k-rank table for a
+    * typical word — skip in two O(1) lookups; only plausible ranks pay
+    * the O(len) pair scan. Work runs over DISTINCT words (the caller's
+    * vocab frame), so encode cost is corpus-size-independent.
+    *
+    * The merge table rides in ONE string literal: `a`␁`b` within a pair,
+    * ␂ between pairs. Both separators sit inside U+0000–U+0008 — the
+    * range [[graft.operators.LanguageModel.bpeWords]] strips from every
+    * word — so they can never collide with unit content (the builder
+    * rejects a table that contains them). */
+  case class BpeUnits(child: Expression, mergesLit: String)
+      extends UnaryExpression {
+
+    private val mergesA: Array[String] =
+      if (mergesLit.isEmpty) Array.empty
+      else mergesLit.split("\u0002", -1).map(p => p.substring(0, p.indexOf('\u0001')))
+    private val mergesB: Array[String] =
+      if (mergesLit.isEmpty) Array.empty
+      else mergesLit.split("\u0002", -1).map(p => p.substring(p.indexOf('\u0001') + 1))
+
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"bpe_units expects string, got ${other.simpleString}")
+    }
+
+    override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+
+    def compute(input: UTF8String): ArrayData = {
+      val word = input.toString
+      var units = new Array[String](word.codePointCount(0, word.length))
+      val present = new java.util.HashSet[String](math.max(16, units.length * 2))
+      var i = 0
+      var u = 0
+      while (i < word.length) {
+        val n = Character.charCount(word.codePointAt(i))
+        units(u) = word.substring(i, i + n)
+        present.add(units(u))
+        u += 1
+        i += n
+      }
+      var len = units.length
+      var m = 0
+      while (m < mergesA.length && len > 1) {
+        val a = mergesA(m)
+        if (present.contains(a) && present.contains(mergesB(m))) {
+          val b = mergesB(m)
+          var w = 0
+          var r = 0
+          var merged = false
+          val out = new Array[String](len)
+          while (r < len) {
+            if (r + 1 < len && units(r) == a && units(r + 1) == b) {
+              out(w) = a + b; merged = true; w += 1; r += 2
+            } else { out(w) = units(r); w += 1; r += 1 }
+          }
+          if (merged) { units = out; len = w; present.add(a + b) }
+        }
+        m += 1
+      }
+      val res = new Array[AnyRef](len)
+      var k = 0
+      while (k < len) { res(k) = UTF8String.fromString(units(k)); k += 1 }
+      new GenericArrayData(res)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bpeUnits", this, classOf[BpeUnits].getName)
+      defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): BpeUnits =
+      copy(child = newChild)
+  }
+
+  /** Serialize a merge table into [[BpeUnits]]' literal form, rejecting
+    * parts that contain the separators (impossible for tables trained
+    * through [[graft.operators.LanguageModel.bpeWords]]' stripped words,
+    * possible for hand-built ones — fail loudly, never corrupt). */
+  def bpeMergesLiteral(merges: Seq[(String, String)]): String = {
+    merges.foreach { case (a, b) =>
+      require(!(a + b).exists(c => c == '\u0001' || c == '\u0002'),
+        s"bpe merge parts must not contain U+0001/U+0002: ($a, $b)")
+    }
+    merges.map { case (a, b) => a + "\u0001" + b }.mkString("\u0002")
+  }
+
   private def intLit(e: Expression, fn: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
     case other => throw new IllegalArgumentException(
       s"$fn expects an int literal, got $other")
+  }
+
+  private def stringLit(e: Expression, fn: String): String = e match {
+    case Literal(v: UTF8String, StringType) => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a string literal, got $other")
   }
 
   /** Register all native expressions as session functions (idempotent). */
@@ -629,5 +736,7 @@ object NativeHashes {
         intLit(args(1), "hyperplane_bucket"), intLit(args(2), "hyperplane_bucket")), "built-in")
     registry.createOrReplaceTempFunction("nearest_cells",
       args => NearestCells(args.head, args(1), intLit(args(2), "nearest_cells")), "built-in")
+    registry.createOrReplaceTempFunction("bpe_units",
+      args => BpeUnits(args.head, stringLit(args(1), "bpe_units")), "built-in")
   }
 }

@@ -216,31 +216,30 @@ object LanguageModel {
   /** BPE ENCODE — apply a learned merge table to the corpus, returning
     * per-document (n_words, n_units): the token-budget accounting a
     * training-data pipeline runs after tokenizer training. Merges apply
-    * in rank order (the BPE encode rule), each as a literal
-    * sentinel-string replace — all of them fuse into ONE codegen'd
-    * projection, applied over the DISTINCT word vocabulary only; the
-    * corpus token stream then joins the per-word unit count (build side
-    * unique per word, so Zipf-hot words only skew probe partition sizes —
-    * AQE-split). One corpus pass + vocab-sized merge work.
+    * in rank order (the BPE encode rule), each rank one left-to-right
+    * non-overlapping pass, compiled into ONE native codegen'd expression
+    * ([[graft.functions.NativeHashes.BpeUnits]]) applied over the
+    * DISTINCT word vocabulary only; the corpus token stream then joins
+    * the per-word unit count (build side unique per word, so Zipf-hot
+    * words only skew probe partition sizes — AQE-split). One corpus pass
+    * + vocab-sized merge work.
     *
-    * The plan-literal replace chain is the right shape for merge tables
-    * up to O(100) ranks (the demo/query scale here); a production 32k-rank
-    * tokenizer would compile the merge table into a single native
-    * expression instead — same join topology, deeper per-word loop. */
+    * The native expression holds the whole table in one plan literal and
+    * skips inapplicable ranks in O(1) per rank (unit-membership set), so
+    * a production 32k-rank tokenizer is one expression, not a 32k-call
+    * replace chain — the r11 plan-literal chain's O(100)-rank ceiling is
+    * gone (BpeVolume's `encode32k` mode rehearses it). Results are
+    * bit-identical to the sentinel replace chain the DuckDB oracle still
+    * replays — q_bpe_encode's hash match IS the cross-check, and the
+    * corpus-shape fuzz family re-proves it on hostile corpora. */
   def bpeEncode(
       df: DataFrame, id: Column, text: Column, merges: Seq[(String, String)]): DataFrame = {
+    graft.functions.NativeHashes.register(df.sparkSession)
     val toks = df.select(id.as("id"), explode(bpeWords(text)).as("word"))
-    val seg0 = regexp_replace(col("word"), "(.)", s"$SegOpen$$1$SegClose")
-    val segN = merges.foldLeft(seg0) { case (c, (a, b)) =>
-      call_function("replace", c,
-        lit(SegOpen + a + SegClose + SegOpen + b + SegClose),
-        lit(SegOpen + a + b + SegClose))
-    }
+    val mergesLit = graft.functions.NativeHashes.bpeMergesLiteral(merges)
     val vocab = toks.select(col("word")).distinct()
-      .select(col("word"), segN.as("seg"))
       .select(col("word"),
-        size(split(col("seg").substr(lit(2), greatest(length(col("seg")) - 2, lit(0))),
-          s"$SegClose$SegOpen")).as("n_units"))
+        size(call_function("bpe_units", col("word"), lit(mergesLit))).as("n_units"))
     toks.join(vocab, "word")
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_words"), sum(col("n_units")).as("n_units"))

@@ -64,7 +64,9 @@ class NativeCodegenSpec extends AnyFunSuite with BeforeAndAfterAll {
         expr("l2_norm(v2)").as("l2"),
         expr("quantize_int8(v2)").as("q8"),
         expr("hyperplane_bucket(v1, 3, 4)").as("bucket"),
-        call_function("nearest_cells", col("v1"), typedLit(cents), lit(2)).as("cells"))
+        call_function("nearest_cells", col("v1"), typedLit(cents), lit(2)).as("cells"),
+        call_function("bpe_units", col("text"),
+          lit(NativeHashes.bpeMergesLiteral(Seq(("t", "h"), ("th", "e"))))).as("bpeu"))
   }
 
   test("generated source calls compute() directly — no CodegenFallback eval path") {
@@ -130,6 +132,12 @@ class NativeCodegenSpec extends AnyFunSuite with BeforeAndAfterAll {
       .eval(null).asInstanceOf[ArrayData].toIntArray.toSeq
     assert(r.getSeq[Int](8) == cells && cells == Seq(1, 0),
       "0.6/0.8 vector is nearest the y-axis centroid, then x")
+
+    val bpeu = NativeHashes.BpeUnits(Literal("the quick brown fox jumps"),
+      NativeHashes.bpeMergesLiteral(Seq(("t", "h"), ("th", "e"))))
+      .eval(null).asInstanceOf[ArrayData].toArray[Any](StringType).map(_.toString).toSeq
+    assert(r.getSeq[String](9) == bpeu && bpeu.head == "the",
+      "rank-ordered merges (t,h) then (th,e) must fuse the leading 'the'")
   }
 
   test("type-derived dialect expressions (arrow_typeof, array_ndims) emit real codegen") {
