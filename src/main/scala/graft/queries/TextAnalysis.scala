@@ -481,11 +481,13 @@ object TextAnalysis {
       "q_bpe_encode",
       // Tokenizer train → APPLY: learn 6 merges, then encode the corpus
       // with them — per-doc word and sub-word-unit counts, the token-budget
-      // accounting step. All 6 replaces fuse into one codegen'd projection
-      // over the DISTINCT vocabulary; the token stream joins the unique
-      // per-word unit count. The oracle re-derives the merges through the
-      // same unrolled training chain and applies them in rank order to
-      // every token occurrence.
+      // accounting step. The whole merge table applies inside ONE native
+      // BpeUnits expression over the DISTINCT vocabulary (32k-rank-ready;
+      // BpeVolume encode32k); the token stream joins the unique per-word
+      // unit count. The oracle re-derives the merges through the same
+      // unrolled training chain and applies them as rank-ordered sentinel
+      // replaces to every token occurrence — the hash match doubles as the
+      // native-vs-replace-chain cross-check.
       (s, dir) => {
         val m = graft.operators.LanguageModel
           .bpeTrainMerges(docs(s, dir), col("text"), numMerges = 6)
