@@ -112,22 +112,25 @@ class QueryPlansSpec extends AnyFunSuite with BeforeAndAfterAll {
       "a shuffle crept between filter and scan:\n" + p.take(2000))
   }
 
-  test("q_bpe_encode: vocab merge-application fuses into one projection, join is not cartesian") {
-    // toString truncates the deep replace chain, so inspect the optimized
-    // logical plan directly: all six rank-ordered replaces must live
-    // nested inside a SINGLE Project (one pass over the vocab, not one
-    // projection per merge), and the word join must not be a cartesian.
+  test("q_bpe_encode: the whole merge table rides ONE native expression, join is not cartesian") {
+    // the r11 plan carried the table as a 6-deep StringReplace chain (one
+    // call per rank — the O(100)-rank ceiling); the native BpeUnits
+    // expression holds the table as one plan literal. Pin exactly one
+    // BpeUnits in the whole optimized plan, zero residual replaces, and a
+    // non-cartesian word join.
     import org.apache.spark.sql.catalyst.expressions.StringReplace
     val qe = SparkEntry.queries("q_bpe_encode")(spark, dir).queryExecution
     assert(!qe.executedPlan.toString.contains("CartesianProduct"))
-    // CollapseProject folds the seg projection into the distinct-vocab
-    // Aggregate's result expressions — fine; the claim is all 6 replaces
-    // nested in ONE node's expression list, not spread across stages
-    val perNode = qe.optimizedPlan.collect { case n =>
-      n.expressions.map(e => e.collect { case _: StringReplace => 1 }.sum).sum
+    val bpePerNode = qe.optimizedPlan.collect { case n =>
+      n.expressions.map(e =>
+        e.collect { case _: graft.functions.NativeHashes.BpeUnits => 1 }.sum).sum
     }.filter(_ > 0)
-    assert(perNode == Seq(6),
-      s"expected one node carrying all 6 replaces, got per-node counts $perNode")
+    assert(bpePerNode == Seq(1),
+      s"expected one node carrying one BpeUnits, got per-node counts $bpePerNode")
+    val replaces = qe.optimizedPlan.collect { case n =>
+      n.expressions.map(e => e.collect { case _: StringReplace => 1 }.sum).sum
+    }.sum
+    assert(replaces == 0, s"no per-rank replace chain may remain, found $replaces")
   }
 
   test("q_ann_ivf / q_ann_lsh: the exact brute-force top-k runs ONCE, not per reference") {
