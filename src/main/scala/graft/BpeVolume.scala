@@ -114,7 +114,9 @@ object BpeVolume {
     // ranks and compare wall times. With the every-16-rounds vocab
     // re-checkpoint the per-round cost is flat, so t(n) ≈ 2·t(n/2); the
     // unbounded chain's O(rounds²) growth would give ~4×. Bound 3×.
-    args.headOption.map(_.toInt).filter(_ >= 64).foreach { n =>
+    // toIntOption: an unrecognized arg (e.g. the typo "encode32K") falls
+    // through to the default rehearsal instead of a NumberFormatException
+    args.headOption.flatMap(_.toIntOption).filter(_ >= 64).foreach { n =>
       def train(rounds: Int): Double = {
         val t0 = System.nanoTime()
         val m = graft.operators.LanguageModel

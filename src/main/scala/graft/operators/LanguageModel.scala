@@ -56,10 +56,14 @@ object LanguageModel {
   }
 
   /** Scoring plan over a (id, toks) frame. The occurrence stream feeds
-    * THREE consumers (c12, c1, the probe join); the caller materializes
-    * the compact token frame once (localCheckpoint — the duplicateSpans
-    * idiom) so each consumer re-derives bigrams with a cheap map-side
-    * explode over stored doc rows instead of re-scanning the corpus. */
+    * TWO consumers (the c12 aggregate and the probe join); the caller
+    * materializes the compact token frame once (localCheckpoint — the
+    * duplicateSpans idiom) so each consumer re-derives bigrams with a
+    * cheap map-side explode over stored doc rows instead of re-scanning
+    * the corpus. The context counts need NO third pass: c1(w1) = Σ_w2
+    * c12(w1, w2) by definition (every bigram occurrence contributes once
+    * to both), so c1 is a vocab²-sized re-aggregate of the c12 table —
+    * at 100 TB that's a free third of the model-fit cost. */
   private def bigramNllFromTokens(toks: DataFrame, vocabSize: Long): DataFrame = {
     val occ = toks
       .filter(size(col("toks")) >= 2)
@@ -67,11 +71,10 @@ object LanguageModel {
         explode(transform(sequence(lit(1), size(col("toks")) - 1),
           i => concat_ws(" ", slice(col("toks"), i, lit(2))))).as("bg"))
     val c12 = occ.groupBy(col("bg")).agg(count(lit(1)).as("c12"))
-    val c1 = occ
-      .select(substring_index(col("bg"), " ", 1).as("w1"))
-      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    val model = c12
       .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val c1 = c12
+      .groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val model = c12
       .join(c1, "w1")
       .select(col("bg"),
         floor(log((col("c12").cast("double") + 0.5) /

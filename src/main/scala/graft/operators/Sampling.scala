@@ -113,16 +113,20 @@ object Sampling {
     val ordered = targetWeights.toSeq.sortBy(_._1)
     val wsum = ordered.map(_._2).sum
     // type hygiene at the collect boundary: stratum is cast to string and
-    // the mass sum to long IN the aggregate, so a non-string stratum column
-    // or a DoubleType mass never throws ClassCastException at collect time
-    // (fractional mass truncates — mass is a row/byte/token count in every
-    // caller). A NULL stratum aggregates like any other value but can never
+    // the mass sum rounded to long IN the aggregate, so a non-string stratum
+    // column or a DoubleType mass never throws ClassCastException at collect
+    // time. Mass is a row/byte/token count in every in-repo caller (the sum
+    // is already integral and round is the identity), but a fractional-mass
+    // caller gets HALF_UP rounding of the SUM, not silent truncation —
+    // 10.4 + 10.4 = 20.8 counts as 21, not 20, so the computed rate is
+    // never inflated by a dropped fraction. A NULL stratum aggregates like
+    // any other value but can never
     // match a key of targetWeights (Map[String, _] holds no null), so its
     // rows fall to threshold 0 and are dropped — same rule as any unlisted
     // stratum.
     val totals = df
       .groupBy(stratum.cast("string").as("_s"))
-      .agg(sum(mass).cast("long").as("_t"))
+      .agg(round(sum(mass)).cast("long").as("_t"))
       .collect()
       .map(r => r.getString(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
       .toMap

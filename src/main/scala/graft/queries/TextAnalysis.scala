@@ -19,6 +19,21 @@ object TextAnalysis {
 
   /** DuckDB equivalents of TextOps building blocks. */
   private val dkTokens = "string_split_regex(trim(lower(text)), '\\s+')"
+
+  /** DuckDB mirror of [[graft.operators.LanguageModel.bpeWords]] — the word
+    * stream every BPE entry point trains/encodes over: U+0000–U+0008
+    * stripped (so a sentinel byte can never be content) and then-empty
+    * tokens dropped. Stripping before vs after tokenization is equivalent
+    * (\\x00–\\x08 are not \\s, so whitespace positions are unchanged), and
+    * on the pinned corpus (no control characters, no empty docs) this is
+    * value-identical to the raw `dkTokens` stream — but on a regenerated
+    * dirty corpus the raw stream would diverge from the engine: an
+    * empty/whitespace-only doc must VANISH from bpeEncode output (no words
+    * → no group row), not emit a phantom (n_words=1, n_units=1) row for
+    * DuckDB's ''→[''] split artifact. */
+  private val dkBpeTokens =
+    "list_filter(string_split_regex(trim(lower(" +
+      "regexp_replace(text, '[\\x00-\\x08]', '', 'g'))), '\\s+'), x -> x <> '')"
   private def dkHits(words: Seq[String]) =
     s"len(list_filter($dkTokens, x -> x IN (${words.map(w => s"'$w'").mkString(",")})))"
   private val dkEn = dkHits(TextOps.stopwords("en"))
@@ -49,7 +64,7 @@ object TextAnalysis {
     sb.append(
       s"""WITH wf AS MATERIALIZED (
          |  SELECT word, COUNT(*) AS wf FROM (
-         |    SELECT unnest($dkTokens) AS word FROM documents)
+         |    SELECT unnest($dkBpeTokens) AS word FROM documents)
          |  GROUP BY word HAVING length(word) >= 2),
          |seg0 AS MATERIALIZED (SELECT wf, regexp_replace(word, '(.)', $O || '\\1' || $C, 'g') AS seg FROM wf)""".stripMargin)
     for (k <- 0 until numMerges) {
@@ -87,7 +102,7 @@ object TextAnalysis {
       s""",
          |enc0 AS MATERIALIZED (
          |  SELECT doc_id, regexp_replace(word, '(.)', $O || '\\1' || $C, 'g') AS seg
-         |  FROM (SELECT doc_id, unnest($dkTokens) AS word FROM documents))""".stripMargin)
+         |  FROM (SELECT doc_id, unnest($dkBpeTokens) AS word FROM documents))""".stripMargin)
     for (k <- 0 until numMerges) {
       sb.append(
         s""",
@@ -454,7 +469,7 @@ object TextAnalysis {
       },
       Some(s"""WITH wf AS (
               |  SELECT word, COUNT(*) AS wf FROM (
-              |    SELECT unnest($dkTokens) AS word FROM documents)
+              |    SELECT unnest($dkBpeTokens) AS word FROM documents)
               |  GROUP BY word HAVING length(word) >= 2),
               |pairs AS (
               |  SELECT substr(word, CAST(i AS INT), 2) AS pair, wf

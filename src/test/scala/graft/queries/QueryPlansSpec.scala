@@ -133,6 +133,24 @@ class QueryPlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(replaces == 0, s"no per-rank replace chain may remain, found $replaces")
   }
 
+  test("q_text_perplexity: c1 derives from the c12 aggregate — the corpus-scale bigram stage runs ONCE") {
+    // c1(w1) = Σ_w2 c12(w1,w2), so the context counts re-aggregate the
+    // (vocab²-sized) c12 table instead of running a second corpus-scale
+    // pass over the occurrence stream. In plan terms: the c12 branch and
+    // the c1 branch sit on CANONICALLY IDENTICAL bg-keyed exchanges, which
+    // AQE dedupes at runtime into a ReusedExchange — the token-frame
+    // checkpoint is touched twice (c12 + probe join), never three times.
+    val df = SparkEntry.queries("q_text_perplexity")(spark, dir)
+    val lazyScans = "Scan ExistingRDD".r
+      .findAllIn(df.queryExecution.executedPlan.toString).size
+    assert(lazyScans == 3, s"expected 3 lazy token-frame scans (c12, c1-via-c12, probe), got $lazyScans")
+    df.collect()
+    val finalP = df.queryExecution.executedPlan.toString
+    assert(finalP.contains("ReusedExchange"),
+      "the c1 branch must reuse the c12 shuffle stage (a direct w1 aggregate over the " +
+        "occurrence stream would be a third corpus-scale pass):\n" + finalP.take(3000))
+  }
+
   test("q_ann_ivf / q_ann_lsh: the exact brute-force top-k runs ONCE, not per reference") {
     // annVsExact materializes the nQueries-row exact aggregate with a
     // localCheckpoint, so the lazy plan must carry NO brute-force
