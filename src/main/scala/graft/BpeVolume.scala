@@ -109,18 +109,54 @@ object BpeVolume {
       return
     }
 
-    // optional first arg: a large rank budget (e.g. 256) switches to the
+    // optional first arg "driver" [n]: the PRODUCTION-rank training
+    // rehearsal — the driver in-memory merge loop (the default path when
+    // the vocab fits) trains n ranks (default 4,096) over the 2M-word
+    // vocabulary. The distributed loop at this budget would be ~n
+    // sequential Spark jobs of pure scheduling latency; the driver loop
+    // collects the (word, wf) table once and runs the incremental
+    // Sennrich loop with zero jobs per round. Cross-checked: the first 64
+    // ranks must equal the distributed loop's 64-rank table exactly.
+    if (args.headOption.contains("driver")) {
+      val n = args.lift(1).flatMap(_.toIntOption).getOrElse(4096)
+      val t0 = System.nanoTime()
+      val m = graft.operators.LanguageModel
+        .bpeTrainMerges(corpus, col("text"), numMerges = n).collect()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[bpe-vol] driver train: $n ranks over the 2M-word vocab in $sec%.1f s " +
+        f"(last n=${m.last.getLong(3)})")
+      assert(m.length == n, s"corpus must sustain $n merges, got ${m.length}")
+      assert(m.map(r => (r.getString(1), r.getString(2))).distinct.length == n,
+        "merged pairs must be distinct")
+      val t1 = System.nanoTime()
+      val dist = graft.operators.LanguageModel
+        .bpeTrainMerges(corpus, col("text"), numMerges = 64, driverVocabMax = 0L)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      println(f"[bpe-vol] distributed 64-rank cross-check trained in " +
+        f"${(System.nanoTime() - t1) / 1e9}%.1f s")
+      val drv64 = m.take(64).map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      assert(drv64.sameElements(dist),
+        s"driver vs distributed 64-rank prefix diverged:\n  driver=${drv64.toSeq}\n  dist=${dist.toSeq}")
+      println(s"[bpe-vol] driver/distributed 64-rank prefix: identical")
+      spark.stop()
+      return
+    }
+
+    // optional numeric first arg (e.g. 256): the DISTRIBUTED loop's
     // replace-chain-depth rehearsal — train numMerges/2 then numMerges
-    // ranks and compare wall times. With the every-16-rounds vocab
-    // re-checkpoint the per-round cost is flat, so t(n) ≈ 2·t(n/2); the
-    // unbounded chain's O(rounds²) growth would give ~4×. Bound 3×.
+    // ranks (driverVocabMax = 0 forces the fallback path; the driver loop
+    // would otherwise absorb this vocab) and compare wall times. With the
+    // every-16-rounds vocab re-checkpoint the per-round cost is flat, so
+    // t(n) ≈ 2·t(n/2); the unbounded chain's O(rounds²) growth would give
+    // ~4×. Bound 3×.
     // toIntOption: an unrecognized arg (e.g. the typo "encode32K") falls
     // through to the default rehearsal instead of a NumberFormatException
     args.headOption.flatMap(_.toIntOption).filter(_ >= 64).foreach { n =>
       def train(rounds: Int): Double = {
         val t0 = System.nanoTime()
         val m = graft.operators.LanguageModel
-          .bpeTrainMerges(corpus, col("text"), numMerges = rounds).collect()
+          .bpeTrainMerges(corpus, col("text"), numMerges = rounds, driverVocabMax = 0L)
+          .collect()
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"[bpe-vol] $rounds%4d ranks: $sec%.1f s (${m.length} merges, " +
           f"last n=${m.last.getLong(3)})")
@@ -138,8 +174,12 @@ object BpeVolume {
     }
 
     val listener = StageShuffleListener.install(spark)
-    val merges = time("BPE training, 2M-word vocab, 6 merge rounds")(
-      graft.operators.LanguageModel.bpeTrainMerges(corpus, col("text"), numMerges = 6)
+    // distributed loop forced (driverVocabMax = 0): this mode rehearses the
+    // fallback path's per-round SHUFFLE shape — the driver loop (rehearsed
+    // by the "driver" mode above) runs no jobs inside the loop at all
+    val merges = time("BPE training (distributed loop), 2M-word vocab, 6 merge rounds")(
+      graft.operators.LanguageModel
+        .bpeTrainMerges(corpus, col("text"), numMerges = 6, driverVocabMax = 0L)
         .collect())
     merges.foreach(r => println(s"[bpe-vol] merge ${r.getInt(0)}: " +
       s"(${r.getString(1)}, ${r.getString(2)}) n=${r.getLong(3)}"))

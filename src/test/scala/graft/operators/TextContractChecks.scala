@@ -307,14 +307,26 @@ object TextContractChecks {
     val plain = docs.map(d => (d._1, d._2.get))
     val numMerges = 1 + rnd.nextInt(4)
     val df = toDf(spark, docs)
+    // BOTH merge-loop hosts on every corpus: the driver in-memory loop
+    // (production default — tiny vocabs always fit) and the distributed
+    // fallback (driverVocabMax = 0), each against the independent model —
+    // the path choice must be invisible in the output
     val gotTrain = LanguageModel.bpeTrainMerges(df, col("text"), numMerges)
       .collect().map(r =>
         (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
       .sortBy(_._1)
     val wantTrain = mBpeTrain(plain.map(_._2), numMerges)
     check(gotTrain == wantTrain,
-      s"BPE train diverged (m=$numMerges): got=$gotTrain want=$wantTrain " +
-        clue(seed, docs))
+      s"BPE train (driver loop) diverged (m=$numMerges): got=$gotTrain " +
+        s"want=$wantTrain " + clue(seed, docs))
+    val gotDist = LanguageModel
+      .bpeTrainMerges(df, col("text"), numMerges, driverVocabMax = 0L)
+      .collect().map(r =>
+        (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      .sortBy(_._1)
+    check(gotDist == wantTrain,
+      s"BPE train (distributed loop) diverged (m=$numMerges): got=$gotDist " +
+        s"want=$wantTrain " + clue(seed, docs))
     val table = wantTrain.map(m => (m._2, m._3))
     val gotEnc = LanguageModel.bpeEncode(df, col("doc_id"), col("text"), table)
       .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
