@@ -610,12 +610,22 @@ object NativeHashes {
     * can differ on hand-crafted (non-train-produced) tables. Output is
     * the final unit array.
     *
-    * Per-word cost is O(ranks + applied·len): a unit-membership hash set
-    * (chars up front, each merged unit as it lands) lets a rank whose
-    * parts aren't both present — almost all of a 32k-rank table for a
-    * typical word — skip in two O(1) lookups; only plausible ranks pay
-    * the O(len) pair scan. Work runs over DISTINCT words (the caller's
-    * vocab frame), so encode cost is corpus-size-independent.
+    * Per-word cost is O(Σ bucket(unit) + ranks/64 + applied·len) — NOT
+    * O(ranks): a unit→ranks index (built once from the literal) means a
+    * word only ever looks at ranks that mention one of ITS units. A rank
+    * becomes a candidate when both its parts are in the unit-membership
+    * set (chars up front, each merged unit as it lands — landing a unit
+    * offers its ranks); candidates collect in a BitSet and are processed
+    * in ascending rank order (`nextSetBit` — the forward-only walk), which
+    * reproduces the sequential pass rule exactly: a candidate set BELOW
+    * the walk position is a rank whose part only landed after its pass
+    * already went by — sequential would have found nothing then, so the
+    * walk correctly never revisits it. Only candidate ranks pay the
+    * O(len) pair scan. At 100M distinct words × 32k ranks the r12
+    * all-ranks probe loop was ~10¹² hash probes cluster-wide; the index
+    * makes per-word work proportional to the word's OWN units' rank
+    * buckets. Work runs over DISTINCT words (the caller's vocab frame),
+    * so encode cost is corpus-size-independent.
     *
     * The merge table rides in ONE string literal: `a`␁`b` within a pair,
     * ␂ between pairs. Both separators sit inside U+0000–U+0008 — the
@@ -631,6 +641,23 @@ object NativeHashes {
     private val mergesB: Array[String] =
       if (mergesLit.isEmpty) Array.empty
       else mergesLit.split("\u0002", -1).map(p => p.substring(p.indexOf('\u0001') + 1))
+
+    /** unit → ascending ranks mentioning it (as either part; a == b
+      * listed once). Built once per expression instance; read-only at
+      * eval time, so concurrent tasks share it safely. */
+    private val unitToRanks: java.util.HashMap[String, Array[Int]] = {
+      val tmp = new java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[Int]]()
+      var r = 0
+      while (r < mergesA.length) {
+        tmp.computeIfAbsent(mergesA(r), _ => scala.collection.mutable.ArrayBuffer.empty[Int]) += r
+        if (mergesB(r) != mergesA(r))
+          tmp.computeIfAbsent(mergesB(r), _ => scala.collection.mutable.ArrayBuffer.empty[Int]) += r
+        r += 1
+      }
+      val out = new java.util.HashMap[String, Array[Int]](tmp.size * 2)
+      tmp.forEach((k, v) => out.put(k, v.toArray))
+      out
+    }
 
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -655,10 +682,30 @@ object NativeHashes {
         i += n
       }
       var len = units.length
-      var m = 0
-      while (m < mergesA.length && len > 1) {
-        val a = mergesA(m)
-        if (present.contains(a) && present.contains(mergesB(m))) {
+      if (len > 1 && mergesA.length > 0) {
+        // candidate ranks: set when both parts are in the membership set,
+        // processed in ascending order via the forward-only BitSet walk
+        val cand = new java.util.BitSet(mergesA.length)
+        // offer the ranks of a just-landed unit: a rank becomes a
+        // candidate once its OTHER part is also present (present only
+        // grows, so the check at offer time stays valid at process time)
+        def offer(u: String): Unit = {
+          val rs = unitToRanks.get(u)
+          if (rs != null) {
+            var k = 0
+            while (k < rs.length) {
+              val r = rs(k)
+              val other = if (mergesA(r) == u) mergesB(r) else mergesA(r)
+              if (present.contains(other)) cand.set(r)
+              k += 1
+            }
+          }
+        }
+        val it = present.iterator()
+        while (it.hasNext) offer(it.next())
+        var m = cand.nextSetBit(0)
+        while (m >= 0 && len > 1) {
+          val a = mergesA(m)
           val b = mergesB(m)
           var w = 0
           var r = 0
@@ -669,9 +716,12 @@ object NativeHashes {
               out(w) = a + b; merged = true; w += 1; r += 2
             } else { out(w) = units(r); w += 1; r += 1 }
           }
-          if (merged) { units = out; len = w; present.add(a + b) }
+          if (merged) {
+            units = out; len = w
+            if (present.add(a + b)) offer(a + b)
+          }
+          m = cand.nextSetBit(m + 1)
         }
-        m += 1
       }
       val res = new Array[AnyRef](len)
       var k = 0
