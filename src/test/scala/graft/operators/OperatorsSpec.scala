@@ -1367,4 +1367,44 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(pairs(dirty) == pairs(clean), s"dirty: ${pairs(dirty)} clean: ${pairs(clean)}")
   }
+
+  test("BPE distributed train: per-round cost stays flat (64 vs 32 ranks) and matches the driver host") {
+    // CI twin of the BpeVolume replace-chain-depth rehearsal (2M words,
+    // 256 ranks, offline): with the every-16-rounds vocab re-checkpoint the
+    // distributed loop's per-round cost is flat, so t(64) ≈ 2·t(32); an
+    // unbounded lineage chain grows per-round cost linearly (O(rounds²)
+    // total → ratio ~4). driverVocabMax = 0 forces the distributed path —
+    // this small vocab would otherwise be absorbed by the driver loop.
+    // Synthetic corpus: deterministic words over a 12-letter alphabet so
+    // 64 distinct merges are sustainable.
+    val rnd = new scala.util.Random(42)
+    val words = Array.fill(3000)(
+      (0 until (4 + rnd.nextInt(7))).map(_ => ('a' + rnd.nextInt(12)).toChar).mkString)
+    val corpus = spark.createDataFrame(
+      words.grouped(20).zipWithIndex
+        .map { case (g, i) => (i.toLong, g.mkString(" ")) }.toSeq)
+      .toDF("doc_id", "text").localCheckpoint()
+    def train(rounds: Int): (Double, Seq[(Int, String, String, Long)]) = {
+      val t0 = System.nanoTime()
+      val m = LanguageModel
+        .bpeTrainMerges(corpus, col("text"), numMerges = rounds, driverVocabMax = 0L)
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      assert(m.length == rounds, s"corpus must sustain $rounds merges, got ${m.length}")
+      ((System.nanoTime() - t0) / 1e9, m)
+    }
+    train(16) // warmup: JIT + codegen caches, so the timed ratio reflects chain depth
+    val (tHalf, _) = train(32)
+    val (tFull, dist64) = train(64)
+    val ratio = tFull / tHalf
+    info(f"t(64)=$tFull%.1fs t(32)=$tHalf%.1fs ratio=$ratio%.2f (bound 3.0)")
+    assert(ratio < 3.0,
+      f"replace-chain depth not bounded: doubling ranks cost $ratio%.2fx")
+    // and the r13 driver in-memory host replays the identical merge table
+    val drv64 = LanguageModel
+      .bpeTrainMerges(corpus, col("text"), numMerges = 64)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(drv64 == dist64,
+      s"driver/distributed 64-rank tables diverge:\n  drv=$drv64\n  dist=$dist64")
+  }
 }

@@ -513,6 +513,370 @@ object TextContractChecks {
       s"TextOps primitives diverged: got=$got want=$want ${clue(seed, docs)}")
   }
 
+  // --- dedup/decontamination family ----------------------------------------
+
+  /** xxhash64 seed 42 over a string — the hash primitive every signature
+    * scheme builds on. The model reuses Spark's STATIC hash function (no
+    * Spark job; the same way the text models reuse DigestUtils.md5Hex) —
+    * what is independently re-derived is everything built ON it: signature
+    * derivation, banding, bucket joins, caps, verification, components. */
+  private def xxh(s: String): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s),
+      org.apache.spark.sql.types.StringType, 42L)
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Model of the MinHashSignature native expression: h_i(x) =
+    * (a_i·x + b_i) mod P over xxh(shingle), same a/b derivation. */
+  private val MinhashP = 2147483647L
+  private def pmod(a: Long, p: Long): Long = { val m = a % p; if (m < 0) m + p else m }
+  private def mMinhashSig(shingles: Seq[String], numHashes: Int): Array[Long] = {
+    val xs = shingles.map(sh => pmod(xxh(sh), MinhashP))
+    Array.tabulate(numHashes) { i =>
+      val a = pmod(xxh(s"mh-a-$i"), MinhashP - 1) + 1L
+      val b = pmod(xxh(s"mh-b-$i"), MinhashP)
+      if (xs.isEmpty) 0L else xs.map(x => pmod(a * x + b, MinhashP)).min
+    }
+  }
+
+  /** Model of Dedup.lshBuckets' band id: positions with pos % bands == b,
+    * ascending, h values joined with "," and xxhash64'd. */
+  private def mLshBuckets(sig: Array[Long], bands: Int): Seq[(Int, Long)] =
+    (0 until bands).map { b =>
+      b -> xxh(sig.indices.filter(_ % bands == b).map(sig(_).toString).mkString(","))
+    }
+
+  /** Union-find min-label — the model for both CC operators and for every
+    * rep/kept contract built on them. */
+  private def mComponents(ids: Seq[Long], pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val (lo, hi) = if (ra < rb) (ra, rb) else (rb, ra); parent(hi) = lo }
+    }
+    ids.foreach(i => parent.getOrElseUpdate(i, i))
+    pairs.foreach { case (a, b) => union(a, b) }
+    ids.map(i => i -> find(i)).toMap
+  }
+
+  /** MinHash+LSH end to end: signatures, interleaved banding, hot-bucket
+    * cap, candidate join — then removeDuplicates' kept set via union-find. */
+  def checkMinhash(spark: SparkSession, seed: Long): Unit = {
+    graft.functions.NativeHashes.register(spark)
+    val rnd = new Random(seed)
+    val docs = genCorpus(rnd, maxDocs = 12)
+    val plain = docs.map(d => (d._1, d._2.get))
+    val numHashes = Vector(8, 16)(rnd.nextInt(2))
+    val bands = Vector(2, 4, 8)(rnd.nextInt(3))
+    val shingleSize = 2 + rnd.nextInt(3)
+    val cap = Vector(2, 3, 100)(rnd.nextInt(3))
+    val df = toDf(spark, docs)
+    val got = Dedup.minhashCandidates(df, col("doc_id"), col("text"),
+        numHashes, bands, shingleSize, cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // model: distinct shingles → signature → (band, bucket) rows → cap →
+    // pairs sharing any surviving (band, bucket)
+    val sigs = plain.map { case (id, t) =>
+      id -> mMinhashSig(mShingles(t, shingleSize).distinct, numHashes)
+    }
+    val rows = sigs.flatMap { case (id, sig) =>
+      mLshBuckets(sig, bands).map { case (b, bk) => (b, bk, id) }
+    }
+    val hot = rows.groupBy(r => (r._1, r._2)).filter(_._2.size > cap).keySet
+    val kept = rows.filterNot(r => hot((r._1, r._2)))
+    val want = (for {
+      a <- kept; b <- kept
+      if a._1 == b._1 && a._2 == b._2 && a._3 < b._3
+    } yield (a._3, b._3)).toSet
+    check(got == want,
+      s"minhash candidates diverged (h=$numHashes bands=$bands sh=$shingleSize cap=$cap): " +
+        s"got=$got want=$want ${clue(seed, docs)}")
+    // the cleanup contract on top: keep min-id per candidate component
+    val pairsDf = spark.createDataFrame(
+      java.util.Arrays.asList(want.toSeq.sortBy(identity).map(p => Row(p._1, p._2)): _*),
+      StructType(Seq(StructField("id1", LongType, nullable = false),
+        StructField("id2", LongType, nullable = false))))
+    val gotKept = Dedup.removeDuplicates(df, col("doc_id"), pairsDf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val reps = mComponents(plain.map(_._1), want.toSeq)
+    val wantKept = plain.map(_._1).filter(id => reps(id) == id).toSet
+    check(gotKept == wantKept,
+      s"removeDuplicates kept set diverged: got=$gotKept want=$wantKept ${clue(seed, docs)}")
+  }
+
+  /** Model of the SimHashChunks native expression over mTokens. */
+  private def mSimhashChunks(tokens: Seq[String]): Array[Long] = {
+    val counters = new Array[Int](64)
+    tokens.foreach { t =>
+      val h = xxh(t)
+      (0 until 64).foreach { j =>
+        if (((h >>> j) & 1L) == 1L) counters(j) += 1 else counters(j) -= 1
+      }
+    }
+    Array.tabulate(4) { c =>
+      (0 until 16).foldLeft(0L) { (bits, j) =>
+        if (counters(c * 16 + j) > 0) bits | (1L << j) else bits
+      }
+    }
+  }
+
+  def checkSimhash(spark: SparkSession, seed: Long): Unit = {
+    graft.functions.NativeHashes.register(spark)
+    val rnd = new Random(seed)
+    val docs = genCorpus(rnd, maxDocs = 12)
+    val plain = docs.map(d => (d._1, d._2.get))
+    val maxDist = rnd.nextInt(11)
+    val cap = Vector(2, 3, 100)(rnd.nextInt(3))
+    val got = Dedup.simhashPairs(toDf(spark, docs), col("doc_id"), col("text"),
+        maxDist, cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val sigs = plain.map { case (id, t) => id -> mSimhashChunks(mTokens(t).toSeq) }.toMap
+    val rows = sigs.toSeq.flatMap { case (id, sig) =>
+      sig.zipWithIndex.map { case (v, idx) => (idx, v, id) }
+    }
+    val hot = rows.groupBy(r => (r._1, r._2)).filter(_._2.size > cap).keySet
+    val kept = rows.filterNot(r => hot((r._1, r._2)))
+    val cand = (for {
+      a <- kept; b <- kept
+      if a._1 == b._1 && a._2 == b._2 && a._3 < b._3
+    } yield (a._3, b._3)).toSet
+    val want = cand.map { case (id1, id2) =>
+      val ham = sigs(id1).zip(sigs(id2))
+        .map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+      (id1, id2, ham)
+    }.filter(_._3 <= maxDist)
+    check(got == want,
+      s"simhash pairs diverged (maxDist=$maxDist cap=$cap): got=$got want=$want " +
+        clue(seed, docs))
+  }
+
+  /** Exact n-gram Jaccard: df-capped postings, inverted-index join, set
+    * arithmetic, HALF_UP rounding, threshold. */
+  def checkJaccard(spark: SparkSession, seed: Long): Unit = {
+    graft.functions.NativeHashes.register(spark)
+    val rnd = new Random(seed)
+    val docs = genCorpus(rnd, maxDocs = 12)
+    val plain = docs.map(d => (d._1, d._2.get))
+    val shingleSize = 2 + rnd.nextInt(3)
+    val threshold = Vector(0.1, 0.3, 0.5, 0.8)(rnd.nextInt(4))
+    val maxDf = Vector(2, 4, 128)(rnd.nextInt(3))
+    val got = Dedup.ngramJaccardPairs(toDf(spark, docs), col("doc_id"), col("text"),
+        threshold, shingleSize, maxDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val posts = plain.flatMap { case (id, t) =>
+      mShingles(t, shingleSize).distinct.map(sh => (id, sh))
+    }
+    val hot = posts.groupBy(_._2).filter(_._2.size > maxDf).keySet
+    val kept = posts.filterNot(p => hot(p._2))
+    val sizes = kept.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val want = kept.groupBy(_._2).values.flatMap { ps =>
+      for (a <- ps; b <- ps if a._1 < b._1) yield (a._1, b._1)
+    }.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .map { case ((id1, id2), nCommon) =>
+        val j = round6(nCommon.toDouble / (sizes(id1) + sizes(id2) - nCommon))
+        (id1, id2, nCommon, j)
+      }
+      .filter(_._4 >= threshold).toSet
+    check(got == want,
+      s"ngram jaccard diverged (sh=$shingleSize t=$threshold df=$maxDf): " +
+        s"got=$got want=$want ${clue(seed, docs)}")
+  }
+
+  /** Exact + fuzzy eval-set decontamination against a small eval corpus
+    * with planted (copied) contamination. */
+  def checkDecontaminate(spark: SparkSession, seed: Long): Unit = {
+    graft.functions.NativeHashes.register(spark)
+    val rnd = new Random(seed)
+    val docs = genCorpus(rnd, maxDocs = 12)
+    val plain = docs.map(d => (d._1, d._2.get))
+    // eval set: 1-4 docs, ~half lifted from the corpus (planted overlap)
+    val evalDocs = (0 until 1 + rnd.nextInt(4)).map { i =>
+      val text =
+        if (plain.nonEmpty && rnd.nextBoolean()) plain(rnd.nextInt(plain.length))._2
+        else randText(rnd)
+      (1000L + i, Option(text), "E")
+    }
+    val shingleSize = 2 + rnd.nextInt(3)
+    val df = toDf(spark, docs)
+    val evalDf = toDf(spark, evalDocs)
+    val got = Dedup.contaminationScores(df, evalDf, col("doc_id"), col("text"), shingleSize)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val evalVocab = evalDocs.flatMap(d => mShingles(d._2.get, shingleSize).distinct).toSet
+    val want = plain.flatMap { case (id, t) =>
+      val shs = mShingles(t, shingleSize).distinct
+      val overlap = shs.count(evalVocab)
+      if (overlap == 0) None
+      else Some((id, overlap.toLong, shs.size.toLong,
+        round6(overlap.toDouble / shs.size)))
+    }.toSet
+    check(got == want,
+      s"contaminationScores diverged (sh=$shingleSize): got=$got want=$want " +
+        s"eval=${evalDocs.map(_._2.get)} ${clue(seed, docs)}")
+    // fuzzy: banded MinHash between corpus and eval (contiguous slices)
+    val numHashes = Vector(8, 16)(rnd.nextInt(2))
+    val bands = Vector(4, 8)(rnd.nextInt(2))
+    val r = numHashes / bands
+    val gotF = Dedup.fuzzyContaminationPairs(df, evalDf, col("doc_id"), col("text"),
+        numHashes, bands, shingleSize)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+    def bandKeys(sig: Array[Long]): Seq[(Int, Long)] =
+      (0 until bands).map { b =>
+        b -> xxh(sig.slice(b * r, b * r + r).map(_.toString).mkString(","))
+      }
+    val cSigs = plain.map { case (id, t) =>
+      id -> mMinhashSig(mShingles(t, shingleSize).distinct, numHashes)
+    }
+    val eSigs = evalDocs.map { case (id, t, _) =>
+      id -> mMinhashSig(mShingles(t.get, shingleSize).distinct, numHashes)
+    }
+    val wantF = (for {
+      (cid, cs) <- cSigs
+      (eid, es) <- eSigs
+      if bandKeys(cs).toSet.intersect(bandKeys(es).toSet).nonEmpty
+    } yield {
+      val est = cs.zip(es).count { case (x, y) => x == y }.toDouble /
+        math.max(numHashes, 1)
+      (cid, eid, round6(est))
+    }).toSet
+    check(gotF == wantF,
+      s"fuzzyContaminationPairs diverged (h=$numHashes bands=$bands sh=$shingleSize): " +
+        s"got=$gotF want=$wantF eval=${evalDocs.map(_._2.get)} ${clue(seed, docs)}")
+  }
+
+  /** Both connected-components hosts vs union-find on random graphs —
+    * including chain shapes (min-label's adversarial case, star's O(log n)
+    * claim) and duplicate/self/reversed edges. */
+  def checkComponents(spark: SparkSession, seed: Long): Unit = {
+    val rnd = new Random(seed)
+    val n = 2 + rnd.nextInt(30)
+    val ids = (0 until n).map(_ => rnd.nextLong(1000000L)).distinct
+    val edges = mutable.ArrayBuffer.empty[(Long, Long)]
+    // random edges
+    (0 until rnd.nextInt(2 * n)).foreach { _ =>
+      edges += ((ids(rnd.nextInt(ids.length)), ids(rnd.nextInt(ids.length))))
+    }
+    // a chain over a random subset — diameter stress
+    val chain = rnd.shuffle(ids).take(2 + rnd.nextInt(math.max(ids.length - 1, 1)))
+    chain.sliding(2).foreach {
+      case Seq(a, b) => edges += ((a, b))
+      case _ =>
+    }
+    val idsDf = spark.createDataFrame(
+      java.util.Arrays.asList(ids.map(Row(_)): _*),
+      StructType(Seq(StructField("id", LongType, nullable = false))))
+    val pairsDf = spark.createDataFrame(
+      java.util.Arrays.asList(edges.toSeq.map(e => Row(e._1, e._2)): _*),
+      StructType(Seq(StructField("id1", LongType, nullable = false),
+        StructField("id2", LongType, nullable = false))))
+    val want = mComponents(ids, edges.toSeq.filter(e => e._1 != e._2))
+    val gotMin = Dedup.connectedComponentsMin(idsDf, pairsDf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    check(gotMin == want,
+      s"connectedComponentsMin diverged: got=$gotMin want=$want seed=$seed " +
+        s"ids=$ids edges=$edges")
+    val gotStar = Dedup.connectedComponentsStar(idsDf, pairsDf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    check(gotStar == want,
+      s"connectedComponentsStar diverged: got=$gotStar want=$want seed=$seed " +
+        s"ids=$ids edges=$edges")
+  }
+
+  /** Semantic-dedup LABEL CONTRACT with k = 1 (one cluster — the
+    * clustering heuristic drops out and the contract is fully decidable):
+    * labels = min-label components over {exact-duplicate star edges among
+    * non-degenerate vectors} ∪ {pairs with round₆(cosine) ≥ τ}, where
+    * zero/NaN/Inf-degenerate vectors never match anything (the NaN/zero
+    * guards), and -0.0 equals 0.0 in the exact-collapse key (SQL equality
+    * semantics). Hostile embeddings: exact copies, scaled rays, zero
+    * vectors, NaN/Inf elements, negated vectors. */
+  def checkSemanticLabels(spark: SparkSession, seed: Long): Unit = {
+    val rnd = new Random(seed)
+    val dims = 2 + rnd.nextInt(3)
+    val n = 2 + rnd.nextInt(12)
+    val pool = Vector(0.0f, 1.0f, -1.0f, 0.5f, 2.0f, -0.0f, 0.25f, 3.0f)
+    def randVec(): Array[Float] = {
+      val v = Array.fill(dims)(pool(rnd.nextInt(pool.length)))
+      rnd.nextInt(10) match {
+        case 0 => v(rnd.nextInt(dims)) = Float.NaN; v
+        case 1 => v(rnd.nextInt(dims)) = Float.PositiveInfinity; v
+        case 2 => Array.fill(dims)(0.0f)
+        case _ => v
+      }
+    }
+    val vecs = mutable.ArrayBuffer.empty[Array[Float]]
+    (0 until n).foreach { i =>
+      val v =
+        if (i > 0 && rnd.nextInt(100) < 30) {
+          val base = vecs(rnd.nextInt(vecs.length))
+          rnd.nextInt(3) match {
+            case 0 => base.clone() // exact copy
+            case 1 => base.map(_ * 2.0f) // same ray: cosine 1 when defined
+            case _ => base.map(x => -x) // opposite ray: cosine -1
+          }
+        } else randVec()
+      vecs += v
+    }
+    val threshold = Vector(0.9, 0.99, 1.0)(rnd.nextInt(3))
+    val rows = vecs.zipWithIndex.map { case (v, i) => Row(i.toLong, v.toSeq) }
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(rows.toSeq: _*),
+      StructType(Seq(StructField("id", LongType, nullable = false),
+        StructField("emb", ArrayType(FloatType, containsNull = false), nullable = false))))
+    val got = VectorOps.semanticDedupLabels(df, "id", "emb",
+        k = 1, threshold = threshold, kmeansIters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // model
+    def sumSq(v: Array[Float]): Double =
+      v.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble)
+    def nonDegenerate(v: Array[Float]): Boolean = {
+      val ss = sumSq(v)
+      !ss.isNaN && ss > 0.0 && ss != Double.PositiveInfinity
+    }
+    // -0.0 == 0.0 under SQL grouping/equality: normalize the collapse key
+    def key(v: Array[Float]): Seq[Float] = v.map(x => if (x == 0.0f) 0.0f else x).toSeq
+    val idsAll = vecs.indices.map(_.toLong)
+    val exactEdges = vecs.zipWithIndex.filter(x => nonDegenerate(x._1))
+      .groupBy(x => key(x._1)).values.filter(_.size > 1)
+      .flatMap { g =>
+        val gid = g.map(_._2.toLong).min
+        g.map(_._2.toLong).filter(_ != gid).map(i => (gid, i))
+      }.toSeq
+    val collapsed = vecs.zipWithIndex.filter { case (v, i) =>
+      if (!nonDegenerate(v)) true
+      else {
+        val g = vecs.zipWithIndex.filter(x => nonDegenerate(x._1) && key(x._1) == key(v))
+        g.size < 2 || g.map(_._2).min == i
+      }
+    }
+    def cosine(a: Array[Float], b: Array[Float]): Option[Double] = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0
+      var i = 0
+      while (i < a.length) {
+        val xi = a(i).toDouble; val yi = b(i).toDouble
+        dot += xi * yi; nx += xi * xi; ny += yi * yi
+        i += 1
+      }
+      if (nx == 0.0 || ny == 0.0) None else Some(dot / (math.sqrt(nx) * math.sqrt(ny)))
+    }
+    val simPairs = (for {
+      a <- collapsed; b <- collapsed if a._2 < b._2
+      // NaN cosine (corrupted element with nonzero norms) is a non-match —
+      // the engine's !isnan guard; BigDecimal would throw on NaN/Inf
+      c <- cosine(a._1, b._1) if !c.isNaN && !c.isInfinite
+      if round6(c) >= threshold
+    } yield (a._2.toLong, b._2.toLong)).toSeq
+    val want = mComponents(idsAll, exactEdges ++ simPairs)
+    check(got == want,
+      s"semanticDedupLabels (k=1) diverged (t=$threshold): got=$got want=$want " +
+        s"seed=$seed vecs=${vecs.map(_.toSeq)}")
+  }
+
   // --- partitioning independence (metamorphic) -----------------------------
 
   def checkPartitioning(spark: SparkSession, seed: Long): Unit = {
@@ -540,7 +904,13 @@ object TextContractChecks {
     "mixture" -> checkMixture _,
     "overlap" -> checkOverlap _,
     "textops" -> checkTextOps _,
-    "partitioning" -> checkPartitioning _)
+    "partitioning" -> checkPartitioning _,
+    "minhash" -> checkMinhash _,
+    "simhash" -> checkSimhash _,
+    "jaccard" -> checkJaccard _,
+    "decontam" -> checkDecontaminate _,
+    "components" -> checkComponents _,
+    "semdedup" -> checkSemanticLabels _)
 }
 
 /** Offline sweep driver for [[TextContractChecks]] — run big fresh-seed

@@ -100,4 +100,30 @@ class TextContractProps extends AnyFunSuite with BeforeAndAfterAll {
   test("text operators are partitioning-independent on hostile corpora") {
     for (seed <- 800L until 805L) checkPartitioning(spark, seed)
   }
+
+  // --- dedup/decontamination family (r13): 500 random corpora in CI --------
+
+  test("MinHash+LSH candidates + removeDuplicates match the model on random corpora") {
+    for (seed <- 1100L until 1160L) checkMinhash(spark, seed)
+  }
+
+  test("SimHash pairs match the chunk/Hamming model on random corpora") {
+    for (seed <- 1200L until 1300L) checkSimhash(spark, seed)
+  }
+
+  test("n-gram Jaccard pairs match the df-capped set model on random corpora") {
+    for (seed <- 1300L until 1400L) checkJaccard(spark, seed)
+  }
+
+  test("exact + fuzzy decontamination match their models on planted-overlap corpora") {
+    for (seed <- 1400L until 1500L) checkDecontaminate(spark, seed)
+  }
+
+  test("both connected-components hosts match union-find on random graphs") {
+    for (seed <- 1500L until 1540L) checkComponents(spark, seed)
+  }
+
+  test("semanticDedupLabels (k=1) matches the label-contract model on hostile embeddings") {
+    for (seed <- 1600L until 1700L) checkSemanticLabels(spark, seed)
+  }
 }
