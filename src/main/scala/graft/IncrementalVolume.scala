@@ -26,7 +26,17 @@ import graft.operators.{BloomJoin, Dedup, Sampling, VectorOps}
   *      NEAR-DUP CLUSTER LABEL as groupKey (the documented fuzzy
   *      extension): a kept near-dup and its existing anchor share a
   *      label, so they can never straddle train/test — exactly what a
-  *      per-row fingerprint split would get wrong.
+  *      per-row fingerprint split would get wrong;
+  *   E. token-budget accounting — [[LanguageModel.bpeTrainMerges]] (the
+  *      driver in-memory loop, 256 ranks) over the cleaned slice, then
+  *      [[LanguageModel.bpeEncode]] (native BpeUnits) for per-doc unit
+  *      counts, aggregated per DOMAIN and fed to
+  *      [[Sampling.mixtureSample]] as the token mass — closing the
+  *      steady-state loop at ingest→dedup→clean→split→tokenize→mix.
+  *      Word counts assert exactly (planted corpus shape), three docs
+  *      spot-check end-to-end against a driver-side BPE replica, and
+  *      the mixture plan's per-domain totals must equal the encode
+  *      aggregate to the token.
   *
   * Every stage's effect is asserted EXACTLY (planted counts, anchors,
   * coverage, co-assignment), and StageShuffleListener bounds the worst
@@ -169,6 +179,101 @@ object IncrementalVolume {
     assert(leaked > 0L, "corpus too small to demonstrate the exact-split leak")
     println(s"[incr-vol] fuzzy split: 0/2500 near-dup pairs straddle; " +
       s"exact-fingerprint split would leak $leaked/2500")
+
+    // --- E. token-budget accounting: train (driver loop) → encode → mix
+    // domains: the 30%-boilerplate carriers vs plain web docs — the
+    // mixture a curation run would rebalance
+    val domained = cleaned
+      .select(col("id"), col("clean_text"),
+        when(col("n_dup_windows") > 0, "boiler").otherwise("web").as("domain"))
+      .localCheckpoint()
+    val table = time("E1: BPE train, 256 ranks, driver loop over the cleaned slice")(
+      graft.operators.LanguageModel
+        .bpeTrainMerges(domained, col("clean_text"), numMerges = 256)
+        .collect().sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq)
+    assert(table.length == 256, s"cleaned slice must sustain 256 merges: ${table.length}")
+    val encoded = time("E2: BPE encode (native BpeUnits) + per-domain budget")(
+      graft.operators.LanguageModel
+        .bpeEncode(domained, col("id"), col("clean_text"), table)
+        .join(domained.select(col("id"), col("domain")), "id")
+        .localCheckpoint())
+    val perDomain = encoded.groupBy(col("domain"))
+      .agg(count(lit(1)).as("docs"), sum(col("n_words")).as("words"),
+        sum(col("n_units")).as("units"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // every cleaned doc carries exactly 30 surviving tokens (asserted in
+    // stage C), so word budgets are exact; units compress below the raw
+    // character count and can never go under one unit per word
+    assert(perDomain("boiler") == ((5250L, 157500L, perDomain("boiler")._3)),
+      s"boiler domain word budget: ${perDomain("boiler")}")
+    assert(perDomain("web") == ((12250L, 367500L, perDomain("web")._3)),
+      s"web domain word budget: ${perDomain("web")}")
+    perDomain.foreach { case (d, (_, words, units)) =>
+      assert(units >= words, s"$d: a word can never encode below one unit")
+    }
+    val totalUnits = perDomain.values.map(_._3).sum
+    val totalChars = domained
+      .agg(sum(length(regexp_replace(col("clean_text"), "\\s+", ""))))
+      .collect()(0).getLong(0)
+    assert(totalUnits < totalChars,
+      s"256 ranks must compress below character units: $totalUnits vs $totalChars")
+    println(s"[incr-vol] E: boiler ${perDomain("boiler")._3} units, " +
+      s"web ${perDomain("web")._3} units ($totalChars chars)")
+    // three docs end-to-end against a driver-side replica of the BPE
+    // encode rule (the BpeVolume spot-check idiom)
+    def encodeLocal(word: String): Long = {
+      var units = word.codePoints.toArray
+        .map(cp => new String(Character.toChars(cp)))
+      val present = scala.collection.mutable.HashSet.empty[String] ++ units
+      for ((a, b) <- table if units.length > 1) {
+        if (present.contains(a) && present.contains(b)) {
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < units.length) {
+            if (i + 1 < units.length && units(i) == a && units(i + 1) == b) {
+              out += (a + b); present += (a + b); i += 2
+            } else { out += units(i); i += 1 }
+          }
+          units = out.toArray
+        }
+      }
+      units.length.toLong
+    }
+    val sampleIds = Seq(1007500L, 1010001L, 1024999L)
+    val sampleTexts = domained.filter(col("id").isin(sampleIds: _*))
+      .select(col("id"), col("clean_text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val sampleGot = encoded.filter(col("id").isin(sampleIds: _*))
+      .select(col("id"), col("n_units")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sampleIds.foreach { id =>
+      val want = sampleTexts(id).toLowerCase.trim.split("\\s+")
+        .filter(_.nonEmpty).map(encodeLocal).sum
+      assert(sampleGot(id) == want,
+        s"doc $id: native encode ${sampleGot(id)} != driver replica $want")
+    }
+    println(s"[incr-vol] E: 3-doc spot check vs driver replica ok")
+    // the budget the mixture sampler would consume: token mass per domain
+    // must flow through UNCHANGED — the plan's totals ARE the aggregate
+    val mix = Sampling.mixtureSample(
+      encoded, col("id"), col("domain"), col("n_units"),
+      Map("boiler" -> 0.2, "web" -> 0.8), budget = totalUnits / 2)
+    val planTotals = mix.plan.map(m => m.stratum -> m.total).toMap
+    assert(planTotals("boiler") == perDomain("boiler")._3 &&
+      planTotals("web") == perDomain("web")._3,
+      s"mixture plan totals must equal the encode aggregate to the token: " +
+        s"$planTotals vs $perDomain")
+    val consumed = mix.sampled.groupBy(col("domain")).agg(sum(col("n_units")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    mix.plan.foreach { m =>
+      val target = m.rate * m.total
+      val got = consumed.getOrElse(m.stratum, 0L).toDouble
+      assert(math.abs(got - target) <= 0.15 * target + 1000.0,
+        s"${m.stratum}: consumed $got vs target $target (rate ${m.rate})")
+    }
+    println(s"[incr-vol] E: mixture consumed $consumed of plan " +
+      s"${mix.plan.map(m => f"${m.stratum}:${m.rate}%.4f×${m.total}")}")
 
     listener.drain(minTasks = 100L)
     val worst = listener.worstTaskRows

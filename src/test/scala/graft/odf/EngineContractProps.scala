@@ -581,6 +581,98 @@ class EngineContractProps extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  /** One random RAW-QUERY request sequence (the A17 ingest path, fuzzed
+    * per-request above): 3-5 chained rounds of ingest preprocessing over a
+    * growing source — each round ships only its new batch (1-2 files,
+    * possibly zero rows), the view chain is fixed per case (a dataset's
+    * ingest preprocessing doesn't change between pulls), and ~1-in-4
+    * rounds first fires a BROKEN step that must reject without writing and
+    * without disturbing the next good pull. After the last round the
+    * concatenated round outputs must equal the model's cumulative
+    * selection — the raw path adds no system columns, so the readback
+    * check is the data multiset plus per-file schema. */
+  private def runRawSequence(seed: Long, dir: Path): Unit = {
+    val rnd = new Random(seed)
+    def pick[T](xs: Seq[T]): T = xs(rnd.nextInt(xs.length))
+    val rounds = 3 + rnd.nextInt(3)
+    val et0 = pick(instPool)
+    val filterMod = 2 + rnd.nextInt(4)
+    val filterRes = rnd.nextInt(filterMod)
+    val mult = 1 + rnd.nextInt(5)
+    val twoSteps = rnd.nextBoolean()
+    val steps =
+      if (twoSteps) Seq(
+        SqlQueryStep.named("a", s"SELECT event_time, v * $mult AS v2, w FROM input"),
+        SqlQueryStep.output(s"SELECT event_time, v2, w FROM a WHERE v2 % $filterMod != $filterRes"))
+      else Seq(
+        SqlQueryStep.output(
+          s"SELECT event_time, v * $mult AS v2, w FROM input WHERE (v * $mult) % $filterMod != $filterRes"))
+    val schema = StructType(Seq(
+      StructField("event_time", TimestampType, nullable = false),
+      StructField("v", LongType, nullable = false),
+      StructField("w", StringType, nullable = false)).toIndexedSeq)
+
+    var upNext = 0L
+    val cumulative = scala.collection.mutable.ArrayBuffer.empty[(Timestamp, Long, String)]
+    val outPaths = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (r <- 0 until rounds) {
+      val nR = if (r == 0) 1 + rnd.nextInt(6) else rnd.nextInt(7)
+      val rows = (0 until nR).map { i =>
+        val off = upNext + i
+        LRow(off, et0.plusSeconds(60L * off), off, s"w$off")
+      }
+      // this round's batch: 1-2 files (zero-row batches still ship a file —
+      // an empty parquet with the source schema is a legitimate pull)
+      val nFiles = 1 + rnd.nextInt(2)
+      val cut = if (nFiles == 2) rnd.nextInt(nR + 1) else nR
+      val paths = Seq(rows.take(cut), rows.drop(cut)).take(nFiles).zipWithIndex
+        .map { case (chunk, k) =>
+          val p = dir.resolve(s"raw${r}_$k.parquet")
+          writeSlice(schema, chunk.map(row =>
+            Row(Timestamp.from(row.et), row.v, row.w)), p)
+          p.toString
+        }
+      // a broken pull mid-sequence: must reject, write nothing, and leave
+      // the next good pull over the SAME batch unaffected
+      if (rnd.nextInt(4) == 0) {
+        val badPath = dir.resolve(s"rawbad$r.parquet").toString
+        val bad = engine.executeRawQuery(RawQueryRequest(paths,
+          Seq(SqlQueryStep.output("SELECT nope FROM input")), badPath))
+        assert(bad.isLeft && bad.swap.exists(_.isInstanceOf[InvalidQuery]),
+          s"seed=$seed round=$r broken raw pull must reject: $bad")
+        assert(Files.notExists(java.nio.file.Paths.get(badPath)),
+          s"seed=$seed round=$r broken raw pull wrote a file")
+      }
+      val outPath = dir.resolve(s"rawout$r.parquet").toString
+      val res = engine.executeRawQuery(RawQueryRequest(paths, steps, outPath))
+      val selected = rows.filter(row => (row.v * mult) % filterMod != filterRes)
+      val ctx = s"seed=$seed round=$r/$rounds files=$nFiles nR=$nR mult=$mult " +
+        s"mod=$filterMod res=$filterRes"
+      assert(res == Right(RawQueryResponseSuccess(selected.size.toLong)), s"$ctx res=$res")
+      val out = spark.read.parquet(outPath)
+      assert(out.schema.fieldNames.toSeq == Seq("event_time", "v2", "w"), ctx)
+      val got = out.collect().map(r2 => (r2.getTimestamp(0), r2.getLong(1), r2.getString(2))).toSeq
+      val exp = selected.map(row => (Timestamp.from(row.et), row.v * mult, row.w))
+      assert(got.sortBy(t => (t._2, t._3)) == exp.sortBy(t => (t._2, t._3)), ctx)
+      cumulative ++= exp
+      outPaths += outPath
+      upNext += nR
+    }
+    // the concatenated ingest outputs equal the cumulative model selection
+    val all = spark.read.parquet(outPaths.toSeq: _*).collect()
+      .map(r2 => (r2.getTimestamp(0), r2.getLong(1), r2.getString(2))).toSeq
+    assert(all.sortBy(t => (t._2, t._3)) == cumulative.toSeq.sortBy(t => (t._2, t._3)),
+      s"seed=$seed cumulative ingest mismatch")
+  }
+
+  test("raw-query sequence fuzz: 100 chained ingest sequences match the stepwise model") {
+    val root = Files.createTempDirectory("odf-contract-rawseq")
+    for (seed <- 0L until 100L) {
+      val dir = Files.createDirectory(root.resolve(s"case$seed"))
+      runRawSequence(seed, dir)
+    }
+  }
+
   test("sequence fuzz: 200 chained request sequences evolve the ledger model stepwise") {
     val root = Files.createTempDirectory("odf-contract-seq")
     for (seed <- 0L until 200L) {
