@@ -27,11 +27,16 @@ object BloomJoin {
 
   /** Serialized bloom filter of `small`'s key column (cast to long).
     * Two jobs over the SMALL side only: a count to size the filter, then
-    * the sketch aggregation (partial filters merged via OR). */
+    * the sketch aggregation (partial filters merged via OR). A key set
+    * that is empty after the NULL drop yields an empty filter (every
+    * probe misses) — `stat.bloomFilter` aggregated over zero rows returns
+    * a null buffer it would NPE deserializing. */
   def keyBloom(small: DataFrame, keyCol: String, fpp: Double = 0.01): Array[Byte] = {
     val keys = small.select(col(keyCol).cast("long").as("k")).na.drop()
-    val n = math.max(keys.count(), 64L)
-    val bf = keys.stat.bloomFilter("k", n, fpp)
+    val n = keys.count()
+    val bf =
+      if (n == 0L) org.apache.spark.util.sketch.BloomFilter.create(64L, fpp)
+      else keys.stat.bloomFilter("k", math.max(n, 64L), fpp)
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
     bos.toByteArray
@@ -51,6 +56,12 @@ object BloomJoin {
     * maybe-seen minority pays the real anti-join, which then removes bloom
     * false positives. Result is bit-identical to a plain anti-join.
     *
+    * A NULL probe key (a NULL in `bigKey`, or a non-numeric key the long
+    * cast nulls out) makes the bloom probe NULL — such rows route to the
+    * exact-join branch, where `condition`'s own NULL semantics decide
+    * their fate exactly as in the plain anti-join. Filtering them with
+    * `!probe` instead would silently drop them from BOTH branches.
+    *
     * `big` is scanned twice (once per branch) — both scans are parallel
     * column-pruned parquet reads, which at 100 TB is far cheaper than
     * shuffling the ~all-new majority of the batch. */
@@ -63,7 +74,9 @@ object BloomJoin {
       fpp: Double = 0.01): DataFrame = {
     val bytes = keyBloom(small.select(smallKey.cast("long").as("k")), "k", fpp)
     NativeHashes.register(big.sparkSession)
-    val probe = call_function("bloom_might_contain", bigKey.cast("long"), lit(bytes))
+    val probe = coalesce(
+      call_function("bloom_might_contain", bigKey.cast("long"), lit(bytes)),
+      lit(true))
     val definitelyNew = big.filter(!probe)
     val survivors = big.filter(probe).join(small, condition, "left_anti")
     definitelyNew.unionByName(survivors)

@@ -66,12 +66,22 @@ object Sampling {
     * proportionally more often, membership is a pure function of
     * (key, weight), and the plan is the same TakeOrderedAndProject top-k
     * as fixedSizeSample: per-partition heaps, driver merge of k rows,
-    * never a global sort. */
-  def weightedSample(df: DataFrame, key: Column, weight: Column, k: Int): DataFrame =
-    df.withColumn("_wk", log(hashUniform(key)) / weight.cast("double"))
+    * never a global sort.
+    *
+    * Non-positive (or NULL) weights rank −∞ — the A-Res limit w→0⁺ gives
+    * u^(1/w)→0, i.e. "never beats a positively-weighted row"; such rows
+    * fill remaining slots in key order. The guard also keeps the raw
+    * ln(u)/0 division out of the plan, which ANSI mode would reject at
+    * runtime instead of returning the IEEE ±Inf/NaN. */
+  def weightedSample(df: DataFrame, key: Column, weight: Column, k: Int): DataFrame = {
+    val w = weight.cast("double")
+    df.withColumn("_wk",
+        when(w > 0.0, log(hashUniform(key)) / w)
+          .otherwise(lit(Double.NegativeInfinity)))
       .orderBy(col("_wk").desc, key)
       .limit(k)
       .drop("_wk")
+  }
 
   /** Uniform bucket in [0, 65536) from the first four hex chars of
     * md5(key) — 16-bit granularity for DATA-DERIVED acceptance rates,

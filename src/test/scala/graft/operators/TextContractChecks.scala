@@ -877,6 +877,225 @@ object TextContractChecks {
         s"seed=$seed vecs=${vecs.map(_.toSeq)}")
   }
 
+  // --- sampling family (deterministic md5 arithmetic) ----------------------
+
+  private def mBucket256(key: String): Int =
+    Integer.parseInt(md5Hex(key).substring(0, 2), 16)
+
+  /** fraction / stratified / fixed-size / weighted sampling vs the exact
+    * md5 models. Keys are the hostile TEXTS themselves (a NULL key hashes
+    * to NULL: dropped by the bucket filters, sorted null-FIRST by the
+    * fixed-size asc sort, null-LAST by the weighted desc sort), so
+    * sampling runs through the same code-point shapes as the text family.
+    * Duplicate texts make every sort boundary a MULTISET contract: the
+    * kept sort-key multiset is deterministic, the ids on a tied boundary
+    * are not. */
+  def checkSampling(spark: SparkSession, seed: Long): Unit = {
+    val rnd = new Random(seed)
+    val docs = genCorpus(rnd, maxDocs = 14, nullTextPct = 10)
+    val df = toDf(spark, docs)
+    // fraction: bucket(md5) < threshold
+    val t = Vector(0, 1, 64, 255, 256)(rnd.nextInt(5))
+    val gotF = Sampling.fractionSample(df, col("text"), t)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val wantF = docs.filter(d => d._2.exists(x => mBucket256(x) < t)).map(_._1).toSet
+    check(gotF == wantF,
+      s"fractionSample t=$t: got=$gotF want=$wantF ${clue(seed, docs)}")
+    // stratified: per-stratum thresholds with a default
+    val thrs = Seq("A", "B", "C").filter(_ => rnd.nextBoolean())
+      .map(s => s -> rnd.nextInt(257)).toMap
+    val dflt = rnd.nextInt(257)
+    val gotS = Sampling.stratifiedSample(df, col("text"), col("src"), thrs, dflt)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val wantS = docs.filter(d =>
+      d._2.exists(x => mBucket256(x) < thrs.getOrElse(d._3, dflt))).map(_._1).toSet
+    check(gotS == wantS,
+      s"stratifiedSample thrs=$thrs dflt=$dflt: got=$gotS want=$wantS ${clue(seed, docs)}")
+    // fixed-size: the n smallest md5 hex strings (asc sort, nulls first)
+    val n = 1 + rnd.nextInt(docs.length + 2)
+    val hashOf = docs.map(d => d._1 -> d._2.map(md5Hex)).toMap
+    val gotN = Sampling.fixedSizeSample(df, col("text"), n)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    check(gotN.length == math.min(n, docs.length),
+      s"fixedSizeSample n=$n returned ${gotN.length} rows ${clue(seed, docs)}")
+    def nullsFirst(o: Option[String]): String = o.fold("")("h" + _)
+    val wantKeys = docs.map(d => nullsFirst(hashOf(d._1))).sorted.take(n)
+    check(gotN.map(id => nullsFirst(hashOf(id))).sorted == wantKeys,
+      s"fixedSizeSample n=$n kept-key multiset diverged: got=$gotN ${clue(seed, docs)}")
+    // weighted A-Res: k largest ln(u)/w; weight = code-point length, so
+    // empty and NULL texts pin the non-positive-weight -Inf contract (the
+    // w>0 guard that keeps ANSI's divide-by-zero out of the plan); ties
+    // break by text asc with NULL first
+    val k = 1 + rnd.nextInt(docs.length + 1)
+    val gotW = Sampling.weightedSample(df, col("text"),
+        length(col("text")).cast("double"), k)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    def wkOf(text: Option[String]): Double = text match {
+      case Some(t) if t.codePointCount(0, t.length) > 0 =>
+        val u = (java.lang.Long.parseLong(md5Hex(t).substring(0, 6), 16) + 1L) /
+          16777216.0
+        StrictMath.log(u) / t.codePointCount(0, t.length).toDouble
+      case _ => Double.NegativeInfinity // NULL or zero weight never wins
+    }
+    val ordered = docs.sortWith { (a, b) =>
+      val c = java.lang.Double.compare(wkOf(b._2), wkOf(a._2)) // desc, NaN greatest
+      if (c != 0) c < 0
+      else (a._2, b._2) match {
+        case (None, None) => false
+        case (None, _) => true // tie on _wk: text asc, NULLs first
+        case (_, None) => false
+        case (Some(x), Some(y)) => cpCompare(x, y) < 0
+      }
+    }
+    check(gotW.length == math.min(k, docs.length),
+      s"weightedSample k=$k returned ${gotW.length} rows ${clue(seed, docs)}")
+    def wkey(id: Long): (String, Option[String]) = {
+      val text = docs.find(_._1 == id).get._2
+      (java.lang.Double.doubleToLongBits(wkOf(text)).toString, text)
+    }
+    check(gotW.map(wkey).sorted == ordered.take(k).map(d => wkey(d._1)).sorted,
+      s"weightedSample k=$k kept-key multiset diverged: got=$gotW " +
+        s"want=${ordered.take(k).map(_._1)} ${clue(seed, docs)}")
+  }
+
+  /** bloomAntiJoin / bloomReducedJoin vs the plain joins they claim
+    * bit-identity with — hostile key sets: NULLs (must route to the exact
+    * branch, not vanish with the NULL bloom probe), duplicates on both
+    * sides, hot keys, values far outside the small side's range, and both
+    * `===` and null-safe `<=>` conditions. */
+  def checkBloomDedup(spark: SparkSession, seed: Long): Unit = {
+    val rnd = new Random(seed)
+    def key(): java.lang.Long = rnd.nextInt(8) match {
+      case 0 => null
+      case 1 => java.lang.Long.valueOf(1000000007L + rnd.nextInt(3))
+      case _ => java.lang.Long.valueOf(rnd.nextInt(12).toLong)
+    }
+    val big = (0 until 1 + rnd.nextInt(20)).map(i => (i.toLong, key()))
+    val small = (0 until rnd.nextInt(12)).map(i => (1000L + i, key()))
+    def mk(rows: Seq[(Long, java.lang.Long)], id: String, k: String): DataFrame =
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows.map(r => Row(r._1, r._2)): _*),
+        StructType(Seq(StructField(id, LongType, nullable = false),
+          StructField(k, LongType, nullable = true))))
+    val bigDf = mk(big, "bid", "bk")
+    val smallDf = mk(small, "sid", "sk")
+    val nullSafe = rnd.nextBoolean()
+    val cond = if (nullSafe) col("bk") <=> col("sk") else col("bk") === col("sk")
+    def matches(bk: java.lang.Long, sk: java.lang.Long): Boolean =
+      if (nullSafe) (bk == null && sk == null) ||
+        (bk != null && sk != null && bk.longValue == sk.longValue)
+      else bk != null && sk != null && bk.longValue == sk.longValue
+    val ctx = s"seed=$seed nullSafe=$nullSafe big=$big small=$small"
+    val gotAnti = BloomJoin.bloomAntiJoin(bigDf, smallDf, col("bk"), col("sk"),
+        cond, fpp = 0.01)
+      .select("bid").collect().map(_.getLong(0)).sorted.toSeq
+    val wantAnti = big.filter { case (_, bk) => !small.exists(s => matches(bk, s._2)) }
+      .map(_._1).sorted
+    check(gotAnti == wantAnti, s"bloomAntiJoin: got=$gotAnti want=$wantAnti $ctx")
+    val gotJoin = BloomJoin.bloomReducedJoin(bigDf, smallDf, "bk", "sk", fpp = 0.01)
+      .select("bid", "sid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted.toSeq
+    val wantJoin = (for {
+      (bid, bk) <- big; (sid, sk) <- small
+      if bk != null && sk != null && bk.longValue == sk.longValue
+    } yield (bid, sid)).sorted
+    check(gotJoin == wantJoin, s"bloomReducedJoin: got=$gotJoin want=$wantJoin $ctx")
+  }
+
+  /** heavyHitters: at a cap above the vocabulary Misra-Gries keeps exact
+    * counts and the top-k is fully decidable (CMS row width 20k vs a <4k
+    * vocab — a wrong estimate needs a same-bucket collision in every depth
+    * row, deterministic per seed and astronomically unlikely; a seed that
+    * ever trips it gets its expectation pinned, not loosened). At a tiny
+    * cap the exact output is partitioning-dependent, so the check drops to
+    * the operator's actual guarantees: CMS never undercounts a returned
+    * candidate, and every token with count > N/(cap+1) survives the MG
+    * sweep (checked with k = vocab so no top-k cut hides a survivor). */
+  def checkHeavyHitters(spark: SparkSession, seed: Long): Unit = {
+    val rnd = new Random(seed)
+    val docs = genCorpus(rnd, maxDocs = 10)
+    val toks = docs.flatMap(d => d._2.toSeq.flatMap(t => mTokens(t).toSeq))
+    val tokDf = spark.createDataFrame(
+      java.util.Arrays.asList(toks.map(Row(_)): _*),
+      StructType(Seq(StructField("tok", StringType, nullable = false))))
+    val exact = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val k = 1 + rnd.nextInt(6)
+    val got = Sketches.heavyHitters(tokDf, "tok", k)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val want = exact.toSeq.sortBy { case (tok, c) => (-c, tok) }.take(k)
+    check(got == want,
+      s"heavyHitters k=$k diverged: got=$got want=$want ${clue(seed, docs)}")
+    if (exact.nonEmpty) {
+      val cap = 2 + rnd.nextInt(3)
+      val gotLow = Sketches.heavyHitters(tokDf, "tok", k = exact.size, localCap = cap)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      gotLow.foreach { case (tok, est) =>
+        check(est >= exact.getOrElse(tok, 0L),
+          s"CMS undercounted '$tok': est=$est exact=${exact.get(tok)} ${clue(seed, docs)}")
+      }
+      val mustSurvive = exact.filter(_._2 > toks.size.toDouble / (cap + 1)).keySet
+      check(mustSurvive.subsetOf(gotLow.map(_._1).toSet),
+        s"MG cap=$cap lost a guaranteed heavy hitter: got=${gotLow.map(_._1).toSet} " +
+          s"must=$mustSurvive ${clue(seed, docs)}")
+    }
+  }
+
+  /** packIntoBins vs the range-frame prefix-sum model: the window's
+    * default RANGE frame sums ALL order-key peers, so tied rows share
+    * tok_start = (sum through every peer) − own size — the model replays
+    * that, plus zero-size docs and docs larger than the bin capacity. */
+  def checkPacking(spark: SparkSession, seed: Long): Unit = {
+    val rnd = new Random(seed)
+    val rows = (0 until 1 + rnd.nextInt(25)).map { i =>
+      (i.toLong, Vector("A", "B", "C")(rnd.nextInt(3)),
+        if (rnd.nextInt(5) == 0) i.toLong % 3 else i.toLong, // ties ~1 in 5
+        rnd.nextInt(8) match {
+          case 0 => 0L
+          case 1 => 50L // larger than any capacity below
+          case _ => 1L + rnd.nextInt(12)
+        })
+    }
+    val capacity = 1 + rnd.nextInt(16)
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(rows.map(r => Row(r._1, r._2, r._3, r._4)): _*),
+      StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("shard", StringType, nullable = false),
+        StructField("ord", LongType, nullable = false),
+        StructField("sz", LongType, nullable = false))))
+    val got = Packing.packIntoBins(df, Seq("shard"), col("ord"), col("sz"), capacity)
+      .select("id", "tok_start", "bin").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    rows.foreach { case (id, shard, ord, sz) =>
+      val cum = rows.filter(r => r._2 == shard && r._3 <= ord).map(_._4).sum
+      val tokStart = cum - sz
+      val bin = math.floor(tokStart.toDouble / capacity).toLong
+      check(got(id) == ((tokStart, bin)),
+        s"packIntoBins cap=$capacity id=$id: got=${got(id)} want=($tokStart,$bin) " +
+          s"seed=$seed rows=$rows")
+    }
+  }
+
+  /** invertedIndex vs the exact postings model — tiny caps stress the
+    * two-level (token, partition)-window path, whose output must equal the
+    * single-window formulation: exact document frequency, global first-cap
+    * doc ids ascending. */
+  def checkInvIndex(spark: SparkSession, seed: Long): Unit = {
+    val rnd = new Random(seed)
+    val docs = genCorpus(rnd, maxDocs = 12, nullTextPct = 10)
+    val cap = Vector(1, 2, 3, 20)(rnd.nextInt(4))
+    val got = SearchIndex.invertedIndex(toDf(spark, docs), col("doc_id"), col("text"), cap)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    val postings = docs.flatMap(d =>
+      d._2.toSeq.flatMap(t => mTokens(t).distinct.toSeq.map(tok => (tok, d._1))))
+    val want = postings.groupBy(_._1).map { case (tok, ps) =>
+      val ids = ps.map(_._2).sorted
+      (tok, ids.size.toLong, ids.take(cap).mkString(","))
+    }.toSet
+    check(got == want,
+      s"invertedIndex cap=$cap diverged: got=$got want=$want ${clue(seed, docs)}")
+  }
+
   // --- partitioning independence (metamorphic) -----------------------------
 
   def checkPartitioning(spark: SparkSession, seed: Long): Unit = {
@@ -910,7 +1129,12 @@ object TextContractChecks {
     "jaccard" -> checkJaccard _,
     "decontam" -> checkDecontaminate _,
     "components" -> checkComponents _,
-    "semdedup" -> checkSemanticLabels _)
+    "semdedup" -> checkSemanticLabels _,
+    "sampling" -> checkSampling _,
+    "bloomdedup" -> checkBloomDedup _,
+    "heavyhitters" -> checkHeavyHitters _,
+    "packing" -> checkPacking _,
+    "invindex" -> checkInvIndex _)
 }
 
 /** Offline sweep driver for [[TextContractChecks]] — run big fresh-seed
@@ -925,6 +1149,8 @@ object TextFuzz {
   def main(args: Array[String]): Unit = {
     val from = args.headOption.map(_.toLong).getOrElse(10000L)
     val count = args.lift(1).map(_.toLong).getOrElse(300L)
+    // optional third arg: comma-separated family filter
+    val only = args.lift(2).map(_.split(",").toSet)
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -934,7 +1160,9 @@ object TextFuzz {
     spark.sparkContext.setLogLevel("ERROR")
     val t0 = System.nanoTime()
     var n = 0L
-    TextContractChecks.families.foreach { case (name, fn) =>
+    TextContractChecks.families
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       val fam0 = System.nanoTime()
       (from until from + count).foreach { seed => fn(spark, seed); n += 1 }
       println(f"[text-fuzz] $name%-13s $count cases ok " +

@@ -126,4 +126,26 @@ class TextContractProps extends AnyFunSuite with BeforeAndAfterAll {
   test("semanticDedupLabels (k=1) matches the label-contract model on hostile embeddings") {
     for (seed <- 1600L until 1700L) checkSemanticLabels(spark, seed)
   }
+
+  // --- sampling/sketch/index family (r13): 500 random corpora in CI --------
+
+  test("sampling operators match the exact md5-arithmetic models on hostile corpora") {
+    for (seed <- 1700L until 1800L) checkSampling(spark, seed)
+  }
+
+  test("bloomAntiJoin / bloomReducedJoin stay bit-identical to the plain joins") {
+    for (seed <- 1800L until 1900L) checkBloomDedup(spark, seed)
+  }
+
+  test("heavyHitters: exact top-k above the vocab cap; guarantees hold at tiny caps") {
+    for (seed <- 1900L until 2000L) checkHeavyHitters(spark, seed)
+  }
+
+  test("packIntoBins matches the range-frame prefix-sum model") {
+    for (seed <- 2000L until 2100L) checkPacking(spark, seed)
+  }
+
+  test("invertedIndex matches the exact postings model at hostile caps") {
+    for (seed <- 2100L until 2200L) checkInvIndex(spark, seed)
+  }
 }
