@@ -168,6 +168,17 @@ object LanguageModel {
     *     cost but wall-clock-linear in rank count (one job per rank);
     *     correct at ANY vocabulary size.
     *
+    * `vocabTopK > 0` truncates the TRAINING vocabulary to the top-K words
+    * by (wf desc, word asc) first — one TakeOrdered (per-partition heaps,
+    * no global sort) — which is how a 100 TB corpus whose distinct-word
+    * table outgrows the driver threshold still trains there: merges are
+    * then exact over the head vocabulary, and the excluded Zipf tail
+    * (each word contributing its own tiny wf to pair counts) is the same
+    * frequency floor production tokenizers apply before training. K at or
+    * above the true vocabulary size is a no-op (the table is identical,
+    * spec-pinned). Encoding is unaffected — it applies the learned table
+    * to every word of the full corpus.
+    *
     * Both hosts implement the SAME contract — overlapping pair counts
     * (every adjacent index pair, the classic get_stats), argmax ties
     * broken by (a, b) in UTF8-binary = code-point order, merge applied
@@ -186,14 +197,18 @@ object LanguageModel {
   def bpeTrainMerges(
       df: DataFrame, text: Column, numMerges: Int = 6,
       checkpointEvery: Int = 16,
-      driverVocabMax: Long = 4000000L): DataFrame = {
+      driverVocabMax: Long = 4000000L,
+      vocabTopK: Int = 0): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val spark = df.sparkSession
-    val wf = df
+    val wfAll = df
       .select(explode(bpeWords(text)).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("wf"))
       .filter(length(col("word")) >= 2)
+    val wf =
+      if (vocabTopK > 0) wfAll.orderBy(col("wf").desc, col("word")).limit(vocabTopK)
+      else wfAll
     val collected: Option[Array[Row]] =
       if (driverVocabMax > 0 && driverVocabMax < Int.MaxValue - 1) {
         val probe = wf.limit(driverVocabMax.toInt + 1).collect()

@@ -1368,6 +1368,37 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs(dirty) == pairs(clean), s"dirty: ${pairs(dirty)} clean: ${pairs(clean)}")
   }
 
+  test("BPE vocabTopK: no-op at K >= vocab; truncation trains exactly on the head vocabulary") {
+    import spark.implicits._
+    // head words (wf 5) carry the merges; a distinct-word tail (wf 1)
+    // inflates the vocabulary without mattering — the production shape
+    // vocabTopK exists for. K = |head| must reproduce training on the
+    // head alone; K >= |vocab| must reproduce the full training exactly.
+    val head = Seq("alpha", "alps", "alto", "beta")
+    val tail = (0 until 200).map(i => s"z${i}q${i % 7}")
+    val corpus = Seq((1L, (head.flatMap(w => Seq.fill(5)(w)) ++ tail).mkString(" ")))
+      .toDF("doc_id", "text")
+    val headOnly = Seq((1L, head.flatMap(w => Seq.fill(5)(w)).mkString(" ")))
+      .toDF("doc_id", "text")
+    def table(df: org.apache.spark.sql.DataFrame, topK: Int) =
+      LanguageModel.bpeTrainMerges(df, col("text"), numMerges = 4, vocabTopK = topK)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val full = table(corpus, 0)
+    assert(table(corpus, 1000) == full, "K above the vocabulary must be a no-op")
+    assert(table(corpus, head.length) == table(headOnly, 0),
+      s"K=|head| must equal training on the head alone: " +
+        s"${table(corpus, head.length)} vs ${table(headOnly, 0)}")
+    // under truncation the head's most frequent pair leads: 'al' from
+    // alpha/alps/alto (wf 15); in FULL training the 200-word tail's
+    // aggregate pairs dominate instead — the two tables genuinely differ,
+    // which is what makes the K=|head| equivalence above non-vacuous
+    assert(table(corpus, head.length).head._2 == "a" &&
+      table(corpus, head.length).head._3 == "l",
+      s"truncated head merge should be (a,l): ${table(corpus, head.length)}")
+    assert(full != table(corpus, head.length),
+      "tail must matter in full training, or this spec tests nothing")
+  }
+
   test("BPE distributed train: per-round cost stays flat (64 vs 32 ranks) and matches the driver host") {
     // CI twin of the BpeVolume replace-chain-depth rehearsal (2M words,
     // 256 ranks, offline): with the every-16-rounds vocab re-checkpoint the
