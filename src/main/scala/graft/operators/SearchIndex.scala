@@ -24,6 +24,66 @@ import org.apache.spark.sql.functions._
   */
 object SearchIndex {
 
+  /** BM25 top-k retrieval over the corpus (Lucene's non-negative idf
+    * variant): score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    * idf(t) = ln((N−df+0.5)/(df+0.5) + 1) — the query-side counterpart of
+    * [[invertedIndex]] (dedup-by-query, contamination triage, corpus
+    * search).
+    *
+    * Scale shape: NO per-token shuffle at all. Per-term tf and the doc
+    * length are computed inside one narrow projection riding the scan
+    * (`size(filter(toks, = term))` per term — query terms are a handful,
+    * so this beats exploding the corpus token stream and shuffling it).
+    * Two corpus passes over that projection: a map-side-reduced aggregate
+    * for (N, Σdl, per-term df) — one collected row — then the scoring
+    * pass, pure codegen'd double arithmetic with idf folded in as
+    * literals, ending in TakeOrderedAndProject (per-partition k-heaps,
+    * driver merges k rows; never a global sort). dl and tf are
+    * integer-valued doubles, so Σdl (and hence avgdl) is exact in any
+    * partition order — the floor-scaled score stays engine-replayable,
+    * the q_text_perplexity determinism idiom.
+    *
+    * Only docs matching ≥1 query term are candidates (standard retrieval
+    * semantics); ties break by doc id ascending on the SCALED score, so
+    * the returned set is a pure function of the data. */
+  def bm25TopK(
+      docs: DataFrame, id: Column, text: Column,
+      queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
+    val terms = queryTerms.distinct.sorted
+    val base = docs.select(
+        id.as("doc_id") +: size(TextOps.tokens(text)).cast("double").as("dl") +:
+          terms.zipWithIndex.map { case (t, i) =>
+            size(filter(TextOps.tokens(text), x => x === lit(t)))
+              .cast("double").as(s"tf$i")
+          }: _*)
+      // a NULL text tokenizes to NULL: not indexable, so it contributes to
+      // neither N/avgdl/df nor the candidate set (otherwise the stats
+      // aggregate would count it in N but skip its NULL dl in Σdl)
+      .filter(col("dl").isNotNull)
+    val statCols = count(lit(1)).as("n") +: sum(col("dl")).as("sumdl") +:
+      terms.indices.map(i => sum((col(s"tf$i") > 0.0).cast("long")).as(s"df$i"))
+    val statsRow = base.agg(statCols.head, statCols.tail: _*).collect()(0)
+    val n = statsRow.getLong(0)
+    if (n == 0L)
+      return base.select(col("doc_id"), lit(0L).as("bm25_score_scaled")).limit(0)
+    val avgdl = statsRow.getDouble(1) / n
+    val idf = terms.indices.map { i =>
+      val df = statsRow.getLong(2 + i).toDouble
+      StrictMath.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    }
+    val norm = lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl))
+    val score = terms.indices
+      .map(i => lit(idf(i)) * (col(s"tf$i") * lit(k1 + 1.0)) / (col(s"tf$i") + norm))
+      .reduceLeft(_ + _)
+    base
+      .filter(terms.indices.map(i => col(s"tf$i")).reduceLeft(_ + _) > 0.0)
+      .select(col("doc_id"), floor(score * 1e4).cast("long").as("bm25_score_scaled"))
+      .orderBy(col("bm25_score_scaled").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** token → (document frequency, first `cap` doc ids ascending, as a
     * comma-joined string — arrays stay out of the driver-compare path). */
   def invertedIndex(docs: DataFrame, id: Column, text: Column, cap: Int = 20): DataFrame = {

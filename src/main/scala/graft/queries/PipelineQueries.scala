@@ -254,6 +254,55 @@ object PipelineQueries {
     ),
 
     QueryDef(
+      "q_bm25_topk",
+      // BM25 top-50 retrieval (Lucene idf variant) for a 3-term query —
+      // the query-side counterpart of q_inverted_index. No per-token
+      // shuffle: per-term tf + doc length ride the scan in one narrow
+      // projection, one map-side-reduced aggregate yields (N, Σdl, df)
+      // as a single collected row, and scoring is pure codegen'd double
+      // arithmetic ending in TakeOrderedAndProject. dl/tf are
+      // integer-valued doubles (exact Σ in any partition order) and the
+      // oracle replays every double op in the same order, so the
+      // floor-scaled score hashes exactly (ln via StrictMath — the
+      // q_text_perplexity idiom).
+      (s, dir) => {
+        SearchIndex.bm25TopK(
+          t(s, dir, "documents"), col("doc_id"), col("text"),
+          queryTerms = Seq("vector", "join", "slow"), k = 50)
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id,
+             |    CAST(len(toks) AS DOUBLE) AS dl,
+             |    CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE) AS tf0,
+             |    CAST(len(list_filter(toks, x -> x = 'slow')) AS DOUBLE) AS tf1,
+             |    CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE) AS tf2
+             |  FROM (SELECT doc_id,
+             |          string_split_regex(trim(lower(text)), '\s+') AS toks
+             |        FROM documents)),
+             |stats AS (
+             |  SELECT count(*) AS n, sum(dl) AS sumdl,
+             |    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+             |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+             |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+             |  FROM base)
+             |SELECT doc_id,
+             |  CAST(floor((
+             |      ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0)
+             |        * (tf0 * (1.2 + 1.0))
+             |        / (tf0 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (sumdl / n)))
+             |    + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0)
+             |        * (tf1 * (1.2 + 1.0))
+             |        / (tf1 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (sumdl / n)))
+             |    + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0)
+             |        * (tf2 * (1.2 + 1.0))
+             |        / (tf2 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (sumdl / n)))
+             |  ) * 1e4) AS BIGINT) AS bm25_score_scaled
+             |FROM base, stats
+             |WHERE tf0 + tf1 + tf2 > 0
+             |ORDER BY bm25_score_scaled DESC, doc_id LIMIT 50""".stripMargin),
+    ),
+
+    QueryDef(
       "q_heavy_hitters",
       // Count-min + Misra-Gries heavy hitters, exact+bound shape: the
       // emitted rows are the EXACT phi=1/1000 heavy hitters (plain

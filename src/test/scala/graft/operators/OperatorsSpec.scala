@@ -1368,6 +1368,35 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs(dirty) == pairs(clean), s"dirty: ${pairs(dirty)} clean: ${pairs(clean)}")
   }
 
+  test("BM25 top-k: rank order follows tf and idf; non-matching docs never appear") {
+    import spark.implicits._
+    // 'rare' appears in one doc, 'common' in all four; same-length docs so
+    // the dl normalization drops out of the comparisons
+    val corpus = Seq(
+      (1L, "rare common filler pad"),   // rare + common
+      (2L, "common common filler pad"), // common twice
+      (3L, "common filler filler pad"), // common once
+      (4L, "filler filler filler pad")  // no query term
+    ).toDF("doc_id", "text")
+    val got = SearchIndex.bm25TopK(corpus, col("doc_id"), col("text"),
+        queryTerms = Seq("rare", "common"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.map(_._1) == Seq(1L, 2L, 3L),
+      s"rank order should be rare-hit, double-common, single-common: $got")
+    assert(!got.exists(_._1 == 4L), "a doc with no query term must not appear")
+    assert(got.map(_._2) == got.map(_._2).sorted(Ordering[Long].reverse),
+      s"scores must be non-increasing: $got")
+    // driver-side replica of the scoring formula, exact to the bit
+    val n = 4.0; val avgdl = 4.0
+    def idf(df: Double) = StrictMath.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    def term(tf: Double, df: Double) =
+      idf(df) * (tf * (1.2 + 1.0)) / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * 4.0 / avgdl))
+    // doc 1: tf(common)=1 df(common)=3, then tf(rare)=1 df(rare)=1 —
+    // summed in sorted term order (common, rare), exactly as the operator
+    val expect1 = math.floor((term(1.0, 3.0) + term(1.0, 1.0)) * 1e4).toLong
+    assert(got.head._2 == expect1, s"doc 1 score ${got.head._2} != replica $expect1")
+  }
+
   test("BPE vocabTopK: no-op at K >= vocab; truncation trains exactly on the head vocabulary") {
     import spark.implicits._
     // head words (wf 5) carry the merges; a distinct-word tail (wf 1)

@@ -1096,6 +1096,57 @@ object TextContractChecks {
       s"invertedIndex cap=$cap diverged: got=$got want=$want ${clue(seed, docs)}")
   }
 
+  /** bm25TopK vs a bit-exact driver replica: same tokenization (mTokens),
+    * same double-op order (sorted terms, left-assoc sum, StrictMath.log),
+    * same floor-scaled score — the kept set compared as a (score, id)
+    * multiset... which here is exact, since ids are unique and the scaled
+    * tie-break is (score desc, id asc). Query terms are drawn from the
+    * corpus' own hostile tokens (plus a guaranteed miss), so control-char
+    * and astral-plane terms exercise the `===` array filter. */
+  def checkBm25(spark: SparkSession, seed: Long): Unit = {
+    val rnd = new Random(seed)
+    val docs = genCorpus(rnd, maxDocs = 12, nullTextPct = 10)
+    val toksOf = docs.map(d => d._1 -> d._2.map(t => mTokens(t).toSeq).getOrElse(Seq.empty)).toMap
+    val allToks = toksOf.values.flatten.toVector
+    val nTerms = 1 + rnd.nextInt(3)
+    val terms0 = ((0 until nTerms).map { _ =>
+      if (allToks.nonEmpty && rnd.nextInt(4) > 0) allToks(rnd.nextInt(allToks.length))
+      else "nosuchterm" + rnd.nextInt(3)
+    } :+ "neverpresent").distinct
+    val k = 1 + rnd.nextInt(8)
+    val got = SearchIndex.bm25TopK(toDf(spark, docs), col("doc_id"), col("text"),
+        queryTerms = terms0, k = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // model — NULL texts drop out of the frame entirely (tokens(NULL) is
+    // NULL, so dl is NULL: the row never matches), and N/avgdl cover only
+    // non-null docs because the aggregate counts the same frame
+    val alive = docs.filter(_._2.isDefined).map(_._1)
+    val terms = terms0.distinct.sorted
+    if (alive.isEmpty) {
+      check(got.isEmpty, s"empty corpus must return no rows: $got ${clue(seed, docs)}")
+      return
+    }
+    val n = alive.length.toDouble
+    val avgdl = alive.map(id => toksOf(id).length.toDouble).sum / alive.length
+    val idf = terms.map { t =>
+      val df = alive.count(id => toksOf(id).contains(t)).toDouble
+      t -> StrictMath.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    }.toMap
+    val scored = alive.flatMap { id =>
+      val tf = terms.map(t => t -> toksOf(id).count(_ == t).toDouble).toMap
+      if (tf.values.sum > 0) {
+        val dl = toksOf(id).length.toDouble
+        val norm = 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)
+        val s = terms.map(t => idf(t) * (tf(t) * (1.2 + 1.0)) / (tf(t) + norm))
+          .reduceLeft(_ + _)
+        Some(id -> math.floor(s * 1e4).toLong)
+      } else None
+    }
+    val want = scored.sortBy { case (id, s) => (-s, id) }.take(k)
+    check(got == want,
+      s"bm25TopK diverged (terms=$terms k=$k): got=$got want=$want ${clue(seed, docs)}")
+  }
+
   // --- partitioning independence (metamorphic) -----------------------------
 
   def checkPartitioning(spark: SparkSession, seed: Long): Unit = {
@@ -1134,7 +1185,8 @@ object TextContractChecks {
     "bloomdedup" -> checkBloomDedup _,
     "heavyhitters" -> checkHeavyHitters _,
     "packing" -> checkPacking _,
-    "invindex" -> checkInvIndex _)
+    "invindex" -> checkInvIndex _,
+    "bm25" -> checkBm25 _)
 }
 
 /** Offline sweep driver for [[TextContractChecks]] — run big fresh-seed

@@ -148,4 +148,8 @@ class TextContractProps extends AnyFunSuite with BeforeAndAfterAll {
   test("invertedIndex matches the exact postings model at hostile caps") {
     for (seed <- 2100L until 2200L) checkInvIndex(spark, seed)
   }
+
+  test("bm25TopK matches the bit-exact scoring replica on hostile corpora") {
+    for (seed <- 2200L until 2300L) checkBm25(spark, seed)
+  }
 }

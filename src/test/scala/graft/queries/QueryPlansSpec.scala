@@ -42,6 +42,17 @@ class QueryPlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
 
+  test("q_bm25_topk: scoring is scan-side — top-k heap, no exchange of the corpus") {
+    val p = plan("q_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    // per-term tf rides the scan projection; the only shuffle anywhere is
+    // inside the one-row stats aggregate already collected at plan time,
+    // so the SCORING plan itself must be exchange-free
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("Exchange"),
+      "BM25 scoring should ride the scan with a top-k heap:\n" + p.take(2000))
+  }
+
   test("q_filter: predicates reach the parquet scan as PushedFilters") {
     val p = plan("q_filter")
     assert(p.contains("PushedFilters: ["), p.take(2000))
