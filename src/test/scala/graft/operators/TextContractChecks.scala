@@ -1164,6 +1164,17 @@ object TextContractChecks {
     check(rows(Dedup.crossSourceOverlap(dfR, col("src"), col("text"), 3)) ==
       rows(Dedup.crossSourceOverlap(df, col("src"), col("text"), 3)),
       s"crossSourceOverlap partitioning-dependent ${clue(seed, docs)}")
+    // invertedIndex computes per-(token, spark_partition_id) caps
+    // internally — output-identity across partitionings IS its two-level
+    // claim, and cap=2 forces the level-2 merge to actually truncate
+    check(rows(SearchIndex.invertedIndex(dfR, col("doc_id"), col("text"), 2)) ==
+      rows(SearchIndex.invertedIndex(df, col("doc_id"), col("text"), 2)),
+      s"invertedIndex partitioning-dependent ${clue(seed, docs)}")
+    check(rows(SearchIndex.bm25TopK(dfR, col("doc_id"), col("text"),
+        Seq("the", "data"), 5)) ==
+      rows(SearchIndex.bm25TopK(df, col("doc_id"), col("text"),
+        Seq("the", "data"), 5)),
+      s"bm25TopK partitioning-dependent ${clue(seed, docs)}")
   }
 
   val families: Seq[(String, (SparkSession, Long) => Unit)] = Seq(
