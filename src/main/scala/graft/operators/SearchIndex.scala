@@ -55,7 +55,11 @@ object SearchIndex {
     val base = docs.select(
         id.as("doc_id") +: size(TextOps.tokens(text)).cast("double").as("dl") +:
           terms.zipWithIndex.map { case (t, i) =>
-            size(filter(TextOps.tokens(text), x => x === lit(t)))
+            // count via size-difference, NOT filter(toks, = t): ArrayRemove
+            // is codegen'd where the lambda HOF is CodegenFallback — an
+            // interpreted per-token call on the corpus-scale hot path
+            (size(TextOps.tokens(text)) -
+              size(array_remove(TextOps.tokens(text), lit(t))))
               .cast("double").as(s"tf$i")
           }: _*)
       // a NULL text tokenizes to NULL: not indexable, so it contributes to
