@@ -584,20 +584,24 @@ object Dedup extends org.apache.spark.internal.Logging {
   def duplicateSpans(
       df: DataFrame, id: Column, text: Column, windowSize: Int = 15): DataFrame = {
     val w = windowSize
-    // checkpoint the COMPACT per-doc token frame (same placement rationale
-    // as ngramJaccardPairsFromShingles): the window stream is consumed by
+    graft.functions.NativeHashes.register(df.sparkSession)
+    // checkpoint the COMPACT per-doc frame (same placement rationale as
+    // ngramJaccardPairsFromShingles): the window stream is consumed by
     // both the df-count side and the semi-join probe side, and re-deriving
     // it is a cheap map-side explode — while the stored footprint scales
-    // with docs, not postings
+    // with docs, not postings. Detection never needs the token ARRAY
+    // downstream, so the frame keeps the raw text and the window stream
+    // rides the native codegen'd word_shingles (identical windows — same
+    // lower/trim/split — once n_tokens >= w holds; the interpreted
+    // transform/slice/concat_ws tree costs ~ms per long document)
     val toks = df
-      .select(id.as("id"), TextOps.tokens(text).as("toks"))
-      .select(col("id"), size(col("toks")).as("n_tokens"), col("toks"))
+      .select(id.as("id"), text.as("text"),
+        size(TextOps.tokens(text)).as("n_tokens"))
       .filter(col("n_tokens") >= w)
       .localCheckpoint(false)
     val wins = toks
       .select(col("id"), col("n_tokens"),
-        posexplode(transform(sequence(lit(1), col("n_tokens") - (w - 1)),
-          i => concat_ws(" ", slice(col("toks"), i, lit(w))))).as(Seq("pos0", "win")))
+        posexplode(TextOps.shingles(col("text"), w)).as(Seq("pos0", "win")))
       .select(col("id"), col("n_tokens"), (col("pos0") + 1).as("start"), col("win"))
     val dupWins = wins.select(col("win"), col("id")).distinct()
       .groupBy(col("win")).agg(count(lit(1)).as("df"))
