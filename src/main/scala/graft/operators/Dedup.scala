@@ -646,15 +646,23 @@ object Dedup extends org.apache.spark.internal.Logging {
   def removeDuplicateSpans(
       df: DataFrame, id: Column, text: Column, windowSize: Int = 15): DataFrame = {
     val w = windowSize
+    graft.functions.NativeHashes.register(df.sparkSession)
+    // the checkpoint carries BOTH the raw text and the token array: the
+    // window stream (consumed twice — df-count and semi-join sides) rides
+    // the native codegen'd word_shingles over text, while the rewrite
+    // still needs element_at over the normalized token stream (re-joining
+    // and re-splitting toks would lose empty edge tokens). The extra text
+    // column costs ~the toks footprint again; the interpreted
+    // transform/slice/concat_ws window tree it replaces cost ~ms per long
+    // document per evaluation
     val toks = df
-      .select(id.as("id"), TextOps.tokens(text).as("toks"))
-      .select(col("id"), size(col("toks")).as("n_tokens"), col("toks"))
+      .select(id.as("id"), text.as("text"), TextOps.tokens(text).as("toks"))
+      .select(col("id"), col("text"), size(col("toks")).as("n_tokens"), col("toks"))
       .localCheckpoint(false)
     val wins = toks
       .filter(col("n_tokens") >= w)
       .select(col("id"),
-        posexplode(transform(sequence(lit(1), col("n_tokens") - (w - 1)),
-          i => concat_ws(" ", slice(col("toks"), i, lit(w))))).as(Seq("pos0", "win")))
+        posexplode(TextOps.shingles(col("text"), w)).as(Seq("pos0", "win")))
       .select(col("id"), (col("pos0") + 1).as("start"), col("win"))
     val dupWins = wins.select(col("win"), col("id")).distinct()
       .groupBy(col("win")).agg(count(lit(1)).as("df"))
