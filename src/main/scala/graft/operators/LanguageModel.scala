@@ -40,36 +40,41 @@ object LanguageModel {
     * as TF-IDF's N). α is fixed at 0.5 so c+α stays exactly representable
     * in a double. */
   def bigramNllScores(df: DataFrame, id: Column, text: Column, vocabSize: Long): DataFrame =
-    bigramNllFromTokens(
-      df.select(id.as("id"), TextOps.tokens(text).as("toks")).localCheckpoint(false),
+    bigramNllFromText(
+      df.select(id.as("id"), text.as("text"),
+        size(TextOps.tokens(text)).as("n_tokens")).localCheckpoint(false),
       vocabSize)
 
   /** [[bigramNllScores]] with V = the corpus' own distinct-token count,
-    * computed from the SAME materialized token frame the scoring plan
-    * reads — the whole operator touches `df` exactly once (callers that
-    * ran a separate vocab-count scan paid a 4th corpus pass). */
+    * computed from the SAME materialized frame the scoring plan reads —
+    * the whole operator touches `df` exactly once (callers that ran a
+    * separate vocab-count scan paid a 4th corpus pass). */
   def bigramNllScoresCorpusVocab(df: DataFrame, id: Column, text: Column): DataFrame = {
-    val toks =
-      df.select(id.as("id"), TextOps.tokens(text).as("toks")).localCheckpoint(false)
-    val v = toks.select(explode(col("toks")).as("tok")).distinct().count()
-    bigramNllFromTokens(toks, v)
+    val frame = df.select(id.as("id"), text.as("text"),
+      size(TextOps.tokens(text)).as("n_tokens")).localCheckpoint(false)
+    val v = frame.select(explode(TextOps.tokens(col("text"))).as("tok"))
+      .distinct().count()
+    bigramNllFromText(frame, v)
   }
 
-  /** Scoring plan over a (id, toks) frame. The occurrence stream feeds
-    * TWO consumers (the c12 aggregate and the probe join); the caller
-    * materializes the compact token frame once (localCheckpoint — the
-    * duplicateSpans idiom) so each consumer re-derives bigrams with a
-    * cheap map-side explode over stored doc rows instead of re-scanning
-    * the corpus. The context counts need NO third pass: c1(w1) = Σ_w2
+  /** Scoring plan over a checkpointed (id, text, n_tokens) frame. The
+    * occurrence stream feeds TWO consumers (the c12 aggregate and the
+    * probe join); the caller materializes the compact frame once
+    * (localCheckpoint — the duplicateSpans idiom) so each consumer
+    * re-derives bigrams with a cheap map-side explode. Bigrams ride the
+    * native codegen'd word_shingles(text, 2) — byte-identical to the
+    * interpreted transform/slice/concat_ws tree it replaces — guarded by
+    * n_tokens >= 2, which both matches the old size-filter semantics and
+    * keeps word_shingles' short-doc whole-text fallback out of the
+    * stream. The context counts need NO third pass: c1(w1) = Σ_w2
     * c12(w1, w2) by definition (every bigram occurrence contributes once
     * to both), so c1 is a vocab²-sized re-aggregate of the c12 table —
     * at 100 TB that's a free third of the model-fit cost. */
-  private def bigramNllFromTokens(toks: DataFrame, vocabSize: Long): DataFrame = {
-    val occ = toks
-      .filter(size(col("toks")) >= 2)
-      .select(col("id"),
-        explode(transform(sequence(lit(1), size(col("toks")) - 1),
-          i => concat_ws(" ", slice(col("toks"), i, lit(2))))).as("bg"))
+  private def bigramNllFromText(frame: DataFrame, vocabSize: Long): DataFrame = {
+    graft.functions.NativeHashes.register(frame.sparkSession)
+    val occ = frame
+      .filter(col("n_tokens") >= 2)
+      .select(col("id"), explode(TextOps.shingles(col("text"), 2)).as("bg"))
     val c12 = occ.groupBy(col("bg")).agg(count(lit(1)).as("c12"))
       .withColumn("w1", substring_index(col("bg"), " ", 1))
     val c1 = c12
