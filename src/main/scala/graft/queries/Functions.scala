@@ -303,9 +303,15 @@ object Functions {
       // kamu transform would use), 6-hour strides — value-checked against
       // the identical epoch-microsecond floor arithmetic in DuckDB. Epoch
       // seconds on the wire, like q_time_bucket (timezone-proof).
+      // Cloned session, like q_df_dialect: DataFusionCompat OVERRIDES
+      // builtins (array_remove → remove-FIRST, log → log10, trunc, ...),
+      // and the clone keeps those out of the shared Verify/Bench registry —
+      // registering into `s` here once flipped q_bm25_topk's tf counts for
+      // every query that ran after it (QueryPlansSpec "registry pure" pins this).
       (s, dir) => {
-        graft.functions.DataFusionCompat.register(s)
-        t(s, dir, "events")
+        val s2 = s.newSession()
+        graft.functions.DataFusionCompat.register(s2)
+        t(s2, dir, "events")
           .selectExpr("date_bin(INTERVAL '6' HOUR, ts) AS b", "value")
           .groupBy(unix_timestamp(col("b")).as("bucket_epoch"))
           .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))

@@ -180,6 +180,27 @@ class QueryPlansSpec extends AnyFunSuite with BeforeAndAfterAll {
       "exact top-k must be memoized per (session, dir)")
   }
 
+  test("compat-dialect queries leave the shared session's function registry pure") {
+    // DataFusionCompat OVERRIDES Spark builtins (array_remove → DataFusion's
+    // remove-FIRST, log → log10, trunc, encode/decode). Verify/Bench run all
+    // 120 queries through ONE shared session, so a query that registers the
+    // compat layer into `s` instead of `s.newSession()` silently flips the
+    // semantics of every later query that resolves those names — exactly how
+    // q_date_bin (pre-fix) corrupted q_bm25_topk's per-term tf counts (its
+    // array_remove-based count relies on remove-ALL) in full Verify runs
+    // while every standalone run passed. Pin: after building every
+    // compat-registering query, the shared registry still resolves the
+    // Spark builtins.
+    for (name <- Seq("q_date_bin", "q_df_dialect", "q_df_dialect2"))
+      SparkEntry.queries(name)(spark, dir).collect()
+    val r = spark.sql(
+      "SELECT array_remove(array(1, 2, 1), 1) AS ar, round(log(100.0), 6) AS ln100").head()
+    assert(r.getSeq[Int](0) == Seq(2),
+      s"array_remove lost Spark's remove-ALL semantics in the shared session: ${r.getSeq[Int](0)}")
+    assert(math.abs(r.getDouble(1) - 4.60517) < 1e-4,
+      s"log lost Spark's natural-log semantics in the shared session: ${r.getDouble(1)}")
+  }
+
   test("exactTopKCache is evictable: clear drops entries and a fresh build repopulates") {
     // Lifecycle contract (r9 advice): the memo must not pin checkpointed
     // RDDs forever — stopped-session entries purge on access (not
