@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.SearchIndex
+
+/** Volume rehearsal for the retrieval family ([[graft.operators.SearchIndex]]),
+  * pattern of [[TextVolume]]/[[DedupVolume]]: 500k documents with a
+  * deliberately hostile token distribution —
+  *
+  *   - `the`: a stopword in EVERY document (df = 500k, tf = 2) — the hot
+  *     key that makes a naive per-token postings window serialize 500k
+  *     rows through one sorting task;
+  *   - `search`: a medium term (df = 50k);
+  *   - `needle`: a rare term (df = 5) — retrieval's actual target;
+  *   - 10 globally-unique filler tokens per doc (~5M distinct) — the
+  *     unique-heavy vocabulary worst case, nothing for map-side combine
+  *     to collapse.
+  *
+  * Two shapes:
+  *
+  *   1. **invertedIndex(cap=20)**: the two-level postings window must
+  *      spread the stopword's 500k postings across input partitions
+  *      (level 1 keys include `spark_partition_id()`), so the worst
+  *      shuffle task stays bounded by vocabulary spread, never df(`the`).
+  *      Asserted via [[StageShuffleListener]]: worst task ≪ 500k.
+  *   2. **bm25TopK** for (`needle`, `search`, `the`): per-term tf rides
+  *      the scan (no token explode, no per-token shuffle), one
+  *      map-side-reduced stats row, scoring ends in
+  *      TakeOrderedAndProject. The five `needle` docs must rank at the
+  *      top (idf(needle) ≫ idf(the) — the formula working as retrieval),
+  *      and the scoring stage's plan must stay exchange-free at volume,
+  *      not just at sf0.001 (QueryPlansSpec's pin).
+  *
+  * Success criteria are printed and asserted; wall gates are generous
+  * (they catch complexity-class regressions, not environment noise).
+  */
+object SearchVolume {
+  def time[T](label: String)(f: => T): (T, Double) = {
+    val t0 = System.nanoTime(); val r = f
+    val s = (System.nanoTime() - t0) / 1e9
+    println(f"[search-vol] $label: $s%.1f s")
+    (r, s)
+  }
+
+  /** 500k docs: "the w<id>_0 .. w<id>_9 the [search] [needle]". */
+  def corpus(spark: SparkSession, n: Long = 500000L): DataFrame =
+    spark.range(n).select(
+      col("id").as("doc_id"),
+      concat_ws(" ",
+        lit("the"),
+        concat_ws(" ", transform(sequence(lit(0), lit(9)),
+          i => concat(lit("w"), col("id"), lit("_"), i))),
+        lit("the"),
+        when(col("id") % 10 === 0, lit("search")).otherwise(lit("")),
+        when(col("id") % 100000 === 0, lit("needle")).otherwise(lit("")))
+        .as("text"))
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val docs = corpus(spark).localCheckpoint()
+    val (nDocs, _) = time("build 500k corpus")(docs.count())
+    println(s"[search-vol] corpus rows: $nDocs")
+
+    // -- shape 1: inverted index under a df=500k stopword ------------------
+    val listener = StageShuffleListener.install(spark)
+    val (idx, tIdx) = time("invertedIndex cap=20 (hot stopword df=500k)") {
+      SearchIndex.invertedIndex(docs, col("doc_id"), col("text"), cap = 20)
+        .filter(col("df") >= 1000)   // hot + medium rows only reach the driver
+        .orderBy(col("token")).collect()
+    }
+    listener.drain(minTotalRows = 1000000L)
+    val worst = listener.worstTaskRows
+    println(f"[search-vol] worst shuffle task: $worst%,d rows " +
+      f"(naive per-token window would be ${nDocs}%,d on ONE task)")
+    // ~6.5M posting rows over 32 tasks ≈ 200k/task balanced; a concentrated
+    // hot key puts AT LEAST df(the) = 500k on one task — 0.7·df separates
+    // the regimes with margin on both sides
+    assert(worst < nDocs * 7 / 10,
+      f"hot token concentrated: worst task $worst%,d rows vs df(the)=$nDocs%,d")
+    val theRow = idx.find(_.getString(0) == "the").get
+    assert(theRow.getLong(1) == nDocs, s"df(the)=${theRow.getLong(1)}, want $nDocs")
+    assert(theRow.getString(2).split(",").length == 20,
+      "hot token's postings must be capped at 20")
+    val searchRow = idx.find(_.getString(0) == "search").get
+    assert(searchRow.getLong(1) == nDocs / 10, s"df(search)=${searchRow.getLong(1)}")
+    assert(tIdx < 120.0, f"inverted index took $tIdx%.1f s — complexity regression")
+
+    // -- shape 2: BM25 top-k, rare term must win ---------------------------
+    val q = SearchIndex.bm25TopK(docs, col("doc_id"), col("text"),
+      queryTerms = Seq("needle", "search", "the"), k = 10)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      "BM25 at volume must keep the top-k heap plan:\n" + plan.take(2000))
+    assert(!plan.contains("Exchange"),
+      "BM25 scoring must stay exchange-free at volume:\n" + plan.take(2000))
+    val (top, tBm) = time("bm25TopK k=10 over 500k docs (3 terms incl. df=500k)") {
+      q.collect()
+    }
+    val needleIds = (0L until 500000L by 100000L).toSet
+    val top5 = top.take(5).map(_.getLong(0)).toSet
+    assert(top5 == needleIds,
+      s"the 5 needle docs must outrank 500k stopword matches: got ${top5.toSeq.sorted}")
+    assert(top.length == 10 && tBm < 60.0,
+      f"bm25TopK: ${top.length} rows in $tBm%.1f s")
+    println("[search-vol] needle docs rank 1-5 over 500k stopword matches; " +
+      "scoring plan exchange-free at volume")
+    spark.stop()
+  }
+}
