@@ -123,9 +123,11 @@ object BpeVolume {
       val m = graft.operators.LanguageModel
         .bpeTrainMerges(corpus, col("text"), numMerges = n).collect()
       val sec = (System.nanoTime() - t0) / 1e9
+      // assert BEFORE the m.last dereference: a zero-merge outcome should
+      // fail with the shortfall message, not NoSuchElementException
+      assert(m.length == n, s"corpus must sustain $n merges, got ${m.length}")
       println(f"[bpe-vol] driver train: $n ranks over the 2M-word vocab in $sec%.1f s " +
         f"(last n=${m.last.getLong(3)})")
-      assert(m.length == n, s"corpus must sustain $n merges, got ${m.length}")
       assert(m.map(r => (r.getString(1), r.getString(2))).distinct.length == n,
         "merged pairs must be distinct")
       val t1 = System.nanoTime()

@@ -635,17 +635,25 @@ object NativeHashes {
   case class BpeUnits(child: Expression, mergesLit: String)
       extends UnaryExpression {
 
-    private val mergesA: Array[String] =
+    // lazy for the same reason as unitToRanks below: parsed once on the
+    // instance that evaluates (driver interpreted eval or post-
+    // deserialization on the executor), not on every planning-time copy;
+    // the compact literal is what rides the serialized expression
+    @transient private lazy val mergesA: Array[String] =
       if (mergesLit.isEmpty) Array.empty
       else mergesLit.split("\u0002", -1).map(p => p.substring(0, p.indexOf('\u0001')))
-    private val mergesB: Array[String] =
+    @transient private lazy val mergesB: Array[String] =
       if (mergesLit.isEmpty) Array.empty
       else mergesLit.split("\u0002", -1).map(p => p.substring(p.indexOf('\u0001') + 1))
 
     /** unit → ascending ranks mentioning it (as either part; a == b
-      * listed once). Built once per expression instance; read-only at
-      * eval time, so concurrent tasks share it safely. */
-    private val unitToRanks: java.util.HashMap[String, Array[Int]] = {
+      * listed once). Read-only at eval time, so concurrent tasks share it
+      * safely. `lazy`: Catalyst copies the expression on every
+      * tree-transform rule (withNewChildInternal → copy), and an eager
+      * index would be rebuilt per copy during PLANNING — for a 32k-rank
+      * table that's repeated multi-MB churn before a row is evaluated;
+      * lazy defers construction to the one instance that executes. */
+    @transient private lazy val unitToRanks: java.util.HashMap[String, Array[Int]] = {
       val tmp = new java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[Int]]()
       var r = 0
       while (r < mergesA.length) {

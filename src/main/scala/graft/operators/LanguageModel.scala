@@ -211,9 +211,18 @@ object LanguageModel {
       .select(explode(bpeWords(text)).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("wf"))
       .filter(length(col("word")) >= 2)
-    val wf =
+    val wfRaw =
       if (vocabTopK > 0) wfAll.orderBy(col("wf").desc, col("word")).limit(vocabTopK)
       else wfAll
+    // materialize the (word, wf) table ONCE (lazy checkpoint — the first
+    // action below runs the one corpus pass): the driver-fit probe and, on
+    // a too-big vocab, the distributed fallback both read the checkpointed
+    // frame, so a failed probe costs a vocab-sized re-read — NOT a second
+    // corpus-scale scan+aggregate (the operator's one-corpus-pass contract)
+    val wf =
+      if (driverVocabMax > 0 && driverVocabMax < Int.MaxValue - 1)
+        wfRaw.localCheckpoint(false)
+      else wfRaw
     val collected: Option[Array[Row]] =
       if (driverVocabMax > 0 && driverVocabMax < Int.MaxValue - 1) {
         val probe = wf.limit(driverVocabMax.toInt + 1).collect()

@@ -278,7 +278,11 @@ object PipelineQueries {
              |    CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE) AS tf2
              |  FROM (SELECT doc_id,
              |          string_split_regex(trim(lower(text)), '\s+') AS toks
-             |        FROM documents)),
+             |        FROM documents)
+             |  -- mirror of the engine's dl-IS-NOT-NULL frame filter: a
+             |  -- NULL text is not indexable and must not count in N
+             |  -- (count(*) would include it while sum(dl) skips it)
+             |  WHERE toks IS NOT NULL),
              |stats AS (
              |  SELECT count(*) AS n, sum(dl) AS sumdl,
              |    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
