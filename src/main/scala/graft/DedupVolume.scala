@@ -57,6 +57,17 @@ object DedupVolume {
       Dedup.removeDuplicates(corpus, col("doc_id"), cands).count())
     println(s"[dedup-vol] kept after dedup: $kept of $n")
 
+    // host comparison on the SAME candidate set (r13 driver union-find
+    // fast path vs the distributed fixpoint it replaces when edges fit):
+    // identical labels by construction (fuzz-checked), so only wall time
+    // and job count differ — the driver host runs ZERO iterative jobs
+    val ccIds = corpus.select(col("doc_id").as("id"))
+    val nFast = time("CC labels, driver union-find host")(
+      Dedup.connectedComponentsMin(ccIds, cands).count())
+    val nDist = time("CC labels, distributed fixpoint host (forced)")(
+      Dedup.connectedComponentsMin(ccIds, cands, driverEdgeMax = 0L).count())
+    assert(nFast == nDist, s"CC hosts disagree on label count: $nFast vs $nDist")
+
     // decontamination at volume: 200 eval docs vs the 500k corpus — the
     // verbatim replicas (every 10th) of the eval source docs are planted
     // contamination; the eval 8-gram vocabulary broadcasts, the corpus

@@ -243,9 +243,47 @@ object Dedup extends org.apache.spark.internal.Logging {
     *
     * Throws if the cap is hit before the fixpoint: stopping early would
     * silently leave a long chain split across several representatives, i.e.
-    * keep extra duplicate copies. */
-  def connectedComponentsMin(ids: DataFrame, pairs: DataFrame, maxIter: Int = 100): DataFrame = {
-    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
+    * keep extra duplicate copies.
+    *
+    * **Driver union-find fast path** (the [[graft.operators.LanguageModel
+    * .bpeTrainMerges]] host-choice pattern): the EDGE list of a near-dup
+    * graph is orders of magnitude smaller than the corpus — O(candidate
+    * pairs), already bucket-capped upstream — so when it fits a documented
+    * driver threshold (`driverEdgeMax` pairs; probed with one bounded
+    * `limit(max+1).collect()`), the whole fixpoint collapses to an
+    * in-memory union-find plus ONE broadcast join labeling the corpus:
+    * zero iterative jobs, where the distributed loop pays one join + one
+    * aggregate job per graph-diameter round. Gated to integral id types
+    * (driver Long ordering == engine ordering; strings would need
+    * UTF8-binary comparison and fall back). Semantics are exactly the
+    * distributed loop's, including its edge-cases: propagation only
+    * traverses nodes PRESENT in `ids` (a bounded membership semi-join
+    * against the collected endpoints mirrors the labels-frame join), and
+    * NULL endpoints propagate nothing. `driverEdgeMax = 0` forces the
+    * distributed loop (the corpus-shape fuzz family checks both hosts
+    * against an independent union-find model on every random graph). */
+  def connectedComponentsMin(
+      ids: DataFrame, pairs: DataFrame, maxIter: Int = 100,
+      driverEdgeMax: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.types._
+    val integral: Set[DataType] = Set(ByteType, ShortType, IntegerType, LongType)
+    val probing = driverEdgeMax > 0 && driverEdgeMax < Int.MaxValue - 1 &&
+      integral.contains(ids.schema("id").dataType) &&
+      integral.contains(pairs.schema("id1").dataType) &&
+      integral.contains(pairs.schema("id2").dataType)
+    // lazy checkpoint BEFORE the probe (the bpeTrainMerges idiom): pair
+    // GENERATION (LSH joins, distincts) is the expensive plan here, and on
+    // a probe miss the distributed loop must read the materialized pairs,
+    // not re-run that plan from scratch
+    val pairsCk = if (probing) pairs.localCheckpoint(false) else pairs
+    if (probing) {
+      val probe = pairsCk
+        .select(col("id1").cast("long").as("u"), col("id2").cast("long").as("v"))
+        .limit(driverEdgeMax.toInt + 1).collect()
+      if (probe.length <= driverEdgeMax)
+        return ccMinDriver(ids, probe)
+    }
+    val edges = pairsCk.select(col("id1").as("a"), col("id2").as("b"))
       .unionAll(pairs.select(col("id2").as("a"), col("id1").as("b")))
       // hash-partition on the per-round join key BEFORE checkpointing:
       // LogicalRDD keeps the physical partitioning, so every iteration's
@@ -279,6 +317,83 @@ object Dedup extends org.apache.spark.internal.Logging {
       throw new IllegalStateException(
         s"connectedComponentsMin did not converge within $maxIter iterations")
     labels
+  }
+
+  /** The driver-hosted union-find over a collected edge list — path
+    * compression + union by attachment, then a min-per-root resolve, so
+    * every edge-endpoint node maps to the smallest id reachable through
+    * edges whose BOTH endpoints are present in `ids` (exactly what the
+    * distributed loop's labels-frame joins enforce: a label can only
+    * propagate through a node that HAS a label). The corpus-side labeling
+    * is one broadcast left join — `ids` itself never shuffles and never
+    * reaches the driver. */
+  private def ccMinDriver(
+      ids: DataFrame, edgeRows: Array[org.apache.spark.sql.Row]): DataFrame = {
+    import scala.collection.mutable
+    val spark = ids.sparkSession
+    val idT = ids.schema("id").dataType
+    // distinct non-null endpoints, then which of them exist in `ids` —
+    // a semi-join of ids against the SMALL endpoint set (broadcast),
+    // collected back bounded by the endpoint count, never by |ids|
+    val endpoints: Array[Long] = {
+      val s = mutable.HashSet.empty[Long]
+      edgeRows.foreach { r =>
+        if (!r.isNullAt(0)) s += r.getLong(0)
+        if (!r.isNullAt(1)) s += r.getLong(1)
+      }
+      s.toArray
+    }
+    val present: mutable.HashSet[Long] =
+      if (endpoints.isEmpty) mutable.HashSet.empty[Long]
+      else {
+        val epDf = spark.createDataFrame(
+          java.util.Arrays.asList(endpoints.map(e =>
+            org.apache.spark.sql.Row(e)): _*),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("ep",
+              org.apache.spark.sql.types.LongType, nullable = false))))
+        val got = ids.select(col("id").cast("long").as("ep"))
+          .join(broadcast(epDf), Seq("ep"), "left_semi")
+          .distinct().collect().map(_.getLong(0))
+        mutable.HashSet.empty[Long] ++ got
+      }
+    val parent = mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    present.foreach(n => parent(n) = n)
+    edgeRows.foreach { r =>
+      if (!r.isNullAt(0) && !r.isNullAt(1)) {
+        val u = r.getLong(0); val v = r.getLong(1)
+        if (present.contains(u) && present.contains(v)) {
+          val ru = find(u); val rv = find(v)
+          if (ru != rv) parent(ru) = rv
+        }
+      }
+    }
+    val minOfRoot = mutable.HashMap.empty[Long, Long]
+    present.foreach { n =>
+      val r = find(n)
+      minOfRoot.update(r, math.min(minOfRoot.getOrElse(r, Long.MaxValue), n))
+    }
+    val repRows = present.iterator.map { n =>
+      org.apache.spark.sql.Row(n, minOfRoot(find(n)))
+    }.toArray
+    val repDf = spark.createDataFrame(
+        java.util.Arrays.asList(repRows: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("crep",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+      .select(col("node").cast(idT).as("id"), col("crep").cast(idT).as("__ccrep"))
+    ids.select(col("id"))
+      .join(broadcast(repDf), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__ccrep"), col("id")).as("rep"))
   }
 
   /** Connected components by alternating large-star / small-star

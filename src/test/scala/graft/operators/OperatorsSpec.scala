@@ -151,6 +151,28 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("min-label CC: driver fast path matches the distributed host, incl. foreign endpoints") {
+    import spark.implicits._
+    // Edge (1,5),(5,3) where 5 is NOT in ids: the distributed fixpoint
+    // cannot propagate through an unlabeled node, so 1 and 3 must stay
+    // separate components — the driver union-find's membership filter has
+    // to reproduce exactly that, not naive whole-edge-list connectivity.
+    val ids = Seq(1L, 3L, 9L).toDF("id")
+    val pairs = Seq((1L, 5L), (5L, 3L), (9L, 9L)).toDF("id1", "id2")
+    val viaDriver = Dedup.connectedComponentsMin(ids, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val viaDist = Dedup.connectedComponentsMin(ids, pairs, driverEdgeMax = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(viaDriver == Map(1L -> 1L, 3L -> 3L, 9L -> 9L), s"driver: $viaDriver")
+    assert(viaDriver == viaDist, s"hosts disagree: driver=$viaDriver dist=$viaDist")
+    // probe-miss fallback: a threshold below the edge count must route to
+    // the distributed loop and still produce the identical labeling
+    val linked = Seq((1L, 3L), (3L, 9L)).toDF("id1", "id2")
+    val fb = Dedup.connectedComponentsMin(ids, linked, driverEdgeMax = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(fb == Map(1L -> 1L, 3L -> 1L, 9L -> 1L), s"fallback: $fb")
+  }
+
   test("star-contraction CC: empty pairs and self-loop-only pairs are all singletons") {
     import spark.implicits._
     val ids = (0L until 10L).toDF("id")
@@ -1190,6 +1212,25 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
     assert(got.toSeq == Seq(
       (0, "e", "s", 8L), (1, "es", "t", 8L), (2, "e", "w", 5L)), s"got: ${got.toSeq}")
+  }
+
+  test("BPE training: a failed driver-fit probe falls back to the distributed loop, same table") {
+    import spark.implicits._
+    // driverVocabMax = 1 forces the probe to MISS (the vocab has 4 words >
+    // 1), exercising the probe-then-fallback path — which since the
+    // checkpointed-wf fix reads the SAME materialized (word, wf) frame the
+    // probe materialized, not a second corpus aggregate. The merge table
+    // must be identical to the default driver-hosted path's.
+    val corpus = Seq(
+      (1L, "low low low lower lower newest newest newest"),
+      (2L, "newest newest widest widest widest")).toDF("doc_id", "text")
+    def table(max: Long) = LanguageModel
+      .bpeTrainMerges(corpus, col("text"), numMerges = 3, driverVocabMax = max)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val viaFallback = table(1L)
+    assert(viaFallback == Seq((0, "e", "s", 8L), (1, "es", "t", 8L), (2, "e", "w", 5L)),
+      s"probe-miss fallback table: $viaFallback")
+    assert(viaFallback == table(4000000L), "fallback and driver hosts must agree")
   }
 
   test("BPE training: single-unit words leave the pair stream; merges stop when dry") {

@@ -775,11 +775,20 @@ object TextContractChecks {
       StructType(Seq(StructField("id1", LongType, nullable = false),
         StructField("id2", LongType, nullable = false))))
     val want = mComponents(ids, edges.toSeq.filter(e => e._1 != e._2))
+    // default params take the r13 driver union-find fast path (these
+    // graphs are tiny); driverEdgeMax = 0 forces the distributed fixpoint
+    // — BOTH hosts must match the model on every random graph
     val gotMin = Dedup.connectedComponentsMin(idsDf, pairsDf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     check(gotMin == want,
-      s"connectedComponentsMin diverged: got=$gotMin want=$want seed=$seed " +
+      s"connectedComponentsMin (driver host) diverged: got=$gotMin want=$want seed=$seed " +
         s"ids=$ids edges=$edges")
+    val gotMinDist = Dedup
+      .connectedComponentsMin(idsDf, pairsDf, driverEdgeMax = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    check(gotMinDist == want,
+      s"connectedComponentsMin (distributed host) diverged: got=$gotMinDist want=$want " +
+        s"seed=$seed ids=$ids edges=$edges")
     val gotStar = Dedup.connectedComponentsStar(idsDf, pairsDf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     check(gotStar == want,
