@@ -95,10 +95,17 @@ object DedupVolume {
     val chainIds = spark.range(100000).select(col("id"))
     val chainPairs = spark.range(99999)
       .select(col("id").as("id1"), (col("id") + 1).as("id2"))
-    val labels = time("star-contraction CC, 100k-node chain (maxIter 25)")(
-      Dedup.connectedComponentsStar(chainIds, chainPairs, maxIter = 25))
+    // driverEdgeMax = 0 keeps this rehearsing the DISTRIBUTED contraction
+    // (its O(log n) round bound is the claim under test); the driver host
+    // folds the same chain in one union-find pass — timed for contrast
+    val labels = time("star-contraction CC, 100k-node chain (maxIter 25, forced distributed)")(
+      Dedup.connectedComponentsStar(chainIds, chainPairs, maxIter = 25, driverEdgeMax = 0L))
     val wrong = labels.filter(col("rep") =!= 0L).count()
     println(s"[dedup-vol] chain labels wrong: $wrong of 100000")
+    val chainDrv = time("same 100k-hop chain, driver union-find host")(
+      Dedup.connectedComponentsStar(chainIds, chainPairs)
+        .filter(col("rep") =!= 0L).count())
+    assert(chainDrv == wrong, s"chain hosts disagree: driver $chainDrv vs dist $wrong")
 
     // adversarial skew: 100k IDENTICAL docs — every doc lands in the same
     // 8 (band, bucket) LSH keys, i.e. the whole corpus is one degenerate

@@ -321,20 +321,30 @@ object Dedup extends org.apache.spark.internal.Logging {
 
   /** The driver-hosted union-find over a collected edge list — path
     * compression + union by attachment, then a min-per-root resolve, so
-    * every edge-endpoint node maps to the smallest id reachable through
-    * edges whose BOTH endpoints are present in `ids` (exactly what the
-    * distributed loop's labels-frame joins enforce: a label can only
-    * propagate through a node that HAS a label). The corpus-side labeling
-    * is one broadcast left join — `ids` itself never shuffles and never
-    * reaches the driver. */
+    * every edge-endpoint node maps to the smallest id reachable. The
+    * corpus-side labeling is one broadcast left join — `ids` itself never
+    * shuffles and never reaches the driver.
+    *
+    * `restrictToIds` selects which distributed host's edge-case semantics
+    * to replicate — the two hosts genuinely differ on edges through
+    * endpoints NOT present in `ids`:
+    *   - min-label (true): a label can only propagate through a node that
+    *     HAS a label, so foreign endpoints bridge nothing (a bounded
+    *     membership semi-join against the collected endpoints mirrors the
+    *     labels-frame joins);
+    *   - star contraction (false): contraction runs over the RAW edge
+    *     node set before `ids` is ever consulted, so foreign endpoints DO
+    *     bridge components. */
   private def ccMinDriver(
-      ids: DataFrame, edgeRows: Array[org.apache.spark.sql.Row]): DataFrame = {
+      ids: DataFrame, edgeRows: Array[org.apache.spark.sql.Row],
+      restrictToIds: Boolean = true): DataFrame = {
     import scala.collection.mutable
     val spark = ids.sparkSession
     val idT = ids.schema("id").dataType
-    // distinct non-null endpoints, then which of them exist in `ids` —
-    // a semi-join of ids against the SMALL endpoint set (broadcast),
-    // collected back bounded by the endpoint count, never by |ids|
+    // distinct non-null endpoints, then (min-label semantics) which of
+    // them exist in `ids` — a semi-join of ids against the SMALL endpoint
+    // set (broadcast), collected back bounded by the endpoint count,
+    // never by |ids|
     val endpoints: Array[Long] = {
       val s = mutable.HashSet.empty[Long]
       edgeRows.foreach { r =>
@@ -345,6 +355,7 @@ object Dedup extends org.apache.spark.internal.Logging {
     }
     val present: mutable.HashSet[Long] =
       if (endpoints.isEmpty) mutable.HashSet.empty[Long]
+      else if (!restrictToIds) mutable.HashSet.empty[Long] ++ endpoints
       else {
         val epDf = spark.createDataFrame(
           java.util.Arrays.asList(endpoints.map(e =>
@@ -423,9 +434,36 @@ object Dedup extends org.apache.spark.internal.Logging {
     * event, not a reachable graph shape. Computed in the SAME single
     * aggregate, so the per-round job count is unchanged. Throws if
     * `maxIter` rounds pass without convergence, like
-    * [[connectedComponentsMin]]. */
-  def connectedComponentsStar(ids: DataFrame, pairs: DataFrame, maxIter: Int = 50): DataFrame = {
-    var edges = pairs
+    * [[connectedComponentsMin]].
+    *
+    * Carries the same r13 **driver union-find fast path** as
+    * [[connectedComponentsMin]] (edge list fits `driverEdgeMax` → one
+    * bounded probe + in-memory union-find + one broadcast labeling join,
+    * zero contraction rounds) — with star's OWN edge-case semantics:
+    * contraction runs over the raw edge node set, so endpoints absent
+    * from `ids` still bridge components (`restrictToIds = false`). Gated
+    * to Long ids so the driver path's output schema matches the
+    * distributed host's long-cast labels exactly. `driverEdgeMax = 0`
+    * forces the distributed rounds (how the round-bound specs and the
+    * 100k-chain rehearsal keep exercising them). */
+  def connectedComponentsStar(
+      ids: DataFrame, pairs: DataFrame, maxIter: Int = 50,
+      driverEdgeMax: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.types._
+    val integral: Set[DataType] = Set(ByteType, ShortType, IntegerType, LongType)
+    val probing = driverEdgeMax > 0 && driverEdgeMax < Int.MaxValue - 1 &&
+      ids.schema("id").dataType == LongType &&
+      integral.contains(pairs.schema("id1").dataType) &&
+      integral.contains(pairs.schema("id2").dataType)
+    val pairsCk = if (probing) pairs.localCheckpoint(false) else pairs
+    if (probing) {
+      val probe = pairsCk
+        .select(col("id1").cast("long").as("u"), col("id2").cast("long").as("v"))
+        .limit(driverEdgeMax.toInt + 1).collect()
+      if (probe.length <= driverEdgeMax)
+        return ccMinDriver(ids, probe, restrictToIds = false)
+    }
+    var edges = pairsCk
       .select(col("id1").cast("long").as("u"), col("id2").cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))

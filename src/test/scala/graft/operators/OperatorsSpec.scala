@@ -129,8 +129,11 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ids = (0L until 1000L).toDF("id")
     val pairs = (0L until 999L).map(i => (i, i + 1)).toDF("id1", "id2")
     // maxIter IS the round bound: connectedComponentsStar throws when it
-    // does not reach the fixpoint within it
-    val labels = Dedup.connectedComponentsStar(ids, pairs, maxIter = 12).collect()
+    // does not reach the fixpoint within it. driverEdgeMax = 0 forces the
+    // DISTRIBUTED contraction — the O(log n) round bound is what's under
+    // test, and the default would absorb this chain into the driver host
+    val labels = Dedup
+      .connectedComponentsStar(ids, pairs, maxIter = 12, driverEdgeMax = 0L).collect()
     assert(labels.length == 1000)
     assert(labels.forall(_.getLong(1) == 0L), "every chain node must label to the minimum")
   }
@@ -143,11 +146,17 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       val ids = (0L until n.toLong).toDF("id")
       val pairs = Seq.fill(n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
         .filter(p => p._1 != p._2).toDF("id1", "id2")
+      // all FOUR hosts must agree: both operators, both driver/distributed
       val star = Dedup.connectedComponentsStar(ids, pairs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val starDist = Dedup.connectedComponentsStar(ids, pairs, driverEdgeMax = 0L)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
       val minLabel = Dedup.connectedComponentsMin(ids, pairs)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-      assert(star == minLabel, s"trial $trial: algorithms disagree")
+      val minDist = Dedup.connectedComponentsMin(ids, pairs, driverEdgeMax = 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(star == minLabel && star == starDist && minLabel == minDist,
+        s"trial $trial: hosts disagree")
     }
   }
 
@@ -171,6 +180,23 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val fb = Dedup.connectedComponentsMin(ids, linked, driverEdgeMax = 1L)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(fb == Map(1L -> 1L, 3L -> 1L, 9L -> 1L), s"fallback: $fb")
+  }
+
+  test("star CC: foreign endpoints bridge components (unlike min-label); hosts agree") {
+    import spark.implicits._
+    // Star contracts over the RAW edge node set before `ids` is consulted,
+    // so 1-5-3 links 1 and 3 even though 5 has no ids row — the documented
+    // semantic difference from min-label (whose labels can only propagate
+    // through labeled nodes). The driver union-find host must replicate
+    // star's rule (no membership filter), and both hosts must agree.
+    val ids = Seq(1L, 3L, 9L).toDF("id")
+    val pairs = Seq((1L, 5L), (5L, 3L)).toDF("id1", "id2")
+    val viaDriver = Dedup.connectedComponentsStar(ids, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val viaDist = Dedup.connectedComponentsStar(ids, pairs, driverEdgeMax = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(viaDriver == Map(1L -> 1L, 3L -> 1L, 9L -> 9L), s"driver: $viaDriver")
+    assert(viaDriver == viaDist, s"hosts disagree: driver=$viaDriver dist=$viaDist")
   }
 
   test("star-contraction CC: empty pairs and self-loop-only pairs are all singletons") {

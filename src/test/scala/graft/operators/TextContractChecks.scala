@@ -792,8 +792,14 @@ object TextContractChecks {
     val gotStar = Dedup.connectedComponentsStar(idsDf, pairsDf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     check(gotStar == want,
-      s"connectedComponentsStar diverged: got=$gotStar want=$want seed=$seed " +
+      s"connectedComponentsStar (driver host) diverged: got=$gotStar want=$want seed=$seed " +
         s"ids=$ids edges=$edges")
+    val gotStarDist = Dedup
+      .connectedComponentsStar(idsDf, pairsDf, driverEdgeMax = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    check(gotStarDist == want,
+      s"connectedComponentsStar (distributed host) diverged: got=$gotStarDist want=$want " +
+        s"seed=$seed ids=$ids edges=$edges")
   }
 
   /** Semantic-dedup LABEL CONTRACT with k = 1 (one cluster — the
