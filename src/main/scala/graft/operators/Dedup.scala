@@ -284,7 +284,7 @@ object Dedup extends org.apache.spark.internal.Logging {
         return ccMinDriver(ids, probe)
     }
     val edges = pairsCk.select(col("id1").as("a"), col("id2").as("b"))
-      .unionAll(pairs.select(col("id2").as("a"), col("id1").as("b")))
+      .unionAll(pairsCk.select(col("id2").as("a"), col("id1").as("b")))
       // hash-partition on the per-round join key BEFORE checkpointing:
       // LogicalRDD keeps the physical partitioning, so every iteration's
       // edge⋈label join shuffles only the (smaller) label side — the edge

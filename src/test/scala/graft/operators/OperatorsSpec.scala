@@ -182,6 +182,31 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fb == Map(1L -> 1L, 3L -> 1L, 9L -> 1L), s"fallback: $fb")
   }
 
+  test("min-label CC probe miss: pair generation runs once, not once per union leg") {
+    import spark.implicits._
+    // The fallback's reversed-edge leg must read the lazily-checkpointed
+    // pairs frame, not the raw pair-generation plan (the r13 verdict's one
+    // found defect: `unionAll(pairs...)` re-ran the expensive LSH/shingle
+    // plan a second time on exactly the at-scale probe-miss path). An
+    // accumulator on a SINGLE-partition source RDD counts row computations
+    // deterministically: the probe materializes the partition into the
+    // checkpoint cache (one pass over the 4 rows), and both union legs must
+    // then read the cached block — a re-derived reversed leg recomputes the
+    // source from scratch, doubling the count to exactly 2×rows.
+    val acc = spark.sparkContext.longAccumulator("cc-pairgen-rows")
+    val srcRows = Seq((1L, 3L), (3L, 9L), (9L, 11L), (11L, 13L))
+    val pairs = spark.sparkContext.parallelize(srcRows, 1)
+      .map { p => acc.add(1); p }.toDF("id1", "id2")
+    val ids = Seq(1L, 3L, 9L, 11L, 13L).toDF("id")
+    val labels = Dedup.connectedComponentsMin(ids, pairs, driverEdgeMax = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(labels == Map(1L -> 1L, 3L -> 1L, 9L -> 1L, 11L -> 1L, 13L -> 1L),
+      s"probe-miss labels: $labels")
+    assert(acc.value < 2L * srcRows.length,
+      s"pair-gen rows computed ${acc.value} times for ${srcRows.length} source rows — " +
+        "a union leg is re-deriving the pair plan instead of reading the checkpoint")
+  }
+
   test("star CC: foreign endpoints bridge components (unlike min-label); hosts agree") {
     import spark.implicits._
     // Star contracts over the RAW edge node set before `ids` is consulted,
