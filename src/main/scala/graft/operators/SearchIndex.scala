@@ -88,6 +88,111 @@ object SearchIndex {
       .limit(k)
   }
 
+  /** Batch BM25: score a QUERY TABLE against the corpus in one plan — the
+    * production decontamination-triage shape (thousands of eval prompts vs
+    * the training corpus), where [[bm25TopK]]'s compile-the-terms-into-the-
+    * projection approach would mean one plan + one stats pass PER query.
+    *
+    * Scale shape — query-count-independent plan, two candidate-sized
+    * shuffles, zero corpus shuffles:
+    *   1. The corpus token stream is pruned map-side by a BROADCAST
+    *      semi-join against the (small) query vocabulary — non-query
+    *      tokens never reach an exchange.
+    *   2. The only corpus-derived shuffle carries the pruned stream into
+    *      the per-(term, doc) tf aggregate (map-side combine collapses
+    *      repeats first), and that candidate frame is lazily
+    *      local-checkpointed so the df aggregate and the scoring join
+    *      both read the materialization, not the scan.
+    *   3. df is candidate-sized → collected (bounded by the query
+    *      vocabulary, like the broadcast itself) and folded into idf
+    *      driver-side with `StrictMath.log` — the [[bm25TopK]] /
+    *      q_text_perplexity determinism idiom.
+    *   4. Per-(query, doc) scores sum the per-term contributions through
+    *      `aggregate(sort_array(...))` — a FIXED ascending-term fold over
+    *      at most |query terms| elements, so the double sum is
+    *      bit-replayable by the oracle AND bit-equal to [[bm25TopK]]'s
+    *      ascending `reduceLeft` (adding a tf=0 term's exact 0.0
+    *      contribution never perturbs a non-negative running sum, so
+    *      dropping non-matching terms preserves equality).
+    *   5. Per-query top-k uses the [[invertedIndex]] two-level window
+    *      idiom: rank within (query, source partition) first, so a hot
+    *      query (a stopword term matching the whole corpus) never lands
+    *      its full candidate list on one sorting task; level 2 ranks at
+    *      most k × #partitions rows per query.
+    *
+    * Queries with NULL/empty text contribute no terms and vanish from the
+    * output (no candidates), mirroring bm25TopK's ≥1-matching-term
+    * candidate rule. Duplicate (query_id, term) pairs are collapsed, so a
+    * term repeated in one query scores once — bm25TopK's `distinct`
+    * semantics. Output is unordered (callers sort the queries×k result);
+    * ties break by doc id ascending per query on the scaled score. */
+  def bm25BatchTopK(
+      docs: DataFrame, id: Column, text: Column,
+      queries: DataFrame, queryId: Column, queryText: Column,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, "bm25BatchTopK needs k > 0")
+    val base = docs
+      .select(id.as("doc_id"), TextOps.tokens(text).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("double").as("dl"))
+      // NULL text is not indexable: excluded from N/avgdl/df and from the
+      // candidate set (the bm25TopK frame filter)
+      .filter(col("dl").isNotNull)
+    val qterms = queries
+      .select(queryId.as("query_id"),
+        explode(array_distinct(TextOps.tokens(queryText))).as("term"))
+      .distinct() // tolerate duplicate query rows; (query_id, term) is a set
+    val statsRow = base.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl")).collect()(0)
+    val n = statsRow.getLong(0)
+    if (n == 0L)
+      return qterms.select(col("query_id"), lit(0L).as("doc_id"),
+        lit(0L).as("bm25_score_scaled")).limit(0)
+    val avgdl = statsRow.getDouble(1) / n
+    val qvocab = qterms.select(col("term")).distinct()
+    val stream = base.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+    val cand = stream.join(broadcast(qvocab), Seq("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+      // reused twice (df aggregate + scoring join): materialize once, and
+      // keep the df pass from re-reading the corpus scan
+      .localCheckpoint(false)
+    // df is one row per query-vocabulary term — the same bounded size the
+    // broadcast already shipped — so the idf fold happens driver-side with
+    // StrictMath.log, exactly as bm25TopK folds its literals
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val idfDf = cand.groupBy(col("term")).agg(count(lit(1)).as("df")).collect()
+      .map { r =>
+        val df = r.getLong(1).toDouble
+        (r.getString(0), StrictMath.log((n - df + 0.5) / (df + 0.5) + 1.0))
+      }.toSeq.toDF("term", "idf")
+    val norm = lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl))
+    val contrib = cand
+      .join(broadcast(qterms.join(broadcast(idfDf), Seq("term"))), Seq("term"))
+      .select(col("query_id"), col("doc_id"),
+        struct(col("term"),
+          (col("idf") * (col("tf") * lit(k1 + 1.0)) / (col("tf") + norm)).as("w")).as("tw"))
+    val scores = contrib
+      .groupBy(col("query_id"), col("doc_id"))
+      // ≤ |query terms| elements per group: the sort_array + fold costs a
+      // tiny array walk per candidate and buys an order-fixed double sum
+      .agg(aggregate(sort_array(collect_list(col("tw"))), lit(0.0),
+        (acc, x) => acc + x.getField("w")).as("score"))
+      .select(col("query_id"), col("doc_id"),
+        floor(col("score") * lit(1e4)).cast("long").as("bm25_score_scaled"))
+    // two-level per-query top-k (the invertedIndex idiom): __pid sits under
+    // the window exchange, spreading a hot query across source partitions
+    val w1 = Window.partitionBy(col("query_id"), col("__pid"))
+      .orderBy(col("bm25_score_scaled").desc, col("doc_id"))
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("bm25_score_scaled").desc, col("doc_id"))
+    scores
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("rn", row_number().over(w1)).filter(col("rn") <= k)
+      .select(col("query_id"), col("doc_id"), col("bm25_score_scaled"))
+      .withColumn("rn", row_number().over(w2)).filter(col("rn") <= k)
+      .select(col("query_id"), col("doc_id"), col("bm25_score_scaled"))
+  }
+
   /** token → (document frequency, first `cap` doc ids ascending, as a
     * comma-joined string — arrays stay out of the driver-compare path). */
   def invertedIndex(docs: DataFrame, id: Column, text: Column, cap: Int = 20): DataFrame = {
