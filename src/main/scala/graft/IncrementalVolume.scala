@@ -36,7 +36,14 @@ import graft.operators.{BloomJoin, Dedup, Sampling, VectorOps}
   *      Word counts assert exactly (planted corpus shape), three docs
   *      spot-check end-to-end against a driver-side BPE replica, and
   *      the mixture plan's per-domain totals must equal the encode
-  *      aggregate to the token.
+  *      aggregate to the token;
+  *   F. retrieval triage — [[graft.operators.SearchIndex.bm25BatchTopK]]
+  *      over the CLEANED corpus: 20 planted eval prompts (each a prefix
+  *      of one cleaned doc's globally-unique tokens) must each retrieve
+  *      EXACTLY their source doc at rank 1 in one batch plan, and a
+  *      21st probe made of the excised boilerplate paragraph must
+  *      retrieve NOTHING — the decontamination-triage signal that stage
+  *      C actually removed the viral text from the searchable corpus.
   *
   * Every stage's effect is asserted EXACTLY (planted counts, anchors,
   * coverage, co-assignment), and StageShuffleListener bounds the worst
@@ -274,6 +281,35 @@ object IncrementalVolume {
     }
     println(s"[incr-vol] E: mixture consumed $consumed of plan " +
       s"${mix.plan.map(m => f"${m.stratum}:${m.rate}%.4f×${m.total}")}")
+
+    // --- F. retrieval triage over the CLEANED corpus (batch BM25) ---------
+    // 20 eval prompts, each the 3-token prefix of one cleaned doc (tokens
+    // embed the doc id, so they are globally unique to their source), plus
+    // one probe made of the stage-C-excised boilerplate — all scored in ONE
+    // query-count-independent batch plan
+    val evalIds = (0 until 20).map(i => 1007500L + i * 800L)
+    val queriesF = domained.filter(col("id").isin(evalIds: _*))
+      .select((col("id") + 5000000L).as("qid"),
+        concat_ws(" ",
+          slice(graft.operators.TextOps.tokens(col("clean_text")), 1, 3)).as("qtext"))
+      .unionAll(spark.range(1).select(
+        lit(9999999L).as("qid"), lit(boiler).as("qtext")))
+    val hits = time("F: batch BM25, 21 eval prompts vs 17.5k cleaned docs")(
+      graft.operators.SearchIndex.bm25BatchTopK(
+        domained, col("id"), col("clean_text"),
+        queriesF, col("qid"), col("qtext"), k = 5).collect())
+    val byQ = hits.groupBy(_.getLong(0))
+    evalIds.foreach { id =>
+      val rows = byQ.getOrElse(id + 5000000L, Array.empty)
+      assert(rows.length == 1 && rows(0).getLong(1) == id,
+        s"prompt for doc $id must retrieve exactly its source at rank 1: " +
+          s"${rows.map(r => (r.getLong(1), r.getLong(2))).toSeq}")
+    }
+    assert(!byQ.contains(9999999L),
+      s"excised boilerplate must retrieve 0 candidates post-clean: " +
+        s"${byQ.get(9999999L).map(_.map(r => r.getLong(1)).toSeq)}")
+    println("[incr-vol] F: 20/20 planted prompts rank-1 their source doc; " +
+      "excised boilerplate retrieves 0 candidates")
 
     listener.drain(minTasks = 100L)
     val worst = listener.worstTaskRows

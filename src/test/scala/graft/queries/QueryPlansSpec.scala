@@ -53,6 +53,54 @@ class QueryPlansSpec extends AnyFunSuite with BeforeAndAfterAll {
       "BM25 scoring should ride the scan with a top-k heap:\n" + p.take(2000))
   }
 
+  test("q_bm25_batch: query-side-only broadcasts, corpus reads its checkpoint, candidate-sized shuffles only") {
+    val p = plan("q_bm25_batch")
+    // the batch plan must never fall back to a per-(query,doc) cartesian or
+    // a nested-loop probe — that's the shape bm25BatchTopK exists to avoid
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    // corpus-derived frames never shuffle INTO a join: the vocab prune and
+    // the qterms×idf scoring join both ride broadcasts of query-side data
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "corpus side fell out of broadcast:\n" + p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    // the (term, doc, tf) candidate frame was checkpointed at build time —
+    // the scoring plan reads the materialized RDD, not the corpus scan
+    assert(p.contains("Scan ExistingRDD"),
+      "scoring must read the checkpointed candidates:\n" + p.take(3000))
+    // candidate/query-sized hash shuffles only: qterms distinct (query-side,
+    // inside the broadcast subtree), the per-(query,doc) score aggregate,
+    // and the two top-k window levels; a 5th would mean the corpus token
+    // stream leaked into the final plan
+    val hashShuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashShuffles <= 4,
+      s"expected ≤4 candidate/query-sized shuffles, got $hashShuffles:\n" + p.take(4000))
+    // presentation sort of the ≤ queries×k result only
+    assert("Exchange rangepartitioning".r.findAllIn(p).size <= 1, p.take(3000))
+  }
+
+  test("q_inverted_index: both top-k levels are spillable windowed ranks, two shuffles, cap-bounded list agg") {
+    val p = plan("q_inverted_index")
+    // level 1 (token, source-partition) + level 2 (token): each level is a
+    // count/sum spec plus an ordered row_number spec = 4 Window operators,
+    // all in the spillable window exec — a collect_list-as-window or a
+    // pre-filter list merge would reintroduce the cap×partitions in-memory
+    // group the r15 rewrite removed
+    val windows = "Window \\[".r.findAllIn(p).size
+    assert(windows == 4, s"expected 4 Window ops (2 per level), got $windows:\n" + p.take(3000))
+    assert(!p.linesIterator.exists(l =>
+        l.contains("collect_list") && l.contains("windowspecdefinition")),
+      "collect_list must never run as a window function:\n" + p.take(3000))
+    // Spark's rank-limit pushdown must hold on both levels: the top-cap
+    // prune happens inside each sort (partial WindowGroupLimit) instead of
+    // ranking the full partition first
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      "rank-limit pushdown lost:\n" + p.take(3000))
+    // two data shuffles only: one per window level; the final ≤cap-row
+    // string aggregate reuses the level-2 (token) partitioning
+    val hashShuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashShuffles == 2, s"expected 2 shuffles (one per level), got $hashShuffles:\n" + p.take(3000))
+  }
+
   test("q_filter: predicates reach the parquet scan as PushedFilters") {
     val p = plan("q_filter")
     assert(p.contains("PushedFilters: ["), p.take(2000))
