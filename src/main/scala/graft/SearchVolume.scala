@@ -32,6 +32,14 @@ import graft.operators.SearchIndex
   *      top (idf(needle) ≫ idf(the) — the formula working as retrieval),
   *      and the scoring stage's plan must stay exchange-free at volume,
   *      not just at sf0.001 (QueryPlansSpec's pin).
+  *   3. **bm25BatchTopK** (r15) for a 102-query TABLE including `the` —
+  *      a query whose candidate set is the ENTIRE 500k corpus, the
+  *      hot-query worst case the two-level (query, source-partition)
+  *      top-k window exists for. 100 unique-token queries must each
+  *      retrieve exactly their own doc at rank 1, `needle search` must
+  *      surface the five planted docs, the stopword query returns its
+  *      k rows without concentrating 500k candidate rows on one task
+  *      (listener bound), and the whole batch runs in ONE plan.
   *
   * Success criteria are printed and asserted; wall gates are generous
   * (they catch complexity-class regressions, not environment noise).
@@ -120,6 +128,39 @@ object SearchVolume {
       f"bm25TopK: ${top.length} rows in $tBm%.1f s")
     println("[search-vol] needle docs rank 1-5 over 500k stopword matches; " +
       "scoring plan exchange-free at volume")
+
+    // -- shape 3: batch BM25, 102 queries incl. a df=500k stopword query ---
+    val batchListener = StageShuffleListener.install(spark)
+    val queries = spark.range(100).select(
+        col("id").as("qid"),
+        // two of doc (id*5000)'s globally-unique filler tokens
+        concat(lit("w"), col("id") * 5000L, lit("_3 w"), col("id") * 5000L, lit("_7"))
+          .as("qtext"))
+      .unionAll(spark.range(1).select(lit(100000L).as("qid"), lit("needle search").as("qtext")))
+      .unionAll(spark.range(1).select(lit(100001L).as("qid"), lit("the").as("qtext")))
+    val (batch, tBatch) = time("bm25BatchTopK: 102 queries (one matching ALL 500k docs) k=10") {
+      SearchIndex.bm25BatchTopK(docs, col("doc_id"), col("text"),
+        queries, col("qid"), col("qtext"), k = 10).collect()
+    }
+    val byQ = batch.groupBy(_.getLong(0))
+    (0L until 100L).foreach { q =>
+      val rows = byQ(q).sortBy(r => (-r.getLong(2), r.getLong(1)))
+      assert(rows.head.getLong(1) == q * 5000L,
+        s"query $q must rank its own doc first: got doc ${rows.head.getLong(1)}")
+    }
+    assert(byQ(100000L).sortBy(r => (-r.getLong(2), r.getLong(1)))
+      .take(5).map(_.getLong(1)).toSet == needleIds,
+      "the needle query must surface the five planted docs")
+    assert(byQ(100001L).length == 10,
+      s"the stopword query returns k rows: ${byQ(100001L).length}")
+    batchListener.drain(minTotalRows = 500000L)
+    val worstBatch = batchListener.worstTaskRows
+    println(f"[search-vol] batch worst shuffle task: $worstBatch%,d rows " +
+      f"(single-level per-query ranking would put the stopword query's " +
+      f"$nDocs%,d candidates on ONE task)")
+    assert(worstBatch < nDocs * 7 / 10,
+      f"hot query concentrated: worst task $worstBatch%,d rows")
+    assert(tBatch < 120.0, f"batch BM25 took $tBatch%.1f s — complexity regression")
     spark.stop()
   }
 }

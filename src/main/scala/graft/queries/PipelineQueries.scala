@@ -308,8 +308,12 @@ object PipelineQueries {
 
     QueryDef(
       "q_bm25_batch",
-      // Batch BM25: a 100-query TABLE (every 5th doc's first 3 tokens —
-      // the decontamination-triage shape) scored against the corpus in ONE
+      // Batch BM25: a 100-query TABLE (every 5th of the first 500 docs'
+      // first 3 tokens — the doc_id < 500 cap keeps the query COUNT fixed
+      // across scale factors, so the bench measures corpus growth, not
+      // query-table growth: at sf0.1 an uncapped %5 predicate yields 1,000
+      // Zipf-common-term queries and the contribution frame Σ_t df(t)·q(t)
+      // multiplies both ways) scored against the corpus in ONE
       // query-count-independent plan. The corpus token stream is pruned by
       // a broadcast semi-join against the query vocabulary before its only
       // shuffle (the per-(term,doc) tf aggregate, then checkpointed); df is
@@ -321,7 +325,7 @@ object PipelineQueries {
       // contributions, so the floor-scaled score hashes exactly.
       (s, dir) => {
         val corpus = t(s, dir, "documents")
-        val queries = corpus.filter(col("doc_id") % 5 === 0)
+        val queries = corpus.filter(col("doc_id") % 5 === 0 && col("doc_id") < 500)
           .select(col("doc_id").as("qid"),
             concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 3)).as("qtext"))
         SearchIndex.bm25BatchTopK(
@@ -339,7 +343,7 @@ object PipelineQueries {
              |qterms AS (
              |  SELECT DISTINCT query_id, term FROM (
              |    SELECT doc_id AS query_id, unnest(toks[1:3]) AS term
-             |    FROM tokd WHERE doc_id % 5 = 0)
+             |    FROM tokd WHERE doc_id % 5 = 0 AND doc_id < 500)
              |  WHERE len(term) > 0),
              |cand AS (
              |  SELECT st.term, st.doc_id, st.dl, CAST(count(*) AS DOUBLE) AS tf

@@ -1242,7 +1242,9 @@ object TextFuzz {
     spark.sparkContext.setLogLevel("ERROR")
     val t0 = System.nanoTime()
     var n = 0L
-    TextContractChecks.families
+    // text families + the r15 structured families (ANN / k-means /
+    // changelog / temporal) sweep under one banked protocol
+    (TextContractChecks.families ++ StructuredContractChecks.families)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       val fam0 = System.nanoTime()
