@@ -166,6 +166,11 @@ object SearchIndex {
       // an empty query vanishes instead of matching empty-text docs
       .filter(length(col("term")) > 0)
       .distinct() // tolerate duplicate query rows; (query_id, term) is a set
+      // read three times (qvocab prune broadcast, the scoring-side
+      // broadcast, and whatever plan produced `queries` — possibly itself
+      // a join): materialize the small frame once instead of re-deriving
+      // it per consumer (r15)
+      .localCheckpoint(false)
     val statsRow = base.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl")).collect()(0)
     val n = statsRow.getLong(0)
     if (n == 0L)
