@@ -142,11 +142,13 @@ object SearchVolume {
       SearchIndex.bm25BatchTopK(docs, col("doc_id"), col("text"),
         queries, col("qid"), col("qtext"), k = 10).collect()
     }
-    val byQ = batch.groupBy(_.getLong(0))
+    // getOrElse, not apply: a query that regresses to ZERO rows must fail
+    // with the diagnostic message, not a bare key-not-found
+    val byQ = batch.groupBy(_.getLong(0)).withDefaultValue(Array.empty)
     (0L until 100L).foreach { q =>
       val rows = byQ(q).sortBy(r => (-r.getLong(2), r.getLong(1)))
-      assert(rows.head.getLong(1) == q * 5000L,
-        s"query $q must rank its own doc first: got doc ${rows.head.getLong(1)}")
+      assert(rows.nonEmpty && rows.head.getLong(1) == q * 5000L,
+        s"query $q must rank its own doc first: got ${rows.map(_.getLong(1)).toSeq}")
     }
     assert(byQ(100000L).sortBy(r => (-r.getLong(2), r.getLong(1)))
       .take(5).map(_.getLong(1)).toSet == needleIds,

@@ -471,6 +471,13 @@ object LanguageModel {
         // budget instead of accumulating all per-round churn
         if (heap.size > 4 * stats.size + 1024) {
           heap.clear()
+          // with the heap empty, no stale entry can ever validate again —
+          // so gens of DEAD pairs are prunable here (and only here: between
+          // rebuilds a dead pair's gen must survive, or its re-creation
+          // restarting at gen 1 could falsely validate an old entry).
+          // Without this the gen map keeps one entry per pair EVER seen —
+          // exactly the unbounded-churn state the rebuild exists to drop.
+          gen.filterInPlace((p, _) => stats.contains(p))
           stats.keysIterator.foreach(enqueueCurrent)
         }
         r += 1

@@ -35,7 +35,7 @@ object SearchIndex {
     * byte compare keeps [[bm25TopK]]'s driver-side fold order bit-aligned
     * with [[bm25BatchTopK]]'s engine-side `sort_array` fold for ALL terms,
     * not just BMP ones. */
-  private val utf8BinaryOrder: Ordering[String] = (a: String, b: String) =>
+  private[operators] val utf8BinaryOrder: Ordering[String] = (a: String, b: String) =>
     java.util.Arrays.compareUnsigned(
       a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
       b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -61,13 +61,16 @@ object SearchIndex {
     *
     * Only docs matching ≥1 query term are candidates (standard retrieval
     * semantics); ties break by doc id ascending on the SCALED score, so
-    * the returned set is a pure function of the data. */
+    * the returned set is a pure function of the data. Zero-length query
+    * terms are dropped (r15, matching [[bm25BatchTopK]]): the `[""]` that
+    * `split` yields on empty text is a tokenization artifact, not a term —
+    * passing only such terms is an error, not a match-everything-empty. */
   def bm25TopK(
       docs: DataFrame, id: Column, text: Column,
       queryTerms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
-    val terms = queryTerms.distinct.sorted(utf8BinaryOrder)
+    val terms = queryTerms.filter(_.nonEmpty).distinct.sorted(utf8BinaryOrder)
+    require(terms.nonEmpty, "bm25TopK needs at least one non-empty query term")
     val base = docs.select(
         id.as("doc_id") +: size(TextOps.tokens(text)).cast("double").as("dl") +:
           terms.zipWithIndex.map { case (t, i) =>
@@ -109,8 +112,10 @@ object SearchIndex {
     * the training corpus), where [[bm25TopK]]'s compile-the-terms-into-the-
     * projection approach would mean one plan + one stats pass PER query.
     *
-    * Scale shape — query-count-independent plan, two candidate-sized
-    * shuffles, zero corpus shuffles:
+    * Scale shape — query-count-independent plan, ONE corpus-derived
+    * shuffle (the broadcast-pruned token stream into the tf aggregate);
+    * every later exchange (score aggregate + two top-k window levels) is
+    * candidate-sized:
     *   1. The corpus token stream is pruned map-side by a BROADCAST
     *      semi-join against the (small) query vocabulary — non-query
     *      tokens never reach an exchange.
@@ -143,8 +148,13 @@ object SearchIndex {
     * `[""]` that `split` yields on empty text — are filtered from the query
     * term set, so an empty query can never "match" empty-text docs (whose
     * `[""]` tokenization keeps them OUT of any real term's candidate set but
-    * IN the N/avgdl stats, exactly as in [[bm25TopK]]). Duplicate
-    * (query_id, term) pairs are collapsed, so a
+    * IN the N/avgdl stats — [[bm25TopK]] applies the same zero-length-term
+    * filter to its explicit term list). Corpus doc ids must be UNIQUE
+    * (standard retrieval-corpus shape; the [[TemporalJoins.asofBackward]]
+    * right-side convention): the per-(term, doc) tf aggregate would merge
+    * duplicate-id rows into one candidate with their combined tf, where
+    * [[bm25TopK]] scores each row separately — dedup the corpus first.
+    * Duplicate (query_id, term) pairs are collapsed, so a
     * term repeated in one query scores once — bm25TopK's `distinct`
     * semantics. Output is unordered (callers sort the queries×k result);
     * ties break by doc id ascending per query on the scaled score. */

@@ -1524,9 +1524,8 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // in the SAME order — the utf8BinaryOrder comparator under test
     val t2 = "\uFFFD"
     val t3 = new String(Character.toChars(0x1F600))
-    assert(Seq("z", t2, t3).sorted != Seq("z", t2, t3).sorted(
-      (a: String, b: String) => java.util.Arrays.compareUnsigned(
-        a.getBytes("UTF-8"), b.getBytes("UTF-8"))),
+    assert(Seq("z", t2, t3).sorted !=
+      Seq("z", t2, t3).sorted(SearchIndex.utf8BinaryOrder),
       "term triple no longer distinguishes the two orders — pick new terms")
     val corpus = (1L to 40L).map { i =>
       (i, (Seq.fill((i % 3 + 1).toInt)("z") ++ Seq.fill((i % 5 + 1).toInt)(t2) ++

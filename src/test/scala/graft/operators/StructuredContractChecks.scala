@@ -167,6 +167,27 @@ object StructuredContractChecks {
         check(rows.nonEmpty && rows.head._3.contains(1.0),
           s"planted duplicate missed by LSH for q=$qid: $rows $clue")
     }
+
+    // near-dup pairs: the bucketed path returns a SUBSET of the exact
+    // pairs with identical cosines (its only liberty is recall), and an
+    // exact duplicate — same bytes, same hyperplane signs — is never lost
+    val thr = 0.999
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val exactPairs = pairSet(
+      VectorOps.cosineNearDupPairs(cDf, "vec_id", "embedding", thr))
+    val bucketedPairs = pairSet(
+      VectorOps.bucketedNearDupPairs(cDf, "vec_id", "embedding", thr, dims, bits = 4))
+    check(bucketedPairs.forall { case (p, c) => exactPairs.get(p).contains(c) },
+      s"bucketed pairs not a cos-identical subset: ${bucketedPairs.toSeq.diff(exactPairs.toSeq)} $clue")
+    val dupPairs = for {
+      (i, vi) <- corpus; (j, vj) <- corpus
+      if i < j && vi.sameElements(vj) && vi.exists(_ != 0.0f)
+    } yield (i, j)
+    dupPairs.foreach { p =>
+      check(bucketedPairs.contains(p),
+        s"exact duplicate pair $p missed by bucketedNearDupPairs $clue")
+    }
   }
 
   // --- family 2: k-means labels ---------------------------------------------

@@ -1136,11 +1136,11 @@ object TextContractChecks {
     // NULL, so dl is NULL: the row never matches), and N/avgdl cover only
     // non-null docs because the aggregate counts the same frame
     val alive = docs.filter(_._2.isDefined).map(_._1)
-    // the operator folds in UTF-8 binary term order (= sort_array /
-    // bm25BatchTopK's collation), NOT Scala's UTF-16 .sorted — the two
-    // diverge exactly on this generator's astral-plane tokens
-    val terms = terms0.distinct.sorted((a: String, b: String) =>
-      java.util.Arrays.compareUnsigned(a.getBytes("UTF-8"), b.getBytes("UTF-8")))
+    // the operator drops zero-length terms (the "" this generator can draw
+    // from mTokens of tab-prefixed docs) and folds in UTF-8 binary term
+    // order — the PRODUCTION comparator, reused so the model can't drift
+    val terms = terms0.filter(_.nonEmpty).distinct
+      .sorted(SearchIndex.utf8BinaryOrder)
     if (alive.isEmpty) {
       check(got.isEmpty, s"empty corpus must return no rows: $got ${clue(seed, docs)}")
       return
@@ -1164,6 +1164,61 @@ object TextContractChecks {
     val want = scored.sortBy { case (id, s) => (-s, id) }.take(k)
     check(got == want,
       s"bm25TopK diverged (terms=$terms k=$k): got=$got want=$want ${clue(seed, docs)}")
+  }
+
+  /** bm25BatchTopK vs bm25TopK run per query (which [[checkBm25]] pins to
+    * the bit-exact replica): random HOSTILE query tables — NULL text,
+    * empty/whitespace text, prefixes of the corpus' own hostile docs, raw
+    * random texts, duplicated query rows — over the same hostile corpora.
+    * Checks exact per-query row equality (scaled scores to the bit) AND
+    * that the output's query-id set is exactly the queries with ≥1
+    * candidate (no spurious rows for vanished queries). */
+  def checkBm25Batch(spark: SparkSession, seed: Long): Unit = {
+    val rnd = new Random(seed)
+    val docs = genCorpus(rnd, maxDocs = 12, nullTextPct = 10)
+    val corpusDf = toDf(spark, docs)
+    val nQ = 1 + rnd.nextInt(5)
+    val qrows = mutable.ArrayBuffer.empty[(Long, Option[String])]
+    (0 until nQ).foreach { j =>
+      val t: Option[String] = rnd.nextInt(6) match {
+        case 0 => None
+        case 1 => Some(Vector("", " ", "\t ")(rnd.nextInt(3)))
+        case 2 | 3 =>
+          val withText = docs.filter(_._2.isDefined)
+          if (withText.nonEmpty) {
+            val toks = mTokens(withText(rnd.nextInt(withText.length))._2.get)
+            Some(toks.take(1 + rnd.nextInt(3)).mkString(" "))
+          } else Some(randText(rnd))
+        case _ => Some(randText(rnd))
+      }
+      qrows += ((100L + j, t))
+      if (rnd.nextInt(4) == 0) qrows += ((100L + j, t)) // duplicate query row
+    }
+    val k = 1 + rnd.nextInt(6)
+    val qDf = spark.createDataFrame(
+      java.util.Arrays.asList(qrows.toSeq.map(q => Row(q._1, q._2.orNull)): _*),
+      StructType(Seq(
+        StructField("qid", LongType, nullable = false),
+        StructField("qtext", StringType, nullable = true))))
+    val got = SearchIndex.bm25BatchTopK(corpusDf, col("doc_id"), col("text"),
+        qDf, col("qid"), col("qtext"), k)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(identity).toSeq).toMap
+    val wantKeys = mutable.HashSet.empty[Long]
+    qrows.distinct.foreach { case (qid, t) =>
+      val terms = t.map(x => mTokens(x).toSeq.filter(_.nonEmpty).distinct)
+        .getOrElse(Seq.empty)
+      val want =
+        if (terms.isEmpty) Seq.empty
+        else SearchIndex.bm25TopK(corpusDf, col("doc_id"), col("text"), terms, k)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity).toSeq
+      if (want.nonEmpty) wantKeys += qid
+      check(got.getOrElse(qid, Seq.empty) == want,
+        s"bm25BatchTopK diverged q=$qid terms=$terms k=$k: " +
+          s"got=${got.get(qid)} want=$want ${clue(seed, docs)}")
+    }
+    check(got.keySet == wantKeys.toSet,
+      s"query-id set mismatch: got=${got.keySet} want=$wantKeys ${clue(seed, docs)}")
   }
 
   // --- partitioning independence (metamorphic) -----------------------------
@@ -1216,7 +1271,8 @@ object TextContractChecks {
     "heavyhitters" -> checkHeavyHitters _,
     "packing" -> checkPacking _,
     "invindex" -> checkInvIndex _,
-    "bm25" -> checkBm25 _)
+    "bm25" -> checkBm25 _,
+    "bm25batch" -> checkBm25Batch _)
 }
 
 /** Offline sweep driver for [[TextContractChecks]] — run big fresh-seed

@@ -152,4 +152,8 @@ class TextContractProps extends AnyFunSuite with BeforeAndAfterAll {
   test("bm25TopK matches the bit-exact scoring replica on hostile corpora") {
     for (seed <- 2200L until 2300L) checkBm25(spark, seed)
   }
+
+  test("bm25BatchTopK matches bm25TopK per query on hostile corpora and query tables") {
+    for (seed <- 2400L until 2460L) checkBm25Batch(spark, seed)
+  }
 }
