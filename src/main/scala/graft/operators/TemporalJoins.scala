@@ -83,6 +83,21 @@ object TemporalJoins {
         left.columns.toSeq.map(c => col(s"__l.`$c`").as(c)) ++
           (rightTime +: rPayload).map(f => col(s"__match.`$f`").as(f)): _*)
 
+    // the single-level plan, shared by the three non-segmented routes
+    def singleLevel: DataFrame = {
+      val w = Window.partitionBy(col("__k"))
+        .orderBy(col("__t"), col("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      project(unioned.withColumn(
+        "__match", last(col("__r"), ignoreNulls = true).over(w)))
+    }
+
+    // segmentation explicitly off: skip the bounds/count aggregation too —
+    // its results would be ignored, and on a huge ledger that aggregate is
+    // a full extra input scan for nothing (r15; AsofVolume's
+    // targetSegments = 1 baseline leg hit exactly this)
+    if (targetSegments <= 1) return singleLevel
+
     // Free small-input shortcut: Catalyst's size estimate (file bytes for
     // parquet scans, propagated through the union) routes clearly-small
     // inputs to the single-level window without running ANY extra job —
@@ -94,13 +109,7 @@ object TemporalJoins {
     // sorts a few million rows at worst); an over-estimate only costs the
     // exact count below. smallInputRows = 0 disables both gates.
     val statsBytes = unioned.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (targetSegments > 1 && statsBytes < BigInt(smallInputRows) * 32) {
-      val w = Window.partitionBy(col("__k"))
-        .orderBy(col("__t"), col("__side"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      return project(unioned.withColumn(
-        "__match", last(col("__r"), ignoreNulls = true).over(w)))
-    }
+    if (statsBytes < BigInt(smallInputRows) * 32) return singleLevel
 
     // One cheap min/max job picks the segment grid. `cast(double)` is
     // monotone for every orderable time type we accept (numerics,
@@ -112,15 +121,11 @@ object TemporalJoins {
     val span = if (bounds.isNullAt(0)) 0.0 else bounds.getDouble(1) - bounds.getDouble(0)
     val totalRows = bounds.getLong(2)
 
-    if (targetSegments <= 1 || span <= 0.0 || totalRows < smallInputRows) {
+    if (span <= 0.0 || totalRows < smallInputRows) {
       // Empty input, a single distinct timestamp, or a small input:
       // segmentation cannot spread anything worth three extra jobs — run
       // the plain per-key window.
-      val w = Window.partitionBy(col("__k"))
-        .orderBy(col("__t"), col("__side"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      project(unioned.withColumn(
-        "__match", last(col("__r"), ignoreNulls = true).over(w)))
+      singleLevel
     } else {
       val t0 = bounds.getDouble(0)
       val width = span / targetSegments
@@ -170,11 +175,18 @@ object TemporalJoins {
     * bin both intervals share, = the max of the two start bins) — a pure
     * filter, so join multiplicity is preserved exactly (duplicate input
     * rows yield duplicate output rows, like a real join) and no dedup
-    * shuffle is needed. */
+    * shuffle is needed.
+    *
+    * Caller guarantees no column-name clashes between the two sides
+    * beyond `key` (the [[asofBackward]] convention — rename payload
+    * columns first, as q_range_join does); `binWidth` must be positive
+    * (zero would NULL every bin under non-ANSI division and silently
+    * return an EMPTY join instead of an error). */
   def rangeOverlapJoin(
       left: DataFrame, right: DataFrame, key: String,
       lStart: String, lEnd: String, rStart: String, rEnd: String,
       binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"rangeOverlapJoin: binWidth must be positive, got $binWidth")
     def binOf(c: String) = (col(c).cast("long") / binWidth).cast("long")
     def binned(df: DataFrame, s: String, e: String) = df.withColumn(
       "__bin", explode(sequence(binOf(s), binOf(e))))

@@ -54,6 +54,12 @@ object VectorOps extends org.apache.spark.internal.Logging {
     val w1 = Window.partitionBy(col(queryId), col("__pid"))
       .orderBy(col("cos").desc, col(corpusId))
     val pruned = scored
+      // NaN guard (r15): Spark sorts NaN ABOVE every real double, so one
+      // corrupted (NaN/Inf-element) corpus embedding would otherwise rank
+      // #1 for EVERY query across all three ANN paths — undefined
+      // similarity is a non-result. NULL cosines (zero vectors) stay: desc
+      // ordering puts them last, returned only when real candidates run out.
+      .filter(col("cos").isNull || !isnan(col("cos")))
       .withColumn("__pid", spark_partition_id())
       .withColumn("__rn", row_number().over(w1))
       .filter(col("__rn") <= k)
@@ -190,11 +196,16 @@ object VectorOps extends org.apache.spark.internal.Logging {
     val bucketedCorpus = corpus.withColumn("cell", bestCells(col(corpusVec), assignN))
     // each query probes its nProbe best cells
     val probes = queries.withColumn("cell", bestCells(col(queryVec), nProbe))
+    // project to (query, corpus, cos) BEFORE the dedup shuffle: duplicate
+    // candidates (a pair reachable through several probed cells) carry
+    // identical cosines, so deduping after the projection is
+    // output-identical and moves three scalars per row instead of two
+    // full embedding vectors (r15)
     val scored = bucketedCorpus.join(broadcast(probes), "cell")
-      .dropDuplicates(queryId, corpusId)
       .select(
         col(queryId), col(corpusId),
         round(cosine(col(queryVec), col(corpusVec)), 6).as("cos"))
+      .dropDuplicates(queryId, corpusId)
     topKPerQuery(scored, queryId, corpusId, k)
   }
 
@@ -205,6 +216,18 @@ object VectorOps extends org.apache.spark.internal.Logging {
     * (cluster, dim) partial sums — k×dims rows to the driver, never the
     * vectors themselves. Seeding reuses the deterministic hash-ordered
     * sample so results are run- and partitioning-independent.
+    *
+    * Update-rule note (documented r15): the distributed rounds sum RAW
+    * member vectors and normalize the sum — a NORM-WEIGHTED directional
+    * mean (a member pulls the centroid in proportion to its magnitude) —
+    * where the driver-side seeding round unit-normalizes members first
+    * (the textbook spherical update). On unit-normalized embeddings (the
+    * standard semantic-dedup input, and what cosine assignment implicitly
+    * assumes) the two rules coincide exactly; on mixed-norm corpora the
+    * trained centroids are the weighted variant, assignment stays pure
+    * max-cosine either way, and the label contract (labels == argmax over
+    * the RETURNED centroids) is unaffected — the corpus-shape fuzz family
+    * pins that contract, not a specific update rule.
     *
     * Returns the trained centroids; pair with [[assignClusters]] for the
     * corpus labeling (topic balancing / cluster-stratified sampling). */
@@ -269,7 +292,10 @@ object VectorOps extends org.apache.spark.internal.Logging {
     val r = corpus.select(col(id).as("id2"), col(vec).as("v2"))
     l.join(r, col("id1") < col("id2"))
       .withColumn("cos", round(cosine(col("v1"), col("v2")), 6))
-      .filter(col("cos") >= threshold)
+      // !isnan: one NaN/Inf-element embedding would otherwise pair with
+      // every row it meets (NaN >= threshold is true under Spark's NaN
+      // ordering) — the semanticDedup pair-stage guard, applied here too
+      .filter(!isnan(col("cos")) && col("cos") >= threshold)
       .select(col("id1"), col("id2"), col("cos"))
   }
 
@@ -290,7 +316,9 @@ object VectorOps extends org.apache.spark.internal.Logging {
     l.join(r, Seq("bucket"))
       .filter(col("id1") < col("id2"))
       .withColumn("cos", round(cosine(col("v1"), col("v2")), 6))
-      .filter(col("cos") >= threshold)
+      // same NaN guard as the exact path: a corrupted embedding must not
+      // fuse its whole bucket into one duplicate group
+      .filter(!isnan(col("cos")) && col("cos") >= threshold)
       .select(col("id1"), col("id2"), col("cos"))
   }
 
@@ -358,6 +386,13 @@ object VectorOps extends org.apache.spark.internal.Logging {
       maxClusterSize: Int = 100000): SemanticDedupResult = {
     graft.functions.NativeHashes.register(corpus.sparkSession)
     val rows = corpus.select(col(id).as("id"), col(vec).as("v"))
+    // empty corpus: nothing to cluster and nothing to label — return the
+    // output schema instead of tripping kmeansFit's non-empty require
+    // (the ivfTopK empty-corpus convention); a daily-slice pipeline may
+    // legitimately hand this operator zero rows
+    if (rows.isEmpty)
+      return SemanticDedupResult(
+        corpus.select(col(id), col(id).as("rep")).limit(0), 0L, 0L)
 
     // 1. Cluster the full corpus (as SemDeDup does — exact duplicates only
     // add weight to their own centroid) and CHECKPOINT the assignment:
@@ -379,6 +414,10 @@ object VectorOps extends org.apache.spark.internal.Logging {
     // themselves never shuffle) asks whether ANY hash repeats. Corpora
     // without exact duplicates — the common case — skip the collapse
     // entirely.
+    // deliberately NOT dot(v, v): the single-pass fold squares in place,
+    // where dot's zip_with would allocate an intermediate products array
+    // per row on this corpus-scale probe path (same double-op order, so
+    // values are identical — only the plan shape differs)
     val sumSq = aggregate(col("v"), lit(0.0d),
       (acc, x) => acc + x.cast("double") * x.cast("double"))
     val nonZero = !isnan(sumSq) && sumSq > lit(0.0) &&
@@ -509,8 +548,14 @@ object VectorOps extends org.apache.spark.internal.Logging {
       maxClusterSize: Int = 100000): DataFrame = {
     graft.functions.NativeHashes.register(existing.sparkSession)
     val cents = kmeansFit(existing, vec, k, kmeansIters, idCol = id)
+    // checkpoint the EXISTING side's assignment like newCk below (and like
+    // the batch path): capClustersLogged's sizing collect materializes it
+    // once, and the pair stage then reads stored partitions instead of
+    // re-scanning the (typically much larger) existing corpus and
+    // re-running the nearest_cells argmax per row (r15)
     val oldA = capClustersLogged(
-      assignClusters(existing.select(col(id).as("id"), col(vec).as("v")), cents, "v"),
+      assignClusters(existing.select(col(id).as("id"), col(vec).as("v")), cents, "v")
+        .localCheckpoint(false),
       maxClusterSize, "existing")
     val newCk = assignClusters(
       incoming.select(col(id).as("id"), col(vec).as("v")), cents, "v")

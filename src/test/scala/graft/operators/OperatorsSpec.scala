@@ -1489,6 +1489,48 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.head._2 == expect1, s"doc 1 score ${got.head._2} != replica $expect1")
   }
 
+  test("ANN and near-dup paths treat NaN cosines as non-results — a corrupted embedding never matches") {
+    import spark.implicits._
+    // row 3 carries a NaN element (cosine = NaN, which Spark sorts ABOVE
+    // 1.0); row 4 is a zero vector (cosine = NULL, sorts last). The guard
+    // must drop the NaN row from every ranked/paired result while keeping
+    // the NULL row's rank-last behavior.
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(Float.NaN, 1.0f)), (4L, Array(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((10L, Array(1.0f, 0.0f))).toDF("query_id", "query_vec")
+    val bf = VectorOps.bruteForceTopK(corpus, queries, k = 4).collect()
+      .map(r => (r.getAs[Int]("rnk"), r.getAs[Long]("vec_id"))).sortBy(_._1)
+    assert(bf.map(_._2).toSeq == Seq(1L, 2L, 4L),
+      s"want exact-match, near-match, zero-vector-last and NO NaN row: ${bf.toSeq}")
+    for ((name, pairs) <- Seq(
+        "exact" -> VectorOps.cosineNearDupPairs(corpus, "vec_id", "embedding", 0.9),
+        "bucketed" -> VectorOps.bucketedNearDupPairs(corpus, "vec_id", "embedding", 0.9,
+          dims = 2, bits = 4))) {
+      val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(!got.exists(p => p._1 == 3L || p._2 == 3L),
+        s"$name: the NaN embedding paired with something: $got")
+      assert(got.contains((1L, 2L)), s"$name must still find the real near-dup: $got")
+    }
+  }
+
+  test("semanticDedupLabels on an empty corpus returns an empty labeling, not a crash") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val out = VectorOps.semanticDedupLabels(empty, "vec_id", "embedding", k = 4, threshold = 0.99)
+    assert(out.columns.toSeq == Seq("vec_id", "rep") && out.count() == 0)
+  }
+
+  test("rangeOverlapJoin rejects a non-positive binWidth instead of silently returning empty") {
+    import spark.implicits._
+    val iv = Seq(("A", 1L, 5L)).toDF("k", "s", "e")
+    val e = intercept[IllegalArgumentException] {
+      TemporalJoins.rangeOverlapJoin(iv, iv.toDF("k", "s2", "e2"), "k", "s", "e", "s2", "e2", 0L)
+    }
+    assert(e.getMessage.contains("binWidth"))
+  }
+
   test("bm25BatchTopK: every query's rows bit-match bm25TopK run per query") {
     import spark.implicits._
     // 10 real-corpus queries (every 50th doc's first 3 tokens): the batch

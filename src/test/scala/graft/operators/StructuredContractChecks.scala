@@ -338,18 +338,22 @@ object StructuredContractChecks {
       (k, lt, lid, m.map(_._2), m.map(_._3))
     }.groupBy(identity).view.mapValues(_.size).toMap
 
-    // drive BOTH physical paths: the plain window (default gates) and the
+    // drive ALL THREE physical routes: the plain window via the default
+    // small-input gates, the same window via the targetSegments<=1
+    // short-circuit (which must skip the bounds job entirely), and the
     // forced tiny-segment grid, where the boundary carry does real work
-    for (forceSeg <- Seq(false, true)) {
+    for ((forceSeg, segs) <- Seq(
+        (false, 2 + rnd.nextInt(5)), (false, 1), (true, 2 + rnd.nextInt(5)))) {
       val got = TemporalJoins.asofBackward(lDf, rDf, "k", "lt", "rt",
-          targetSegments = 2 + rnd.nextInt(5),
+          targetSegments = segs,
           smallInputRows = if (forceSeg) 0L else 2000000L)
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
           if (r.isNullAt(3)) None else Some(r.getLong(3)),
           if (r.isNullAt(4)) None else Some(r.getLong(4))))
         .groupBy(identity).view.mapValues(_.size).toMap
       check(got == want,
-        s"asofBackward(forceSeg=$forceSeg) != two-pointer model: got=$got want=$want $clue")
+        s"asofBackward(forceSeg=$forceSeg, segs=$segs) != two-pointer model: " +
+          s"got=$got want=$want $clue")
     }
 
     // --- range-overlap join ---
