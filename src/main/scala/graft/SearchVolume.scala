@@ -163,6 +163,45 @@ object SearchVolume {
     assert(worstBatch < nDocs * 7 / 10,
       f"hot query concentrated: worst task $worstBatch%,d rows")
     assert(tBatch < 120.0, f"batch BM25 took $tBatch%.1f s — complexity regression")
+
+    // -- shape 4: batch BM25 LARGE-query-table regime (r16) -----------------
+    // 10,002 queries forced through the distributed fallback
+    // (broadcastQueryTermMax below the ~20k qterm rows): the vocabulary
+    // prune and scoring joins become term-keyed shuffle-hash joins, idf is
+    // computed by the native Bm25Idf expression, and NOTHING query-derived
+    // is collected or broadcast — the regime a 10M-prompt decontamination
+    // sweep runs in. Results must be identical in kind to shape 3: every
+    // unique-token query ranks its own doc first, the stopword query still
+    // can't concentrate its 500k candidates on one task.
+    val bigListener = StageShuffleListener.install(spark)
+    val bigQueries = spark.range(10000).select(
+        col("id").as("qid"),
+        concat(lit("w"), col("id") * 50L, lit("_3 w"), col("id") * 50L, lit("_7"))
+          .as("qtext"))
+      .unionAll(spark.range(1).select(lit(100000L).as("qid"), lit("needle search").as("qtext")))
+      .unionAll(spark.range(1).select(lit(100001L).as("qid"), lit("the").as("qtext")))
+    val (big, tBig) = time("bm25BatchTopK fallback regime: 10,002 queries, no query-side broadcast, k=10") {
+      SearchIndex.bm25BatchTopK(docs, col("doc_id"), col("text"),
+        bigQueries, col("qid"), col("qtext"), k = 10,
+        broadcastQueryTermMax = 1000L).collect()
+    }
+    val byBigQ = big.groupBy(_.getLong(0)).withDefaultValue(Array.empty)
+    (0L until 10000L).foreach { q =>
+      val rows = byBigQ(q).sortBy(r => (-r.getLong(2), r.getLong(1)))
+      assert(rows.nonEmpty && rows.head.getLong(1) == q * 50L,
+        s"fallback query $q must rank its own doc first: got ${rows.map(_.getLong(1)).toSeq}")
+    }
+    assert(byBigQ(100000L).sortBy(r => (-r.getLong(2), r.getLong(1)))
+      .take(5).map(_.getLong(1)).toSet == needleIds,
+      "the needle query must surface the five planted docs in the fallback regime")
+    assert(byBigQ(100001L).length == 10,
+      s"the stopword query returns k rows in the fallback regime: ${byBigQ(100001L).length}")
+    bigListener.drain(minTotalRows = 500000L)
+    val worstBig = bigListener.worstTaskRows
+    println(f"[search-vol] fallback worst shuffle task: $worstBig%,d rows")
+    assert(worstBig < nDocs * 7 / 10,
+      f"fallback regime concentrated a hot key: worst task $worstBig%,d rows")
+    assert(tBig < 180.0, f"fallback batch BM25 took $tBig%.1f s — complexity regression")
     spark.stop()
   }
 }

@@ -758,6 +758,47 @@ object NativeHashes {
     merges.map { case (a, b) => a + "\u0001" + b }.mkString("\u0002")
   }
 
+  /** Lucene-variant BM25 idf from a document frequency:
+    * `StrictMath.log((n − df + 0.5) / (df + 0.5) + 1.0)`.
+    *
+    * One expression instead of a Catalyst arithmetic tree so the operation
+    * ORDER is pinned to the exact sequence
+    * [[graft.operators.SearchIndex.bm25BatchTopK]]'s driver-side fold uses
+    * (and `StrictMath.log`, where Spark's `log()` lowers to the
+    * platform-intrinsic `Math.log` — a last-ulp divergence risk). The
+    * distributed large-query-table fallback computes idf through this and
+    * stays bit-equal to the broadcast path's collected fold. */
+  case class Bm25Idf(child: Expression, n: Long) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case LongType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"bm25_idf expects bigint df, got ${other.simpleString}")
+    }
+
+    override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[Long])
+
+    def compute(dfLong: Long): Double = {
+      val df = dfLong.toDouble
+      StrictMath.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bm25idf", this, classOf[Bm25Idf].getName)
+      defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Bm25Idf =
+      copy(child = newChild)
+  }
+
+  private def longLit(e: Expression, fn: String): Long = e match {
+    case Literal(v: Long, LongType) => v
+    case Literal(v: Int, IntegerType) => v.toLong
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a long literal, got $other")
+  }
+
   private def intLit(e: Expression, fn: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
     case other => throw new IllegalArgumentException(
@@ -796,5 +837,7 @@ object NativeHashes {
       args => NearestCells(args.head, args(1), intLit(args(2), "nearest_cells")), "built-in")
     registry.createOrReplaceTempFunction("bpe_units",
       args => BpeUnits(args.head, stringLit(args(1), "bpe_units")), "built-in")
+    registry.createOrReplaceTempFunction("bm25_idf",
+      args => Bm25Idf(args.head, longLit(args(1), "bm25_idf")), "built-in")
   }
 }

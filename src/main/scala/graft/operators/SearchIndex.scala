@@ -157,11 +157,33 @@ object SearchIndex {
     * Duplicate (query_id, term) pairs are collapsed, so a
     * term repeated in one query scores once — bm25TopK's `distinct`
     * semantics. Output is unordered (callers sort the queries×k result);
-    * ties break by doc id ascending per query on the scaled score. */
+    * ties break by doc id ascending per query on the scaled score.
+    *
+    * Two regimes, gated on the (query_id, term) row count of the
+    * checkpointed query-term frame (one cheap count — the checkpoint was
+    * materializing anyway):
+    *   - `≤ broadcastQueryTermMax` (default 1M rows ≈ tens of MB): the
+    *     broadcast shape above — query vocabulary and (query_id, term)×idf
+    *     ship to every task, df rows collect to the driver. The designed
+    *     decontamination-triage size (≤100k prompts).
+    *   - above it (a 10M-prompt sweep): the same three frames stay
+    *     DISTRIBUTED — the vocabulary prune and the scoring join become
+    *     shuffle-hash equi-joins on `term`, and idf is computed per-term by
+    *     the native [[graft.functions.NativeHashes.Bm25Idf]] expression
+    *     (StrictMath.log, same operation order) instead of a driver
+    *     collect+fold, so no driver materialization grows with the query
+    *     table and `spark.driver.maxResultSize` is never in play. Results
+    *     are bit-equal to the broadcast regime (spec-pinned). Cost, stated
+    *     honestly: the corpus token stream's one shuffle is no longer
+    *     broadcast-pruned map-side (non-query tokens now reach the
+    *     exchange — when the query vocabulary is millions of terms, the
+    *     prune was buying little anyway), plus two `term`-keyed exchanges
+    *     of query-derived frames. */
   def bm25BatchTopK(
       docs: DataFrame, id: Column, text: Column,
       queries: DataFrame, queryId: Column, queryText: Column,
-      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      broadcastQueryTermMax: Long = 1000000L): DataFrame = {
     require(k > 0, "bm25BatchTopK needs k > 0")
     val base = docs
       .select(id.as("doc_id"), TextOps.tokens(text).as("toks"))
@@ -181,6 +203,9 @@ object SearchIndex {
       // a join): materialize the small frame once instead of re-deriving
       // it per consumer (r15)
       .localCheckpoint(false)
+    // the size gate: one count on the just-checkpointed frame (reads the
+    // materialization, not the query plan)
+    val smallQuery = qterms.count() <= broadcastQueryTermMax
     val statsRow = base.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl")).collect()(0)
     val n = statsRow.getLong(0)
     if (n == 0L)
@@ -193,25 +218,43 @@ object SearchIndex {
     val avgdl = statsRow.getDouble(1) / n
     val qvocab = qterms.select(col("term")).distinct()
     val stream = base.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-    val cand = stream.join(broadcast(qvocab), Seq("term"))
+    // large-query fallback joins carry an explicit shuffle-hash hint: the
+    // query-derived side is the build side (bounded by the query table,
+    // no sort), and the hint keeps auto-broadcast from re-introducing the
+    // very materialization the gate rejected
+    val cand = stream.join(
+        if (smallQuery) broadcast(qvocab) else qvocab.hint("shuffle_hash"), Seq("term"))
       .groupBy(col("term"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).cast("double").as("tf"))
       // reused twice (df aggregate + scoring join): materialize once, and
       // keep the df pass from re-reading the corpus scan
       .localCheckpoint(false)
-    // df is one row per query-vocabulary term — the same bounded size the
-    // broadcast already shipped — so the idf fold happens driver-side with
-    // StrictMath.log, exactly as bm25TopK folds its literals
     val spark = docs.sparkSession
     import spark.implicits._
-    val idfDf = cand.groupBy(col("term")).agg(count(lit(1)).as("df")).collect()
-      .map { r =>
-        val df = r.getLong(1).toDouble
-        (r.getString(0), StrictMath.log((n - df + 0.5) / (df + 0.5) + 1.0))
-      }.toSeq.toDF("term", "idf")
+    val dfFrame = cand.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idfDf =
+      if (smallQuery)
+        // df is one row per query-vocabulary term — the same bounded size
+        // the broadcast already shipped — so the idf fold happens
+        // driver-side with StrictMath.log, exactly as bm25TopK folds its
+        // literals
+        dfFrame.collect()
+          .map { r =>
+            val df = r.getLong(1).toDouble
+            (r.getString(0), StrictMath.log((n - df + 0.5) / (df + 0.5) + 1.0))
+          }.toSeq.toDF("term", "idf")
+      else {
+        // too many query terms to collect: the same fold, per-term, inside
+        // the engine — Bm25Idf pins StrictMath.log and the operation order,
+        // so both regimes produce bit-identical weights
+        graft.functions.NativeHashes.register(spark)
+        dfFrame.select(col("term"), call_function("bm25_idf", col("df"), lit(n)).as("idf"))
+      }
     val norm = lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl))
+    val scoringRhs = qterms.join(
+      if (smallQuery) broadcast(idfDf) else idfDf.hint("shuffle_hash"), Seq("term"))
     val contrib = cand
-      .join(broadcast(qterms.join(broadcast(idfDf), Seq("term"))), Seq("term"))
+      .join(if (smallQuery) broadcast(scoringRhs) else scoringRhs.hint("shuffle_hash"), Seq("term"))
       .select(col("query_id"), col("doc_id"),
         struct(col("term"),
           (col("idf") * (col("tf") * lit(k1 + 1.0)) / (col("tf") + norm)).as("w")).as("tw"))

@@ -1249,6 +1249,30 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bKept == expB, s"b membership: got $bKept expected $expB")
   }
 
+  test("mixture sampling: a per-row-unique hostile stratum column never reaches the driver collect") {
+    import spark.implicits._
+    // 50k rows, 49,970 of them in globally-unique strata (the
+    // corpus-catalog assumption violated as hard as possible): the listed-
+    // strata filter must prune them BEFORE the aggregate, so the collect
+    // stays at |targetWeights| rows and the plan/membership are identical
+    // to what the small-catalog contract promises
+    val df = spark.range(50000).select(
+      col("id"),
+      when(col("id") < 15, lit("a"))
+        .when(col("id") < 30, lit("b"))
+        .otherwise(concat(lit("u"), col("id"))).as("s"),
+      lit(10L).as("m"))
+    val res = Sampling.mixtureSample(df, col("id"), col("s"), col("m"),
+      targetWeights = Map("a" -> 0.5, "b" -> 0.5), budget = 20L)
+    assert(res.plan.map(p => (p.stratum, p.total)) == Seq(("a", 150L), ("b", 150L)),
+      s"hostile strata leaked into the plan: ${res.plan}")
+    // the aggregate's input must be filtered to the listed strata — visible
+    // as a pushed Filter under the partial aggregate, keeping a hostile
+    // stratum column from shuffling corpus-many groups
+    val kept = res.sampled.select("s").distinct().collect().map(_.getString(0)).toSet
+    assert(kept.subsetOf(Set("a", "b")), s"unlisted hostile strata must drop: $kept")
+  }
+
   test("BPE training: merge sequence on the Sennrich-style corpus is exact") {
     import spark.implicits._
     // wf: low×3, lower×2, newest×5, widest×3. Round-0 pair counts:
@@ -1614,6 +1638,78 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.count() == 0)
   }
 
+  test("bm25BatchTopK: distributed fallback bit-equals the broadcast regime, with no query-side broadcast") {
+    import spark.implicits._
+    // broadcastQueryTermMax = 0 forces the large-query-table regime on a
+    // corpus where the broadcast regime is known-good (the per-query
+    // bit-match test above): scaled-long scores tolerate zero ulps, so this
+    // pins the Bm25Idf expression + shuffle joins to the driver-folded
+    // StrictMath.log path exactly
+    val corpus = docs
+    val queries = corpus.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("qid"),
+        concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 3)).as("qtext"))
+    def rows(btm: Long) =
+      SearchIndex.bm25BatchTopK(corpus, col("doc_id"), col("text"),
+          queries, col("qid"), col("qtext"), k = 7, broadcastQueryTermMax = btm)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(identity).toSeq
+    val broadcastRegime = rows(1000000L)
+    val fallbackRegime = rows(0L)
+    assert(broadcastRegime.nonEmpty && fallbackRegime == broadcastRegime,
+      s"regimes diverged:\n  broadcast=$broadcastRegime\n  fallback=$fallbackRegime")
+    // the fallback plan must not materialize ANY query-derived frame on the
+    // driver or executors-as-broadcast: the gate exists so a 10M-prompt
+    // sweep degrades to term-keyed shuffles instead of a multi-GB broadcast
+    val fb = SearchIndex.bm25BatchTopK(corpus, col("doc_id"), col("text"),
+      queries, col("qid"), col("qtext"), k = 7, broadcastQueryTermMax = 0L)
+    fb.write.format("noop").mode("overwrite").save()
+    val physical = fb.queryExecution.executedPlan.toString
+    assert(!physical.contains("BroadcastExchange"),
+      s"fallback regime still broadcasts:\n$physical")
+    assert(physical.contains("ShuffledHashJoin"),
+      s"fallback regime lost its shuffle-hash term joins:\n$physical")
+  }
+
+  test("bm25BatchTopK: duplicate corpus ids merge per the documented tf-sum semantics") {
+    import spark.implicits._
+    // the re-ingested-row shape: id 2 appears twice with IDENTICAL text, so
+    // the per-(term, doc, dl) tf aggregate merges the rows into one
+    // candidate with their combined tf while N/Σdl count BOTH rows — the
+    // documented divergence from bm25TopK (which scores rows separately).
+    // Pinned against an independent in-memory replica of exactly that
+    // contract, scaled-long-exact.
+    val rows = Seq((1L, "alpha beta"), (2L, "alpha gamma"),
+      (2L, "alpha gamma"), (3L, "beta beta alpha"))
+    val corpus = rows.toDF("doc_id", "text")
+    val got = SearchIndex.bm25BatchTopK(corpus, col("doc_id"), col("text"),
+        Seq((9L, "alpha beta")).toDF("qid", "qtext"), col("qid"), col("qtext"), k = 10)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(identity).toSeq
+    val k1 = 1.2; val b = 0.75
+    val toks = rows.map { case (id, t) => (id, t.split("\\s+").toSeq) }
+    val n = toks.size
+    val avgdl = toks.map(_._2.size).sum.toDouble / n
+    val terms = Seq("alpha", "beta") // UTF-8 ascending — the fold order
+    // cand replica: one row per (term, doc_id, dl) with tf summed over
+    // duplicate rows (identical text ⇒ identical dl ⇒ one group)
+    val cand = for {
+      t <- terms
+      ((id, dl), tf) <- toks.groupBy(x => (x._1, x._2.size))
+        .view.mapValues(_.map(_._2.count(_ == t)).sum).toSeq
+      if tf > 0
+    } yield (t, id, dl.toDouble, tf.toDouble)
+    val dfByTerm = cand.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    val idf = terms.map(t => t ->
+      StrictMath.log((n - dfByTerm(t) + 0.5) / (dfByTerm(t) + 0.5) + 1.0)).toMap
+    val want = cand.groupBy(_._2).view.mapValues { cs =>
+      cs.map { case (t, _, dl, tf) =>
+        (t, idf(t) * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl)))
+      }.sortBy(_._1).map(_._2).foldLeft(0.0)(_ + _)
+    }.toSeq.map { case (id, s) => (id, math.floor(s * 1e4).toLong) }
+      .sortBy(identity)
+    assert(got == want, s"got=$got want=$want")
+  }
+
   test("BPE vocabTopK: no-op at K >= vocab; truncation trains exactly on the head vocabulary") {
     import spark.implicits._
     // head words (wf 5) carry the merges; a distinct-word tail (wf 1)
@@ -1652,31 +1748,31 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!LanguageModel.driverHostFits(100L, 1L << 26, 4000000L, 1L << 30),
       "67M chars x 160 B/char must overflow a 1 GiB budget at ANY row count")
     assert(!LanguageModel.driverHostFits(5000001L, 100L, 5000000L, 6L << 30))
+    // overflow hardening (r16): a pathological chars count whose ×160
+    // product wraps Long must still REFUSE — the gate compares divisively,
+    // so a negative product can never admit the collect it guards against
+    assert(!LanguageModel.driverHostFits(100L, Long.MaxValue / 100L, Long.MaxValue, 6L << 30),
+      "a Long-overflowing chars x bytes product must refuse, not wrap negative and admit")
     // end-to-end: 40 rows of 2,000-char words — far inside the 4M row gate,
     // ~80k chars ≈ 13 MB estimated footprint — so with driverBytesMax = 1 MB
-    // the BYTE gate alone must refuse the driver collect. The telltale is
-    // the persistent-RDD ledger: both hosts lazily checkpoint the wf frame
-    // (one new RDD id), but only the distributed loop additionally
-    // checkpoints its segmented vocab.
+    // the BYTE gate alone must refuse the driver collect.
     val rnd = new scala.util.Random(7)
     val corpus = (0 until 40).map(i =>
         (i.toLong, (0 until 2000).map(_ => ('a' + rnd.nextInt(6)).toChar).mkString))
       .toDF("doc_id", "text").localCheckpoint()
-    def rddIds = spark.sparkContext.getPersistentRDDs.keySet
     def table(bytesMax: Long) =
       LanguageModel.bpeTrainMerges(corpus, col("text"), numMerges = 3,
           driverBytesMax = bytesMax)
         .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
-    val base1 = rddIds
+    // host selection is observed through the operator's own decision probe
+    // (lastTrainHost), not persistent-RDD census deltas — those were
+    // brittle against unrelated caching changes and ContextCleaner races
     val viaDriver = table(6L << 30)
-    val driverNew = (rddIds -- base1).size
-    val base2 = rddIds
+    assert(LanguageModel.lastTrainHost == "driver",
+      s"a fitting corpus should take the driver loop, took ${LanguageModel.lastTrainHost}")
     val viaGate = table(1L << 20)
-    val gateNew = (rddIds -- base2).size
-    assert(driverNew == 1,
-      s"driver host should checkpoint exactly the wf frame, added $driverNew RDDs")
-    assert(gateNew >= 2,
-      s"byte gate did not route to the distributed loop (added $gateNew RDDs)")
+    assert(LanguageModel.lastTrainHost == "distributed",
+      s"the byte gate should route to the distributed loop, took ${LanguageModel.lastTrainHost}")
     assert(viaGate == viaDriver && viaGate.length == 3,
       s"fallback table diverged:\n  gate=$viaGate\n  driver=$viaDriver")
   }

@@ -1200,8 +1200,13 @@ object TextContractChecks {
       StructType(Seq(
         StructField("qid", LongType, nullable = false),
         StructField("qtext", StringType, nullable = true))))
+    // half the seeds force the distributed large-query-table regime
+    // (broadcastQueryTermMax = 0): both regimes must match bm25TopK on the
+    // same hostile corpora/query tables, so the Bm25Idf + shuffle-join
+    // fallback gets the same adversarial coverage as the broadcast path
+    val btm = if (rnd.nextBoolean()) 0L else 1000000L
     val got = SearchIndex.bm25BatchTopK(corpusDf, col("doc_id"), col("text"),
-        qDf, col("qid"), col("qtext"), k)
+        qDf, col("qid"), col("qtext"), k, broadcastQueryTermMax = btm)
       .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
       .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(identity).toSeq).toMap
     val wantKeys = mutable.HashSet.empty[Long]
