@@ -244,6 +244,7 @@ object LanguageModel {
           Some(wf.collect())
         else None
       } else None
+    lastTrainHost = if (collected.isDefined) "driver" else "distributed"
     if (collected.isDefined)
       return bpeTrainMergesDriver(
         spark, collected.get.map(r => (r.getString(0), r.getLong(1))), numMerges)
@@ -282,6 +283,14 @@ object LanguageModel {
       java.util.Arrays.asList(merges.toArray: _*), mergeSchema)
   }
 
+  /** Test/diagnostic probe: which host ("driver" | "distributed") the last
+    * [[bpeTrainMerges]] call on this JVM routed to. Written only at the
+    * admission decision; never read by the operator itself. The gate spec
+    * asserts on THIS instead of inferring the host from persistent-RDD
+    * census deltas, which were brittle against unrelated caching changes
+    * and ContextCleaner races (r15 advice). */
+  @volatile private[operators] var lastTrainHost: String = _
+
   /** Estimated driver-loop footprint per vocabulary CHARACTER: each code
     * point becomes a 1–2-char String in a per-word unit array (~56 B object
     * + 8 B ref), and each adjacent pair contributes a boxed-Int HashSet
@@ -298,7 +307,11 @@ object LanguageModel {
     * decision table without reflection. */
   private[operators] def driverHostFits(
       rows: Long, chars: Long, rowMax: Long, bytesMax: Long): Boolean =
-    rows <= rowMax && chars * DriverBytesPerChar <= bytesMax
+    // divide, don't multiply: `chars * DriverBytesPerChar` overflows Long
+    // for a pathological caller (rowMax raised toward Int.MaxValue with
+    // hostile long words), and a negative product would ADMIT the very
+    // collect the gate exists to prevent
+    rows <= rowMax && chars <= bytesMax / DriverBytesPerChar
 
   private val mergeSchema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._

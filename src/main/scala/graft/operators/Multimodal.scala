@@ -86,7 +86,12 @@ object Multimodal {
     val payloadIdx = mm.schema.fieldIndex("payload")
     mm.mapPartitions { rows =>
       rows.map { row =>
-        val bytes = row.getAs[Array[Byte]](payloadIdx)
+        // a NULL payload (e.g. encode() of a NULL text) featurizes like an
+        // empty one — an all-zero histogram — instead of NPE-ing the task
+        // (r16; found writing the multimodal fuzz family): the same
+        // one-hostile-row-must-not-kill-the-job rule as the codec guards
+        val raw = row.getAs[Array[Byte]](payloadIdx)
+        val bytes = if (raw == null) Array.emptyByteArray else raw
         val img =
           if (!tryImageCodec) null
           // NonFatal, not just IOException: JDK image readers throw unchecked

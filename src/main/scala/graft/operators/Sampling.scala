@@ -134,7 +134,15 @@ object Sampling {
     // match a key of targetWeights (Map[String, _] holds no null), so its
     // rows fall to threshold 0 and are dropped — same rule as any unlisted
     // stratum.
+    // the collect is structurally capped at |targetWeights| rows (r16): only
+    // listed strata are ever read from `totals` (unlisted ones fall to
+    // threshold 0 regardless), so the filter rides the scan BEFORE the
+    // aggregate — a hostile per-row-unique stratum column now prunes
+    // map-side instead of shuffling corpus-many groups into a corpus-sized
+    // driver collect. NULL strata can never match a Map[String, _] key and
+    // are pruned with the rest.
     val totals = df
+      .filter(stratum.cast("string").isInCollection(ordered.map(_._1)))
       .groupBy(stratum.cast("string").as("_s"))
       .agg(round(sum(mass)).cast("long").as("_t"))
       .collect()

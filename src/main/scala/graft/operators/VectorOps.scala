@@ -386,20 +386,28 @@ object VectorOps extends org.apache.spark.internal.Logging {
       maxClusterSize: Int = 100000): SemanticDedupResult = {
     graft.functions.NativeHashes.register(corpus.sparkSession)
     val rows = corpus.select(col(id).as("id"), col(vec).as("v"))
-    // empty corpus: nothing to cluster and nothing to label — return the
-    // output schema instead of tripping kmeansFit's non-empty require
-    // (the ivfTopK empty-corpus convention); a daily-slice pipeline may
-    // legitimately hand this operator zero rows
-    if (rows.isEmpty)
-      return SemanticDedupResult(
-        corpus.select(col(id), col(id).as("rep")).limit(0), 0L, 0L)
 
     // 1. Cluster the full corpus (as SemDeDup does — exact duplicates only
     // add weight to their own centroid) and CHECKPOINT the assignment:
     // every later pass (dup probe, collapse, sizing, pair generation)
     // replays stored partitions instead of re-scanning the corpus and
     // re-deriving embeddings.
-    val cents = kmeansFit(rows, "v", k, kmeansIters, idCol = "id")
+    //
+    // Empty corpus: nothing to cluster and nothing to label — return the
+    // output schema (the ivfTopK convention; a daily-slice pipeline may
+    // legitimately hand this operator zero rows). The emptiness probe is
+    // FOLDED into kmeansFit's seeding sample — the first job this operator
+    // runs anyway — instead of a separate `rows.isEmpty` limit-1 job that
+    // would partially evaluate an expensive upstream plan twice on every
+    // non-empty invocation (r16, closing the r15 advice note).
+    val cents =
+      try kmeansFit(rows, "v", k, kmeansIters, idCol = "id")
+      catch {
+        case e: IllegalArgumentException
+            if e.getMessage != null && e.getMessage.contains("empty corpus") =>
+          return SemanticDedupResult(
+            corpus.select(col(id), col(id).as("rep")).limit(0), 0L, 0L)
+      }
     val assigned = assignClusters(rows, cents, "v").localCheckpoint(false)
 
     // 2. Exact pre-collapse, gated to vectors whose cosine is DEFINED:

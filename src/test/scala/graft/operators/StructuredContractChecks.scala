@@ -8,9 +8,11 @@ import scala.collection.mutable
 import scala.util.Random
 
 /** Corpus-shape differential fuzzing for the STRUCTURED operator families —
-  * the four the r13/r14 verdicts flagged as model-unchecked: ANN (LSH/IVF
-  * recall contracts), k-means labels, changelog snapshot, and the temporal
-  * joins. Same architecture as [[TextContractChecks]]: a hostile generator,
+  * the four the r13/r14 verdicts flagged as model-unchecked (ANN LSH/IVF
+  * recall contracts, k-means labels, changelog snapshot, temporal joins)
+  * plus the two the r15 verdict asked for (Z-order bit-interleave/layout,
+  * multimodal decode under hostile payloads).
+  * Same architecture as [[TextContractChecks]]: a hostile generator,
   * an exact in-memory model per contract, one `check*(spark, seed)` entry
   * per family, every failure message carrying the seed.
   *
@@ -389,9 +391,251 @@ object StructuredContractChecks {
         s"seed=$seed li=$li ri=$ri")
   }
 
+  // --- family 5: Z-order (bit-interleave model + layout invariants) --------
+
+  /** Independent Morton model: per-bit interleave loop, nothing shared with
+    * the magic-number spread the operator uses. */
+  private def mZ(a: Long, b: Long): Long = {
+    val la = a & 0xffffL
+    val lb = b & 0xffffL
+    var z = 0L
+    var i = 0
+    while (i < 16) {
+      z |= ((la >> i) & 1L) << (2 * i)
+      z |= ((lb >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
+
+  /** zValue16 vs the per-bit model on hostile keys (negatives, > 16-bit
+    * overflow, boundary values), plus [[Layout.zorderRepartition]]'s layout
+    * invariants: no row lost or duplicated, every partition sorted by the
+    * recomputed z, and partition z-ranges non-overlapping (the property
+    * that makes parquet min/max stats prune BOTH dimensions). */
+  def checkZorder(spark: SparkSession, seed: Long): Unit = {
+    val rnd = new Random(seed)
+    val n = 1 + rnd.nextInt(40)
+    def key(): Long = rnd.nextInt(6) match {
+      case 0 => 0L
+      case 1 => 65535L
+      case 2 => -1L - rnd.nextInt(100000) // negative: low 16 bits via two's complement
+      case 3 => 65536L + rnd.nextInt(1 << 20) // 16-bit overflow: high bits must drop
+      case _ => rnd.nextInt(65536).toLong
+    }
+    val rows = (0 until n).map(i => (i.toLong, key(), key()))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(rows.map(r => Row(r._1, r._2, r._3)): _*),
+      StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("a", LongType, nullable = false),
+        StructField("b", LongType, nullable = false))))
+    val gotZ = df.select(col("id"), Layout.zValue16(col("a"), col("b")).as("z"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (id, a, b) =>
+      check(gotZ(id) == mZ(a, b),
+        s"zValue16($a, $b) = ${gotZ(id)}, model says ${mZ(a, b)} (seed=$seed)")
+    }
+    val nParts = 1 + rnd.nextInt(5)
+    val laid = Layout.zorderRepartition(df, "a", "b", nParts)
+      .withColumn("_z", Layout.zValue16(col("a"), col("b")))
+      .withColumn("_pid", spark_partition_id())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    check(laid.map(t => (t._1, t._2, t._3)).sorted.toSeq == rows.sorted,
+      s"zorderRepartition lost/duplicated rows (seed=$seed): got=${laid.toSeq} want=$rows")
+    // collect() preserves within-partition row order: each partition's z
+    // sequence must be non-decreasing (sortWithinPartitions)
+    val byPid = laid.zipWithIndex.groupBy(_._1._5).view
+      .mapValues(_.sortBy(_._2).map(_._1._4).toSeq).toMap
+    byPid.foreach { case (pid, zs) =>
+      check(zs == zs.sorted,
+        s"partition $pid not z-sorted (seed=$seed): $zs")
+    }
+    // range partitioning: partition z-intervals must not interleave
+    val spans = byPid.toSeq.sortBy(_._1).map { case (pid, zs) => (pid, zs.min, zs.max) }
+    spans.sliding(2).foreach {
+      case Seq((p1, _, max1), (p2, min2, _)) =>
+        check(max1 <= min2,
+          s"partitions $p1/$p2 z-ranges interleave: max($p1)=$max1 > min($p2)=$min2 (seed=$seed)")
+      case _ =>
+    }
+  }
+
+  // --- family 6: multimodal decode (planted codecs + hostile payloads) -----
+
+  /** Independent byte-histogram model (count-then-normalize, vs the
+    * operator's in-place float accumulation — same single float divide). */
+  private def mByteHist(bytes: Array[Byte]): Seq[Float] = {
+    val counts = new Array[Int](Multimodal.FeatureBins)
+    bytes.foreach(b => counts((b & 0xff) / (256 / Multimodal.FeatureBins)) += 1)
+    val total = math.max(bytes.length, 1).toFloat
+    counts.map(_.toFloat / total).toSeq
+  }
+
+  /** Expected luminance histogram from the KNOWN pixel values an image was
+    * built from (PNG is lossless, so the decode must reproduce them). */
+  private def mLumaHist(pixels: Seq[Int]): Seq[Float] = {
+    val counts = new Array[Int](Multimodal.FeatureBins)
+    pixels.foreach { rgb =>
+      val lum = (0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+        0.114 * (rgb & 0xff)).toInt
+      counts(math.min(lum, 255) / (256 / Multimodal.FeatureBins)) += 1
+    }
+    val total = math.max(pixels.length, 1).toFloat
+    counts.map(_.toFloat / total).toSeq
+  }
+
+  private def pngBytes(w: Int, h: Int, pixels: Seq[Int]): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var i = 0
+    for (y <- 0 until h; x <- 0 until w) { img.setRGB(x, y, pixels(i)); i += 1 }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Little-endian PCM WAV builder with a corruptible header. */
+  private def wavBytes(rate: Int, ch: Int, samples: Seq[Short],
+      junkChunk: Boolean = false): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    def w32(v: Long): Unit = (0 until 4).foreach(i => bos.write(((v >> (8 * i)) & 0xff).toInt))
+    def tag(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    tag("RIFF"); w32(36L + samples.length * 2); tag("WAVE")
+    if (junkChunk) { tag("LIST"); w32(3L); bos.write(Array[Byte](1, 2, 3)); bos.write(0) }
+    tag("fmt "); w32(16L)
+    w16(1); w16(ch); w32(rate.toLong); w32(rate.toLong * ch * 2); w16(ch * 2); w16(16)
+    tag("data"); w32(samples.length.toLong * 2)
+    samples.foreach(s => w16(s.toInt))
+    bos.toByteArray
+  }
+
+  /** The operator's RMS fold, from the source samples (same order, same
+    * double ops — bit-equal by construction). */
+  private def mRms(samples: Seq[Short]): Double = {
+    var acc = 0.0
+    samples.foreach { s => val d = s / 32768.0; acc += d * d }
+    if (samples.isEmpty) 0.0 else math.sqrt(acc / samples.length)
+  }
+
+  private val mmSchema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = true)))
+
+  /** decodeFeatures (both codec modes) + wavFeatures against planted
+    * payloads and models: valid PNGs must featurize from their KNOWN
+    * pixels, valid WAVs from their KNOWN samples, and every hostile shape
+    * (NULL payload, empty, garbage, PNG-magic + garbage, truncated PNG,
+    * truncated WAV data, high-bit chunk sizes, non-PCM, 8-bit, zero
+    * channels, data-before-fmt) must fall back — byte histogram / NULL
+    * audio — without killing the task. */
+  def checkMultimodal(spark: SparkSession, seed: Long): Unit = {
+    val rnd = new Random(seed)
+    // (payload, expected features under tryImageCodec=true, expected audio)
+    case class Planted(payload: Array[Byte], feat: Seq[Float],
+      audio: Option[(Int, Int, Int, Double)])
+    val rows = mutable.ArrayBuffer.empty[Planted]
+    val nRows = 4 + rnd.nextInt(8)
+    (0 until nRows).foreach { _ =>
+      rows += (rnd.nextInt(10) match {
+        case 0 => Planted(null, Seq.fill(Multimodal.FeatureBins)(0.0f), None)
+        case 1 => Planted(Array.emptyByteArray, Seq.fill(Multimodal.FeatureBins)(0.0f), None)
+        case 2 =>
+          val g = Array.fill(1 + rnd.nextInt(64))(rnd.nextInt(256).toByte)
+          Planted(g, mByteHist(g), None)
+        case 3 =>
+          // PNG magic + garbage: the reader is selected, then must fail
+          val g = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+            Array.fill(32)(rnd.nextInt(256).toByte)
+          Planted(g, mByteHist(g), None)
+        case 4 =>
+          val (w, h) = (1 + rnd.nextInt(6), 1 + rnd.nextInt(6))
+          val pixels = Seq.fill(w * h)(rnd.nextInt(1 << 24))
+          val full = pngBytes(w, h, pixels)
+          val cut = full.take(20) // truncated inside the IHDR chunk
+          Planted(cut, mByteHist(cut), None)
+        case 5 =>
+          val (w, h) = (1 + rnd.nextInt(8), 1 + rnd.nextInt(8))
+          val pixels = Seq.fill(w * h)(rnd.nextInt(1 << 24))
+          Planted(pngBytes(w, h, pixels), mLumaHist(pixels), None)
+        case 6 =>
+          val rate = 8000 + rnd.nextInt(40000)
+          val ch = 1 + rnd.nextInt(2)
+          val nFr = 1 + rnd.nextInt(50)
+          val samples = Seq.fill(nFr * ch)((rnd.nextInt(65536) - 32768).toShort)
+          Planted(wavBytes(rate, ch, samples, junkChunk = rnd.nextBoolean()),
+            null, Some((rate, ch, nFr, mRms(samples))))
+        case 7 =>
+          // truncated data chunk (declared size still ≤ the buffer): parseWav
+          // clamps to the bytes actually present — partial frames, rms over
+          // exactly the surviving complete samples
+          val samples = Seq.fill(20)((rnd.nextInt(65536) - 32768).toShort)
+          val full = wavBytes(44100, 1, samples)
+          val cut = 1 + rnd.nextInt(10)
+          val trimmed = full.take(full.length - 2 * cut)
+          Planted(trimmed, null,
+            Some((44100, 1, 20 - cut, mRms(samples.take(20 - cut)))))
+        case 8 =>
+          // high-bit chunk size: an unsigned u32 ≥ 2^31 must not wrap
+          // negative (the infinite-loop hazard parseWav documents)
+          val b = wavBytes(44100, 1, Seq.fill(8)(0.toShort))
+          val idx = b.indexOfSlice("data".getBytes("US-ASCII"))
+          b(idx + 7) = 0x80.toByte
+          Planted(b, mByteHist(b), None)
+        case _ =>
+          // corrupted fmt: non-PCM format code, or zero channels → None
+          val b = wavBytes(44100, 1, Seq.fill(8)(1000.toShort))
+          val idx = b.indexOfSlice("fmt ".getBytes("US-ASCII"))
+          if (rnd.nextBoolean()) b(idx + 8) = 3 else b(idx + 10) = 0
+          Planted(b, mByteHist(b), None)
+      })
+    }
+    // expected byte-hist features for WAV payloads under the image codec
+    // (a WAV is not an image — decodeFeatures must fall back on it)
+    val withFeat = rows.map(p =>
+      if (p.feat != null) p
+      else p.copy(feat = mByteHist(p.payload)))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(withFeat.zipWithIndex.map { case (p, i) =>
+        Row(i.toLong, p.payload) }.toSeq: _*), mmSchema)
+      .repartition(1 + rnd.nextInt(4))
+    // decodeFeatures, image codec ON: planted PNGs take the luminance path,
+    // everything else the byte-histogram fallback
+    val gotFeat = Multimodal.decodeFeatures(df, tryImageCodec = true)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    withFeat.zipWithIndex.foreach { case (p, i) =>
+      check(gotFeat(i.toLong) == p.feat,
+        s"decodeFeatures(codec) row $i: got=${gotFeat(i.toLong)} want=${p.feat} (seed=$seed)")
+    }
+    // codec OFF: EVERY payload is a byte histogram, including valid PNGs
+    val gotRaw = Multimodal.decodeFeatures(df, tryImageCodec = false)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    withFeat.zipWithIndex.foreach { case (p, i) =>
+      val want = mByteHist(if (p.payload == null) Array.emptyByteArray else p.payload)
+      check(gotRaw(i.toLong) == want,
+        s"decodeFeatures(raw) row $i: got=${gotRaw(i.toLong)} want=$want (seed=$seed)")
+    }
+    // wavFeatures: planted WAVs yield their KNOWN (rate, ch, frames, rms),
+    // every hostile shape yields NULL audio
+    val gotWav = Multimodal.wavFeatures(df)
+      .collect().map { r =>
+        r.getLong(0) -> (if (r.isNullAt(2)) None else {
+          val s = r.getStruct(2)
+          Some((s.getInt(0), s.getInt(1), s.getInt(2), s.getDouble(4)))
+        })
+      }.toMap
+    withFeat.zipWithIndex.foreach { case (p, i) =>
+      check(gotWav(i.toLong) == p.audio,
+        s"wavFeatures row $i: got=${gotWav(i.toLong)} want=${p.audio} (seed=$seed)")
+    }
+  }
+
   val families: Seq[(String, (SparkSession, Long) => Unit)] = Seq(
     "ann" -> checkAnn _,
     "kmeans" -> checkKmeans _,
     "changelog" -> checkChangelog _,
-    "temporal" -> checkTemporal _)
+    "temporal" -> checkTemporal _,
+    "zorder" -> checkZorder _,
+    "multimodal" -> checkMultimodal _)
 }

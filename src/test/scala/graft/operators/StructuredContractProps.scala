@@ -4,9 +4,10 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 
-/** CI seed ranges for [[StructuredContractChecks]] — the four structured
-  * families (ANN, k-means labels, changelog, temporal joins) that the text
-  * fuzzer's corpora don't reach: 400 fresh random corpora per run. The
+/** CI seed ranges for [[StructuredContractChecks]] — the six structured
+  * families (ANN, k-means labels, changelog, temporal joins, Z-order,
+  * multimodal decode) that the text fuzzer's corpora don't reach: 720
+  * fresh random corpora per run. The
   * generator + models live in the checks object; [[TextFuzz]]-style offline
   * sweeps can drive arbitrary ranges via the families map. */
 class StructuredContractProps extends AnyFunSuite with BeforeAndAfterAll {
@@ -37,5 +38,13 @@ class StructuredContractProps extends AnyFunSuite with BeforeAndAfterAll {
 
   test("asofBackward (both physical paths) + rangeOverlapJoin match two-pointer/pair models") {
     for (seed <- 3400L until 3540L) checkTemporal(spark, seed)
+  }
+
+  test("Z-order: zValue16 matches the per-bit interleave model; layout is lossless, sorted, range-disjoint") {
+    for (seed <- 3600L until 3760L) checkZorder(spark, seed)
+  }
+
+  test("multimodal decode: planted PNG/WAV payloads featurize from their known pixels/samples; every hostile payload falls back, none kills the task") {
+    for (seed <- 3800L until 3960L) checkMultimodal(spark, seed)
   }
 }
