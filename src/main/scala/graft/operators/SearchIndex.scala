@@ -168,23 +168,33 @@ object SearchIndex {
     *     decontamination-triage size (≤100k prompts).
     *   - above it (a 10M-prompt sweep): the same three frames stay
     *     DISTRIBUTED — the vocabulary prune and the scoring join become
-    *     shuffle-hash equi-joins on `term`, and idf is computed per-term by
-    *     the native [[graft.functions.NativeHashes.Bm25Idf]] expression
+    *     SALTED shuffle-hash equi-joins on (`term`, salt), and idf is
+    *     computed per-term by the native
+    *     [[graft.functions.NativeHashes.Bm25Idf]] expression
     *     (StrictMath.log, same operation order) instead of a driver
     *     collect+fold, so no driver materialization grows with the query
-    *     table and `spark.driver.maxResultSize` is never in play. Results
-    *     are bit-equal to the broadcast regime (spec-pinned). Cost, stated
-    *     honestly: the corpus token stream's one shuffle is no longer
-    *     broadcast-pruned map-side (non-query tokens now reach the
-    *     exchange — when the query vocabulary is millions of terms, the
-    *     prune was buying little anyway), plus two `term`-keyed exchanges
-    *     of query-derived frames. */
+    *     table and `spark.driver.maxResultSize` is never in play. The salt
+    *     (row-side hash mod `fallbackSaltBuckets`; query-derived side
+    *     exploded ×buckets) exists because a bare-`term` join key
+    *     concentrates a stopword's postings on ONE task — measured in
+    *     SearchVolume shape 4: df=500k ⇒ a 1.16M-row worst task unsalted
+    *     vs 273k salted (the balanced per-partition stream share; the hot
+    *     term itself contributes df/buckets) — the hot-key failure the
+    *     broadcast regime never sees because its join never exchanges the
+    *     stream. Results are
+    *     bit-equal to the broadcast regime (spec-pinned). Cost, stated
+    *     honestly: the corpus token stream's shuffle is no longer
+    *     broadcast-pruned map-side and the tf aggregate re-shuffles its
+    *     output (two corpus-derived exchanges instead of one), plus
+    *     ×buckets replication of the query-derived join sides. */
   def bm25BatchTopK(
       docs: DataFrame, id: Column, text: Column,
       queries: DataFrame, queryId: Column, queryText: Column,
       k: Int, k1: Double = 1.2, b: Double = 0.75,
-      broadcastQueryTermMax: Long = 1000000L): DataFrame = {
+      broadcastQueryTermMax: Long = 1000000L,
+      fallbackSaltBuckets: Int = 32): DataFrame = {
     require(k > 0, "bm25BatchTopK needs k > 0")
+    require(fallbackSaltBuckets > 0, "bm25BatchTopK needs fallbackSaltBuckets > 0")
     val base = docs
       .select(id.as("doc_id"), TextOps.tokens(text).as("toks"))
       .select(col("doc_id"), col("toks"), size(col("toks")).cast("double").as("dl"))
@@ -218,12 +228,24 @@ object SearchIndex {
     val avgdl = statsRow.getDouble(1) / n
     val qvocab = qterms.select(col("term")).distinct()
     val stream = base.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-    // large-query fallback joins carry an explicit shuffle-hash hint: the
-    // query-derived side is the build side (bounded by the query table,
-    // no sort), and the hint keeps auto-broadcast from re-introducing the
-    // very materialization the gate rejected
-    val cand = stream.join(
-        if (smallQuery) broadcast(qvocab) else qvocab.hint("shuffle_hash"), Seq("term"))
+    // Large-query fallback joins: shuffle-hash (the query-derived side is
+    // the build side — bounded, no sort; the hint also keeps auto-broadcast
+    // from re-introducing the very materialization the gate rejected) AND
+    // salted — a bare-`term` key ships every posting of a stopword to one
+    // task (SearchVolume shape 4 measured 1.16M rows on one task at
+    // df=500k). The row side salts by its own id hash; the query-derived
+    // side explodes ×buckets, so each hot term spreads over
+    // `fallbackSaltBuckets` tasks at ×buckets replication of the SMALL side
+    // only.
+    val salts = array((0 until fallbackSaltBuckets).map(lit): _*)
+    def salted(rowSide: DataFrame, saltKey: Column, querySide: DataFrame): DataFrame =
+      rowSide.withColumn("__salt", pmod(xxhash64(saltKey), lit(fallbackSaltBuckets)))
+        .join(querySide.withColumn("__salt", explode(salts)).hint("shuffle_hash"),
+          Seq("term", "__salt"))
+        .drop("__salt")
+    val cand = (
+        if (smallQuery) stream.join(broadcast(qvocab), Seq("term"))
+        else salted(stream, col("doc_id"), qvocab))
       .groupBy(col("term"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).cast("double").as("tf"))
       // reused twice (df aggregate + scoring join): materialize once, and
@@ -251,10 +273,14 @@ object SearchIndex {
         dfFrame.select(col("term"), call_function("bm25_idf", col("df"), lit(n)).as("idf"))
       }
     val norm = lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl))
-    val scoringRhs = qterms.join(
-      if (smallQuery) broadcast(idfDf) else idfDf.hint("shuffle_hash"), Seq("term"))
-    val contrib = cand
-      .join(if (smallQuery) broadcast(scoringRhs) else scoringRhs.hint("shuffle_hash"), Seq("term"))
+    // the idf attach: qterms is the row side (a stopword can appear in
+    // every query), idfDf the exploded side (one row per term)
+    val scoringRhs =
+      if (smallQuery) qterms.join(broadcast(idfDf), Seq("term"))
+      else salted(qterms, col("query_id"), idfDf)
+    val contrib = (
+        if (smallQuery) cand.join(broadcast(scoringRhs), Seq("term"))
+        else salted(cand, col("doc_id"), scoringRhs))
       .select(col("query_id"), col("doc_id"),
         struct(col("term"),
           (col("idf") * (col("tf") * lit(k1 + 1.0)) / (col("tf") + norm)).as("w")).as("tw"))
