@@ -197,6 +197,11 @@ object Aggregates {
       "q_percentile",
       // Exact interpolated percentile (Spark `percentile` ≡ DuckDB
       // `quantile_cont`), rounded to absorb float division differences.
+      // Memory shape: exact `percentile` buffers an in-memory value map PER
+      // GROUP — fine here (3 groups × ≤100k distinct values) and required
+      // for oracle exactness, but past ~10M distinct values per group switch
+      // to approx_percentile (q_approx_percentile's plan) — see SCALE.md
+      // "Exact percentile".
       (s, dir) => {
         t(s, dir, "lineitem")
           .groupBy(col("l_returnflag"))

@@ -72,8 +72,11 @@ object CurationQueries {
       // one exact-percentile aggregate and ride into the filter as a
       // broadcast nested-loop join of a single row — no per-row shuffle, and
       // at 100 TB the thresholds would come from approx_percentile with the
-      // same plan shape. Both engines interpolate percentiles as
-      // (n-1)*p linear interpolation, so the band edges agree exactly.
+      // same plan shape (exact percentile buffers all distinct values of the
+      // single global group on one task — the concrete switch-over threshold
+      // is in SCALE.md "Exact percentile"). Both engines interpolate
+      // percentiles as (n-1)*p linear interpolation, so the band edges
+      // agree exactly.
       (s, dir) => {
         val docs = t(s, dir, "documents")
         val bounds = docs.agg(
