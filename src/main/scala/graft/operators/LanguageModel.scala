@@ -244,7 +244,7 @@ object LanguageModel {
           Some(wf.collect())
         else None
       } else None
-    lastTrainHost = if (collected.isDefined) "driver" else "distributed"
+    trainHostProbe.set(if (collected.isDefined) "driver" else "distributed")
     if (collected.isDefined)
       return bpeTrainMergesDriver(
         spark, collected.get.map(r => (r.getString(0), r.getLong(1))), numMerges)
@@ -284,12 +284,16 @@ object LanguageModel {
   }
 
   /** Test/diagnostic probe: which host ("driver" | "distributed") the last
-    * [[bpeTrainMerges]] call on this JVM routed to. Written only at the
+    * [[bpeTrainMerges]] call ON THIS THREAD routed to. Written only at the
     * admission decision; never read by the operator itself. The gate spec
     * asserts on THIS instead of inferring the host from persistent-RDD
     * census deltas, which were brittle against unrelated caching changes
-    * and ContextCleaner races (r15 advice). */
-  @volatile private[operators] var lastTrainHost: String = _
+    * and ContextCleaner races (r15 advice). Thread-local, not JVM-global
+    * (r16 review): concurrent trainings — parallel suites, two sessions in
+    * one JVM — each observe their own call's decision, never a racing
+    * write from the other. */
+  private val trainHostProbe = new ThreadLocal[String]
+  private[operators] def lastTrainHost: String = trainHostProbe.get
 
   /** Estimated driver-loop footprint per vocabulary CHARACTER: each code
     * point becomes a 1–2-char String in a per-word unit array (~56 B object

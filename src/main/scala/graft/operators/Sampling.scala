@@ -134,17 +134,7 @@ object Sampling {
     // match a key of targetWeights (Map[String, _] holds no null), so its
     // rows fall to threshold 0 and are dropped — same rule as any unlisted
     // stratum.
-    // the collect is structurally capped at |targetWeights| rows (r16): only
-    // listed strata are ever read from `totals` (unlisted ones fall to
-    // threshold 0 regardless), so the filter rides the scan BEFORE the
-    // aggregate — a hostile per-row-unique stratum column now prunes
-    // map-side instead of shuffling corpus-many groups into a corpus-sized
-    // driver collect. NULL strata can never match a Map[String, _] key and
-    // are pruned with the rest.
-    val totals = df
-      .filter(stratum.cast("string").isInCollection(ordered.map(_._1)))
-      .groupBy(stratum.cast("string").as("_s"))
-      .agg(round(sum(mass)).cast("long").as("_t"))
+    val totals = strataTotalsFrame(df, stratum, mass, ordered.map(_._1))
       .collect()
       .map(r => r.getString(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
       .toMap
@@ -158,6 +148,20 @@ object Sampling {
     }
     MixtureResult(df.filter(hashBucket65536(key) < thr), plan)
   }
+
+  /** The per-stratum totals aggregate `mixtureSample` collects — exposed
+    * (package-private) so the spec can pin its boundedness directly. The
+    * listed-strata filter sits BELOW the aggregate, so the driver collect
+    * is structurally capped at |targetWeights| rows (r16): a hostile
+    * per-row-unique stratum column prunes map-side instead of shuffling
+    * corpus-many groups into a corpus-sized collect. Unlisted strata fall
+    * to threshold 0 regardless, and a NULL stratum can never match a
+    * `Map[String, _]` key, so pre-filtering changes nothing downstream. */
+  private[operators] def strataTotalsFrame(
+      df: DataFrame, stratum: Column, mass: Column, listed: Seq[String]): DataFrame =
+    df.filter(stratum.cast("string").isInCollection(listed))
+      .groupBy(stratum.cast("string").as("_s"))
+      .agg(round(sum(mass)).cast("long").as("_t"))
 
   /** Leakage-safe train/val/test split: a naive per-row hash split puts two
     * copies of the same document on opposite sides of the split — the

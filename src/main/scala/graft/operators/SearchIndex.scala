@@ -167,14 +167,18 @@ object SearchIndex {
     *     ship to every task, df rows collect to the driver. The designed
     *     decontamination-triage size (≤100k prompts).
     *   - above it (a 10M-prompt sweep): the same three frames stay
-    *     DISTRIBUTED — the vocabulary prune and the scoring join become
-    *     SALTED shuffle-hash equi-joins on (`term`, salt), and idf is
-    *     computed per-term by the native
+    *     DISTRIBUTED — the vocabulary prune and idf attach become SALTED
+    *     shuffle-hash equi-joins on (`term`, salt) whose build sides hold
+    *     exactly one row per key, the scoring join is a SALTED sort-merge
+    *     join (its per-key query-side group is unbounded — a stopword can
+    *     appear in millions of prompts — and SMJ buffers the current key
+    *     group spillably where a shuffle-hash build would be
+    *     memory-resident), and idf is computed per-term by the native
     *     [[graft.functions.NativeHashes.Bm25Idf]] expression
     *     (StrictMath.log, same operation order) instead of a driver
     *     collect+fold, so no driver materialization grows with the query
     *     table and `spark.driver.maxResultSize` is never in play. The salt
-    *     (row-side hash mod `fallbackSaltBuckets`; query-derived side
+    *     (corpus-side hash mod `fallbackSaltBuckets`; query-derived side
     *     exploded ×buckets) exists because a bare-`term` join key
     *     concentrates a stopword's postings on ONE task — measured in
     *     SearchVolume shape 4: df=500k ⇒ a 1.16M-row worst task unsalted
@@ -228,24 +232,24 @@ object SearchIndex {
     val avgdl = statsRow.getDouble(1) / n
     val qvocab = qterms.select(col("term")).distinct()
     val stream = base.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-    // Large-query fallback joins: shuffle-hash (the query-derived side is
-    // the build side — bounded, no sort; the hint also keeps auto-broadcast
-    // from re-introducing the very materialization the gate rejected) AND
-    // salted — a bare-`term` key ships every posting of a stopword to one
-    // task (SearchVolume shape 4 measured 1.16M rows on one task at
-    // df=500k). The row side salts by its own id hash; the query-derived
-    // side explodes ×buckets, so each hot term spreads over
-    // `fallbackSaltBuckets` tasks at ×buckets replication of the SMALL side
-    // only.
+    // Large-query fallback joins are SALTED: a bare-`term` key ships every
+    // posting of a stopword to one task (SearchVolume shape 4 measured a
+    // 1.16M-row worst task at df=500k). The corpus-derived side salts by
+    // its own doc id hash; the query-derived side explodes ×buckets, so
+    // each hot term spreads over `fallbackSaltBuckets` tasks at ×buckets
+    // replication of the SMALL side only. The vocab prune below is
+    // shuffle-hash (build side = exploded DISTINCT terms — exactly one row
+    // per (term, salt) key, structurally bounded; the hint also keeps
+    // auto-broadcast from re-introducing the very materialization the gate
+    // rejected); the scoring join further down is sort-merge — see there.
     val salts = array((0 until fallbackSaltBuckets).map(lit): _*)
-    def salted(rowSide: DataFrame, saltKey: Column, querySide: DataFrame): DataFrame =
-      rowSide.withColumn("__salt", pmod(xxhash64(saltKey), lit(fallbackSaltBuckets)))
-        .join(querySide.withColumn("__salt", explode(salts)).hint("shuffle_hash"),
-          Seq("term", "__salt"))
-        .drop("__salt")
     val cand = (
         if (smallQuery) stream.join(broadcast(qvocab), Seq("term"))
-        else salted(stream, col("doc_id"), qvocab))
+        else stream
+          .withColumn("__salt", pmod(xxhash64(col("doc_id")), lit(fallbackSaltBuckets)))
+          .join(qvocab.withColumn("__salt", explode(salts)).hint("shuffle_hash"),
+            Seq("term", "__salt"))
+          .drop("__salt"))
       .groupBy(col("term"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).cast("double").as("tf"))
       // reused twice (df aggregate + scoring join): materialize once, and
@@ -273,14 +277,35 @@ object SearchIndex {
         dfFrame.select(col("term"), call_function("bm25_idf", col("df"), lit(n)).as("idf"))
       }
     val norm = lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl))
-    // the idf attach: qterms is the row side (a stopword can appear in
-    // every query), idfDf the exploded side (one row per term)
-    val scoringRhs =
-      if (smallQuery) qterms.join(broadcast(idfDf), Seq("term"))
-      else salted(qterms, col("query_id"), idfDf)
-    val contrib = (
-        if (smallQuery) cand.join(broadcast(scoringRhs), Seq("term"))
-        else salted(cand, col("doc_id"), scoringRhs))
+    val joined =
+      if (smallQuery)
+        cand.join(broadcast(qterms.join(broadcast(idfDf), Seq("term"))), Seq("term"))
+      else
+        // Fallback scoring: salt `cand` ONCE by doc_id and run BOTH
+        // query-side joins on (term, __salt) — the idf join's output keeps
+        // cand's hashpartitioning, so the scoring join reuses that single
+        // exchange, and qterms crosses the network exactly once (exploded
+        // ×buckets), not once to attach idf plus once more to score.
+        // Join strategy per build shape (r16 review):
+        //   - idf attach: shuffle-hash — the build side holds EXACTLY ONE
+        //     row per (term, salt) key (idfDf is one row per term), so the
+        //     memory-resident HashedRelation is structurally bounded.
+        //   - scoring join: sort-merge, NOT shuffle-hash — its right side
+        //     per (term, salt) key is every query containing the term,
+        //     which for a stopword in a 10M-prompt sweep is millions of
+        //     rows; a ShuffledHashJoin build is memory-resident and
+        //     non-spilling (executor OOM, the very failure this regime
+        //     exists to avoid), while SortMergeJoin buffers the current
+        //     key group in a spillable array. Same exchange count, and
+        //     both sorts spill.
+        cand
+          .withColumn("__salt", pmod(xxhash64(col("doc_id")), lit(fallbackSaltBuckets)))
+          .join(idfDf.withColumn("__salt", explode(salts)).hint("shuffle_hash"),
+            Seq("term", "__salt"))
+          .join(qterms.withColumn("__salt", explode(salts)).hint("merge"),
+            Seq("term", "__salt"))
+          .drop("__salt")
+    val contrib = joined
       .select(col("query_id"), col("doc_id"),
         struct(col("term"),
           (col("idf") * (col("tf") * lit(k1 + 1.0)) / (col("tf") + norm)).as("w")).as("tw"))

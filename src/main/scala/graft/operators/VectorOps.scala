@@ -19,6 +19,15 @@ import org.apache.spark.sql.functions._
   *     matching buckets — the 100 TB pattern where a full scan per query is
   *     unaffordable.
   */
+/** Typed empty-corpus signal from [[VectorOps.kmeansFit]]'s seeding sample,
+  * so callers folding their emptiness probe into the fit (semanticDedup)
+  * catch a TYPE instead of string-matching a require() message — rewording
+  * the message can't silently break the empty-slice convention, and an
+  * unrelated IllegalArgumentException can't masquerade as "empty" (r16
+  * review). Extends IllegalArgumentException to keep external catch
+  * behavior unchanged. */
+final class EmptyCorpusException(msg: String) extends IllegalArgumentException(msg)
+
 object VectorOps extends org.apache.spark.internal.Logging {
 
   /** Dot product in double precision, sequential fold (generic: any numeric
@@ -239,7 +248,7 @@ object VectorOps extends org.apache.spark.internal.Logging {
       .orderBy(xxhash64(col(idCol)), col(idCol)).limit(sampleN)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    require(sample.nonEmpty, "kmeansFit on an empty corpus")
+    if (sample.isEmpty) throw new EmptyCorpusException("kmeansFit on an empty corpus")
     // seed from the driver-side sample (1 Lloyd round), then refine with
     // distributed rounds over the FULL corpus
     var cents: Array[Seq[Float]] =
@@ -403,8 +412,7 @@ object VectorOps extends org.apache.spark.internal.Logging {
     val cents =
       try kmeansFit(rows, "v", k, kmeansIters, idCol = "id")
       catch {
-        case e: IllegalArgumentException
-            if e.getMessage != null && e.getMessage.contains("empty corpus") =>
+        case _: EmptyCorpusException =>
           return SemanticDedupResult(
             corpus.select(col(id), col(id).as("rep")).limit(0), 0L, 0L)
       }

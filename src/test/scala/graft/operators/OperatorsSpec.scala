@@ -1266,11 +1266,23 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       targetWeights = Map("a" -> 0.5, "b" -> 0.5), budget = 20L)
     assert(res.plan.map(p => (p.stratum, p.total)) == Seq(("a", 150L), ("b", 150L)),
       s"hostile strata leaked into the plan: ${res.plan}")
-    // the aggregate's input must be filtered to the listed strata — visible
-    // as a pushed Filter under the partial aggregate, keeping a hostile
-    // stratum column from shuffling corpus-many groups
     val kept = res.sampled.select("s").distinct().collect().map(_.getString(0)).toSet
     assert(kept.subsetOf(Set("a", "b")), s"unlisted hostile strata must drop: $kept")
+    // pin the boundedness DIRECTLY (r16 review: the assertions above pass
+    // even without the fix — plan only reads listed strata, and unlisted
+    // rows fall to threshold 0): the totals frame the operator collects
+    // must (a) return |targetWeights| rows, not corpus-many, and (b) carry
+    // the listed-strata Filter BELOW its Aggregate so hostile strata prune
+    // before the shuffle
+    val totalsFrame = Sampling.strataTotalsFrame(df, col("s"), col("m"), Seq("a", "b"))
+    assert(totalsFrame.collect().length == 2,
+      "the driver collect must be capped at |targetWeights| rows")
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter}
+    val agg = totalsFrame.queryExecution.optimizedPlan
+      .collectFirst { case a: Aggregate => a }
+      .getOrElse(fail("totals frame lost its Aggregate"))
+    assert(agg.child.collectFirst { case f: Filter => f }.isDefined,
+      s"the listed-strata filter must sit below the aggregate:\n${totalsFrame.queryExecution.optimizedPlan}")
   }
 
   test("BPE training: merge sequence on the Sennrich-style corpus is exact") {
@@ -1667,8 +1679,15 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val physical = fb.queryExecution.executedPlan.toString
     assert(!physical.contains("BroadcastExchange"),
       s"fallback regime still broadcasts:\n$physical")
+    // the bounded-build joins (vocab prune, idf attach: one build row per
+    // (term, salt) key) stay shuffle-hash; the scoring join — whose per-key
+    // query-side group is unbounded (a stopword can appear in every query)
+    // — must be sort-merge so the key group buffers spillably instead of
+    // as a memory-resident HashedRelation (r16 review finding)
     assert(physical.contains("ShuffledHashJoin"),
-      s"fallback regime lost its shuffle-hash term joins:\n$physical")
+      s"fallback regime lost its bounded-build shuffle-hash joins:\n$physical")
+    assert(physical.contains("SortMergeJoin"),
+      s"fallback scoring join must be a spillable sort-merge join:\n$physical")
   }
 
   test("bm25BatchTopK: duplicate corpus ids merge per the documented tf-sum semantics") {

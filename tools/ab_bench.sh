@@ -19,10 +19,16 @@ for p in java.base/java.lang java.base/java.lang.invoke java.base/java.lang.refl
 done
 cd "$TREE"
 TMP=$(mktemp)
+trap 'rm -f "$TMP"' EXIT
 SPARK_GRAFT_SF_DIR="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}" \
 java $ADDOPENS -Xmx"${SPARK_DRIVER_MEM:-8g}" \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" graft.Bench \
   2> "$TMP" > /dev/null
+# a run that produced no total_full line must FAIL, not silently append
+# nothing — the A/B comparison would otherwise count a no-op run as done
+if ! grep -q '"metric":"total_full"' "$TMP"; then
+  echo "ab_bench.sh: no total_full line from $TREE (bench crashed or renamed the metric)" >&2
+  exit 1
+fi
 grep '"metric":"total_full"' "$TMP" | sed "s#^#{\"tree\":\"$TREE\",\"line\":#; s#\$#}#" >> "$OUT"
-rm -f "$TMP"
