@@ -36,20 +36,27 @@ object Dedup extends org.apache.spark.internal.Logging {
   def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
     call_function("minhash_signature", shinglesCol, lit(numHashes))
 
-  /** Banded LSH buckets: split the signature into `bands` equal bands and
-    * hash each band's content. Returns one row per (id, band) with a bucket
-    * id; docs sharing any bucket are near-dup candidates. */
+  /** Banded LSH buckets: split the signature into `bands` bands (band b =
+    * signature positions p ≡ b mod bands, in position order) and hash each
+    * band's content. Returns one row per (id, band) with a bucket id; docs
+    * sharing any bucket are near-dup candidates.
+    *
+    * Computed entirely MAP-SIDE (r16 review): `sig` is already an ordered
+    * array, so each band's hash is an element_at walk over the positions —
+    * the fuzzyContaminationPairsFromShingles idiom. The previous
+    * formulation posexploded the signature (numHashes rows per doc) and
+    * reassembled bands with a groupBy + sort_array(collect_list) — an
+    * entire avoidable corpus-scale shuffle. Bucket values are BIT-IDENTICAL
+    * to that formulation (same positions, same order, same concat/hash),
+    * so every pinned recall fact carries over unchanged. */
   def lshBuckets(df: DataFrame, id: Column, sig: Column, bands: Int): DataFrame = {
-    val rows = posexplode(sig)
-    // The band hash must not depend on physical row order: collect_list gives
-    // no ordering contract after a shuffle, so collect (pos, h) structs and
-    // sort by position before hashing — layout-independent bucket ids.
-    df.select(id.as("id"), rows.as(Seq("pos", "h")))
-      .withColumn("band", col("pos") % bands)
-      .groupBy(col("id"), col("band"))
-      .agg(xxhash64(concat_ws(",",
-        transform(sort_array(collect_list(struct(col("pos"), col("h")))),
-          s => s.getField("h").cast("string")))).as("bucket"))
+    val bandArr = when(size(sig) > 0,
+      transform(sequence(lit(0), least(lit(bands), size(sig)) - 1), b =>
+        xxhash64(concat_ws(",",
+          transform(sequence(b, size(sig) - 1, lit(bands)),
+            p => element_at(sig, p + 1).cast("string"))))))
+      .otherwise(array().cast("array<bigint>"))
+    df.select(id.as("id"), posexplode(bandArr).as(Seq("band", "bucket")))
   }
 
   /** Candidate pairs from LSH buckets: self-equi-join on (band, bucket).
@@ -60,8 +67,11 @@ object Dedup extends org.apache.spark.internal.Logging {
     * near-constant docs) floods the candidate set. Standard LSH-at-scale
     * practice — a duplicate pair colliding in one hot band usually also
     * collides in a cooler one. */
-  def lshCandidatePairs(buckets: DataFrame, maxBucketSize: Int = 100): DataFrame = {
-    val capped = capBuckets(buckets, Seq("band", "bucket"), maxBucketSize)
+  def lshCandidatePairs(
+      buckets: DataFrame, maxBucketSize: Int = 100,
+      checkpointInput: Boolean = true): DataFrame = {
+    val capped = capBuckets(buckets, Seq("band", "bucket"), maxBucketSize,
+      checkpointInput = checkpointInput)
     val l = capped.select(col("band"), col("bucket"), col("id").as("id1"))
     val r = capped.select(col("band"), col("bucket"), col("id").as("id2"))
     l.join(r, Seq("band", "bucket"))
@@ -101,10 +111,14 @@ object Dedup extends org.apache.spark.internal.Logging {
     * genuinely hot bucket is still dropped.
     *
     * Null keys: both paths treat a NULL bucket key as a key like any other
-    * (the anti-join compares null-safely, the bloom hashes the null
-    * marker), matching the groupBy that counted it — an over-cap null
-    * group is dropped just like a hot non-null one. All in-repo callers
-    * derive non-null keys anyway.
+    * (the anti-join compares null-safely; the bloom hash folds an explicit
+    * is-null marker per key column), matching the groupBy that counted it —
+    * an over-cap null group is dropped just like a hot non-null one. The
+    * markers matter for MULTI-column keys (r16 review): Spark's xxhash64
+    * SKIPS null children, so without them `(x, NULL)` and `(NULL, x)`
+    * hash identically and a hot `(x, NULL)` would deterministically drop
+    * every `(NULL, x)` row — a guaranteed collision, not an fpp-rate
+    * event. All in-repo callers derive non-null keys anyway.
     *
     * `checkpointInput = false` skips the internal materialization — for
     * callers whose input is a cheap derivation (e.g. an explode) of an
@@ -143,7 +157,9 @@ object Dedup extends org.apache.spark.internal.Logging {
       logWarning(
         s"capBuckets: >$maxBroadcastKeys over-cap keys — using bloom fallback " +
           "(hash-dependent recall thinning; out of oracle scope)")
-      val keyHash = xxhash64(keys.map(col): _*)
+      // per-column is-null markers disambiguate which columns were null
+      // (xxhash64 skips null children — see the null-keys doc above)
+      val keyHash = xxhash64((keys.map(col) ++ keys.map(k => col(k).isNull)): _*)
       val bytes = BloomJoin.keyBloom(hot.select(keyHash.as("k")), "k", bloomFpp)
       graft.functions.NativeHashes.register(in.sparkSession)
       in.filter(!call_function("bloom_might_contain", keyHash, lit(bytes)))
@@ -215,16 +231,18 @@ object Dedup extends org.apache.spark.internal.Logging {
       df: DataFrame, id: Column, text: Column,
       maxDist: Int = 6, maxBucketSize: Int = 100): DataFrame = {
     graft.functions.NativeHashes.register(df.sparkSession)
+    // checkpoint the signature frame (r16 review): it feeds the pigeonhole
+    // explode AND both verify-join sides — without materialization the
+    // simhash+tokenize subtree re-ran 2-3× over the full corpus, the exact
+    // cost shape the doc above promises to avoid. The explode re-derives
+    // map-side from stored rows (checkpointInput = false below).
     val sigs = df.select(id.as("id"), simhashChunks(TextOps.tokens(text)).as("sig"))
-    val exploded = sigs.select(col("id"),
-      posexplode(col("sig")).as(Seq("chunk_idx", "chunk_val")))
-    val capped = capBuckets(exploded, Seq("chunk_idx", "chunk_val"), maxBucketSize)
-    val l = capped.select(col("chunk_idx"), col("chunk_val"), col("id").as("id1"))
-    val r = capped.select(col("chunk_idx"), col("chunk_val"), col("id").as("id2"))
-    val candidates = l.join(r, Seq("chunk_idx", "chunk_val"))
-      .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"))
-      .distinct()
+      .localCheckpoint(false)
+    // chunk pigeonhole = banded LSH with (band, bucket) = (chunk index,
+    // chunk value): same cap + self-join + distinct pair generation
+    val candidates = lshCandidatePairs(
+      sigs.select(col("id"), posexplode(col("sig")).as(Seq("band", "bucket"))),
+      maxBucketSize, checkpointInput = false)
     candidates
       .join(sigs.select(col("id").as("id1"), col("sig").as("sig1")), "id1")
       .join(sigs.select(col("id").as("id2"), col("sig").as("sig2")), "id2")
@@ -267,21 +285,10 @@ object Dedup extends org.apache.spark.internal.Logging {
       driverEdgeMax: Long = 1000000L): DataFrame = {
     import org.apache.spark.sql.types._
     val integral: Set[DataType] = Set(ByteType, ShortType, IntegerType, LongType)
-    val probing = driverEdgeMax > 0 && driverEdgeMax < Int.MaxValue - 1 &&
-      integral.contains(ids.schema("id").dataType) &&
-      integral.contains(pairs.schema("id1").dataType) &&
-      integral.contains(pairs.schema("id2").dataType)
-    // lazy checkpoint BEFORE the probe (the bpeTrainMerges idiom): pair
-    // GENERATION (LSH joins, distincts) is the expensive plan here, and on
-    // a probe miss the distributed loop must read the materialized pairs,
-    // not re-run that plan from scratch
-    val pairsCk = if (probing) pairs.localCheckpoint(false) else pairs
-    if (probing) {
-      val probe = pairsCk
-        .select(col("id1").cast("long").as("u"), col("id2").cast("long").as("v"))
-        .limit(driverEdgeMax.toInt + 1).collect()
-      if (probe.length <= driverEdgeMax)
-        return ccMinDriver(ids, probe)
+    val (pairsCk, fits) = ccDriverProbe(ids, pairs, driverEdgeMax, integral.contains)
+    fits match {
+      case Some(edgeRows) => return ccMinDriver(ids, edgeRows)
+      case None =>
     }
     val edges = pairsCk.select(col("id1").as("a"), col("id2").as("b"))
       .unionAll(pairsCk.select(col("id2").as("a"), col("id1").as("b")))
@@ -317,6 +324,37 @@ object Dedup extends org.apache.spark.internal.Logging {
       throw new IllegalStateException(
         s"connectedComponentsMin did not converge within $maxIter iterations")
     labels
+  }
+
+  /** Shared driver fast-path gate for both CC variants (extracted r16 — the
+    * probe-bound arithmetic is subtle enough that two hand-kept copies were
+    * a drift hazard): LAZILY checkpoint the pair frame, then, when the id
+    * type passes `idOk`, the pair endpoint types are integral, and the cap
+    * is probe-able, collect at most driverEdgeMax+1 edges — `Some(edges)`
+    * means the driver host fits.
+    *
+    * The checkpoint is unconditional (r16 review): pair GENERATION (LSH
+    * joins, distincts) is the expensive plan here, and EVERY downstream
+    * host reads it at least twice — the probe-miss distributed loop, but
+    * also the never-probing routes (string ids; `driverEdgeMax = 0`),
+    * which previously re-ran the whole candidate pipeline once per
+    * edges-union leg. */
+  private def ccDriverProbe(
+      ids: DataFrame, pairs: DataFrame, driverEdgeMax: Long,
+      idOk: org.apache.spark.sql.types.DataType => Boolean)
+      : (DataFrame, Option[Array[org.apache.spark.sql.Row]]) = {
+    import org.apache.spark.sql.types._
+    val integral: Set[DataType] = Set(ByteType, ShortType, IntegerType, LongType)
+    val probing = driverEdgeMax > 0 && driverEdgeMax < Int.MaxValue - 1 &&
+      idOk(ids.schema("id").dataType) &&
+      integral.contains(pairs.schema("id1").dataType) &&
+      integral.contains(pairs.schema("id2").dataType)
+    val pairsCk = pairs.localCheckpoint(false)
+    if (!probing) return (pairsCk, None)
+    val probe = pairsCk
+      .select(col("id1").cast("long").as("u"), col("id2").cast("long").as("v"))
+      .limit(driverEdgeMax.toInt + 1).collect()
+    (pairsCk, if (probe.length <= driverEdgeMax) Some(probe) else None)
   }
 
   /** The driver-hosted union-find over a collected edge list — path
@@ -450,18 +488,10 @@ object Dedup extends org.apache.spark.internal.Logging {
       ids: DataFrame, pairs: DataFrame, maxIter: Int = 50,
       driverEdgeMax: Long = 1000000L): DataFrame = {
     import org.apache.spark.sql.types._
-    val integral: Set[DataType] = Set(ByteType, ShortType, IntegerType, LongType)
-    val probing = driverEdgeMax > 0 && driverEdgeMax < Int.MaxValue - 1 &&
-      ids.schema("id").dataType == LongType &&
-      integral.contains(pairs.schema("id1").dataType) &&
-      integral.contains(pairs.schema("id2").dataType)
-    val pairsCk = if (probing) pairs.localCheckpoint(false) else pairs
-    if (probing) {
-      val probe = pairsCk
-        .select(col("id1").cast("long").as("u"), col("id2").cast("long").as("v"))
-        .limit(driverEdgeMax.toInt + 1).collect()
-      if (probe.length <= driverEdgeMax)
-        return ccMinDriver(ids, probe, restrictToIds = false)
+    val (pairsCk, fits) = ccDriverProbe(ids, pairs, driverEdgeMax, _ == LongType)
+    fits match {
+      case Some(edgeRows) => return ccMinDriver(ids, edgeRows, restrictToIds = false)
+      case None =>
     }
     var edges = pairsCk
       .select(col("id1").cast("long").as("u"), col("id2").cast("long").as("v"))
@@ -523,8 +553,14 @@ object Dedup extends org.apache.spark.internal.Logging {
     * heuristic and the O(log n) alternative for long-chain graphs). */
   def removeDuplicates(df: DataFrame, id: Column, pairs: DataFrame): DataFrame = {
     val reps = connectedComponentsMin(df.select(id.as("id")), pairs)
-    df.join(reps.filter(col("id") === col("rep")).select(col("id").as("__keep")),
-        id === col("__keep"), "left_semi")
+    // null-safe equality throughout (r16 review): a NULL id labels as
+    // (null, null) — a plain `===` filter/join silently DROPPED such rows
+    // (null === null is NULL) even though they were never anyone's
+    // duplicate. With <=> they keep themselves, like any other singleton;
+    // a NULL id cannot appear in a candidate pair (hash joins skip null
+    // keys upstream), so it can never be a cluster member to drop.
+    df.join(reps.filter(col("id") <=> col("rep")).select(col("id").as("__keep")),
+        id <=> col("__keep"), "left_semi")
   }
 
   // --- Eval-set decontamination ------------------------------------------
@@ -734,6 +770,29 @@ object Dedup extends org.apache.spark.internal.Logging {
     * Keys are the window STRINGS so the DuckDB oracle is value-exact; at
     * 100 TB swap the join key to xxhash64(win) (same plan shape, 8-byte
     * shuffle keys, collision odds ≪ corpus size squared / 2^64). */
+  /** Shared front half of [[duplicateSpans]] / [[removeDuplicateSpans]]
+    * (extracted r16 so the detector and the remover can never disagree
+    * about WHICH windows count as duplicated): the stride-1 (id, win,
+    * start) posting stream over docs with ≥ w tokens (1-based start;
+    * `carryNTokens` keeps the doc length on each posting for the
+    * detector's output) and the df ≥ 2 cross-document duplicated-window
+    * key set. Executes nothing — both frames are lazy derivations of
+    * `toks`. */
+  private def dupWindowPostings(
+      toks: DataFrame, w: Int, carryNTokens: Boolean): (DataFrame, DataFrame) = {
+    val base = toks.filter(col("n_tokens") >= w)
+    val exploded = posexplode(TextOps.shingles(col("text"), w)).as(Seq("pos0", "win"))
+    val wins0 =
+      if (carryNTokens) base.select(col("id"), col("n_tokens"), exploded)
+      else base.select(col("id"), exploded)
+    val wins = wins0.withColumn("start", col("pos0") + 1).drop("pos0")
+    val dupWins = wins.select(col("win"), col("id")).distinct()
+      .groupBy(col("win")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+      .select(col("win"))
+    (wins, dupWins)
+  }
+
   def duplicateSpans(
       df: DataFrame, id: Column, text: Column, windowSize: Int = 15): DataFrame = {
     val w = windowSize
@@ -752,14 +811,7 @@ object Dedup extends org.apache.spark.internal.Logging {
         size(TextOps.tokens(text)).as("n_tokens"))
       .filter(col("n_tokens") >= w)
       .localCheckpoint(false)
-    val wins = toks
-      .select(col("id"), col("n_tokens"),
-        posexplode(TextOps.shingles(col("text"), w)).as(Seq("pos0", "win")))
-      .select(col("id"), col("n_tokens"), (col("pos0") + 1).as("start"), col("win"))
-    val dupWins = wins.select(col("win"), col("id")).distinct()
-      .groupBy(col("win")).agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2)
-      .select(col("win"))
+    val (wins, dupWins) = dupWindowPostings(toks, w, carryNTokens = true)
     val starts = col("starts")
     val leads = concat(
       slice(starts, lit(2), size(starts) - 1), array(element_at(starts, -1) + w))
@@ -812,15 +864,7 @@ object Dedup extends org.apache.spark.internal.Logging {
       .select(id.as("id"), text.as("text"), TextOps.tokens(text).as("toks"))
       .select(col("id"), col("text"), size(col("toks")).as("n_tokens"), col("toks"))
       .localCheckpoint(false)
-    val wins = toks
-      .filter(col("n_tokens") >= w)
-      .select(col("id"),
-        posexplode(TextOps.shingles(col("text"), w)).as(Seq("pos0", "win")))
-      .select(col("id"), (col("pos0") + 1).as("start"), col("win"))
-    val dupWins = wins.select(col("win"), col("id")).distinct()
-      .groupBy(col("win")).agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2)
-      .select(col("win"))
+    val (wins, dupWins) = dupWindowPostings(toks, w, carryNTokens = false)
     val dupStarts = wins.join(dupWins, Seq("win"), "left_semi")
       .groupBy(col("id"))
       .agg(sort_array(collect_list(col("start"))).as("starts"))

@@ -992,6 +992,40 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"bloom path must not join or window:\n${plan.take(2000)}")
   }
 
+  test("capBuckets bloom path: multi-column keys differing only in WHICH column is null stay distinct") {
+    import spark.implicits._
+    val cap = 5
+    // hot key (x, NULL) at 3× cap; cool mirror key (NULL, x) below cap.
+    // xxhash64 SKIPS null children, so without per-column null markers both
+    // keys hash identically and the hot key's bloom entry deterministically
+    // drops every (NULL, x) row — a guaranteed collision, not an fpp event.
+    // maxBroadcastKeys = 0 forces the bloom path.
+    val hot = (0 until cap * 3).map(i => (Some("x"), Option.empty[String], i.toLong))
+    val cool = (0 until 3).map(i => (Option.empty[String], Some("x"), (1000 + i).toLong))
+    val df = (hot ++ cool).toDF("k1", "k2", "id").repartition(3)
+    val capped = Dedup.capBuckets(df, Seq("k1", "k2"), cap, maxBroadcastKeys = 0L)
+    val kept = capped.select("k1", "k2").collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)))).toSet
+    assert(!kept.contains((Some("x"), None)), s"the hot (x, NULL) key must drop: $kept")
+    assert(kept == Set((None, Some("x"))),
+      s"the cool (NULL, x) key is a DIFFERENT key than (x, NULL) and must survive: $kept")
+  }
+
+  test("removeDuplicates: NULL-id rows pass through — they are nobody's duplicate") {
+    import spark.implicits._
+    // a NULL id labels as (null, null); the representative filter and the
+    // keep semi-join must compare null-safely or these rows silently vanish
+    // from the cleaned corpus (r16 review finding — data loss, not dedup)
+    val corpus = Seq((Some(1L), "a"), (Some(2L), "b"), (Some(3L), "b-copy"),
+      (Option.empty[Long], "orphan"), (Option.empty[Long], "orphan2"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((2L, 3L)).toDF("id1", "id2")
+    val kept = Dedup.removeDuplicates(corpus, col("doc_id"), pairs)
+      .select("text").collect().map(_.getString(0)).toSet
+    assert(kept == Set("a", "b", "orphan", "orphan2"),
+      s"NULL-id rows must survive and the (2,3) pair must collapse to 2: $kept")
+  }
+
   test("q_dedup_minhash truth-join df cap is far above the corpus's max shingle df") {
     // The truth join is capped at truthShingleDfCap so it stays linear at
     // scale; this pins that the cap is UNHIT on the test corpora (max df 27
