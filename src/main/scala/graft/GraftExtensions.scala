@@ -2,19 +2,21 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.IntegerType
-
-import graft.functions.NativeHashes
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
 /** Session-extensions entry point: makes every engine function available in
   * any SparkSession via
   * `spark.sql.extensions=graft.GraftExtensions` — the standard deployment
   * path for a Spark-native library (no per-session registration calls).
   *
-  * Injects: the DataFusion-name JSON functions (json_get, json_get_int, …)
-  * and the native dedup signature expressions (simhash_chunks,
-  * minhash_signature).
+  * Injects: the DataFusion-name JSON functions (json_get, json_get_int, …),
+  * the DataFusion scalar name aliases, and EVERY native expression from
+  * [[graft.functions.NativeHashes.builders]] — one shared name→builder list
+  * per module, so this path and the per-session `register` calls can never
+  * drift (r16 review: the hand-maintained list here had fallen five
+  * functions behind). Note the DataFusion `dialectOverrides` (log/trunc/
+  * encode/…) are deliberately NOT injected: host sessions keep Spark
+  * semantics; only ODF request sessions get the dialect overrides.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -22,33 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, name)
 
   override def apply(ext: SparkSessionExtensions): Unit = {
-    graft.functions.JsonFunctions.builders.foreach { case (name, builder) =>
+    (graft.functions.JsonFunctions.builders ++
+      graft.functions.DataFusionCompat.builders ++
+      graft.functions.NativeHashes.builders).foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info(name), builder))
     }
-    graft.functions.DataFusionCompat.builders.foreach { case (name, builder) =>
-      ext.injectFunction((FunctionIdentifier(name), info(name), builder))
-    }
-    ext.injectFunction((FunctionIdentifier("simhash_chunks"), info("simhash_chunks"),
-      (args: Seq[Expression]) => NativeHashes.SimHashChunks(args.head)))
-    ext.injectFunction((FunctionIdentifier("minhash_signature"), info("minhash_signature"),
-      (args: Seq[Expression]) => args(1) match {
-        case Literal(v: Int, IntegerType) => NativeHashes.MinHashSignature(args.head, v)
-        case other => throw new IllegalArgumentException(
-          s"minhash_signature numHashes must be an int literal, got $other")
-      }))
-    ext.injectFunction((FunctionIdentifier("cosine_similarity"), info("cosine_similarity"),
-      (args: Seq[Expression]) => NativeHashes.CosineSimilarity(args.head, args(1))))
-    ext.injectFunction((FunctionIdentifier("rabin_fingerprint"), info("rabin_fingerprint"),
-      (args: Seq[Expression]) => NativeHashes.RabinFingerprint(args.head)))
-    ext.injectFunction((FunctionIdentifier("word_shingles"), info("word_shingles"),
-      (args: Seq[Expression]) => args(1) match {
-        case Literal(v: Int, IntegerType) => NativeHashes.WordShingles(args.head, v)
-        case other => throw new IllegalArgumentException(
-          s"word_shingles n must be an int literal, got $other")
-      }))
-    ext.injectFunction((FunctionIdentifier("l2_norm"), info("l2_norm"),
-      (args: Seq[Expression]) => NativeHashes.L2Norm(args.head)))
-    ext.injectFunction((FunctionIdentifier("quantize_int8"), info("quantize_int8"),
-      (args: Seq[Expression]) => NativeHashes.QuantizeInt8(args.head)))
   }
 }

@@ -59,11 +59,18 @@ object NativeHashes {
       val n = arr.numElements()
       var i = 0
       while (i < n) {
-        val h = xxh(arr.getUTF8String(i))
-        var j = 0
-        while (j < 64) {
-          if (((h >>> j) & 1L) == 1L) counters(j) += 1 else counters(j) -= 1
-          j += 1
+        // null elements are SKIPPED (r16 review): accessing a null slot is
+        // representation-dependent (UnsafeArrayData yields empty bytes,
+        // GenericArrayData yields null), so an explicit check keeps the
+        // signature a pure function of the logical array. In-repo inputs
+        // (tokens/shingles) never contain nulls.
+        if (!arr.isNullAt(i)) {
+          val h = xxh(arr.getUTF8String(i))
+          var j = 0
+          while (j < 64) {
+            if (((h >>> j) & 1L) == 1L) counters(j) += 1 else counters(j) -= 1
+            j += 1
+          }
         }
         i += 1
       }
@@ -97,6 +104,8 @@ object NativeHashes {
   case class MinHashSignature(child: Expression, numHashes: Int)
       extends UnaryExpression {
 
+    require(numHashes >= 1, s"minhash_signature: numHashes must be >= 1, got $numHashes")
+
     private val P = 2147483647L // 2^31 - 1
 
     // a_i ∈ [1, P-1], b_i ∈ [0, P) — same derivation as the HOF version
@@ -113,20 +122,26 @@ object NativeHashes {
     def compute(arr: ArrayData): ArrayData = {
       val n = arr.numElements()
       val xs = new Array[Long](n)
+      var m0 = 0
       var i = 0
-      while (i < n) { xs(i) = pmod(xxh(arr.getUTF8String(i)), P); i += 1 }
+      while (i < n) {
+        // null elements are skipped — treated as absent from the shingle
+        // set (same representation-dependence rationale as SimHashChunks)
+        if (!arr.isNullAt(i)) { xs(m0) = pmod(xxh(arr.getUTF8String(i)), P); m0 += 1 }
+        i += 1
+      }
       val sig = new Array[Long](numHashes)
       var k = 0
       while (k < numHashes) {
         val a = as(k); val b = bs(k)
         var m = Long.MaxValue
         i = 0
-        while (i < n) {
+        while (i < m0) {
           val v = pmod(a * xs(i) + b, P)
           if (v < m) m = v
           i += 1
         }
-        sig(k) = if (n == 0) 0L else m
+        sig(k) = if (m0 == 0) 0L else m
         k += 1
       }
       new GenericArrayData(sig)
@@ -149,6 +164,8 @@ object NativeHashes {
     * than n tokens yield one shingle of all tokens. */
   case class WordShingles(child: Expression, n: Int)
       extends UnaryExpression {
+
+    require(n >= 1, s"word_shingles: n must be >= 1, got $n")
 
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -384,14 +401,24 @@ object NativeHashes {
     override def dataType: DataType = BooleanType
 
     override def checkInputDataTypes(): TypeCheckResult = (key.dataType, bloomBytes.dataType) match {
-      case (LongType, BinaryType) if bloomBytes.foldable => TypeCheckResult.TypeCheckSuccess
+      // the null probe is safe here: bloomBytes is foldable, and a NULL
+      // filter would otherwise surface as a bare NPE when the lazy bloom
+      // is first forced at codegen time (r16 review)
+      case (LongType, BinaryType) if bloomBytes.foldable =>
+        if (bloomBytes.eval(null) == null)
+          TypeCheckResult.TypeCheckFailure("bloom_might_contain: bloom filter bytes are null")
+        else TypeCheckResult.TypeCheckSuccess
       case _ => TypeCheckResult.TypeCheckFailure(
         "bloom_might_contain expects (bigint, foldable binary)")
     }
 
     @transient private lazy val bloom: org.apache.spark.util.sketch.BloomFilter =
-      org.apache.spark.util.sketch.BloomFilter.readFrom(
+      try org.apache.spark.util.sketch.BloomFilter.readFrom(
         new java.io.ByteArrayInputStream(bloomBytes.eval(null).asInstanceOf[Array[Byte]]))
+      catch {
+        case e: java.io.IOException => throw new IllegalArgumentException(
+          "bloom_might_contain: malformed bloom filter bytes", e)
+      }
 
     override def eval(input: InternalRow): Any = {
       val k = key.eval(input)
@@ -520,21 +547,35 @@ object NativeHashes {
 
     @transient private lazy val centroids: Array[Array[Float]] = {
       val arr = centroidsExpr.eval(null).asInstanceOf[ArrayData]
-      Array.tabulate(arr.numElements())(c => arr.getArray(c).toFloatArray())
+      Array.tabulate(arr.numElements()) { c =>
+        val cell = arr.getArray(c)
+        // reject at first use with a named error instead of a bare NPE
+        // from toFloatArray (r16 review)
+        require(cell != null, s"nearest_cells: centroid $c is null")
+        cell.toFloatArray()
+      }
     }
 
     override def nullSafeEval(v: Any, ignored: Any): Any = compute(v.asInstanceOf[ArrayData])
 
     def compute(x: ArrayData): ArrayData = {
-      val dims = x.numElements()
+      // one O(dims) copy so the k×dims inner loop below reads a primitive
+      // array instead of paying a virtual ArrayData accessor per element
+      // (r16 review — this is ivfFlatTopK's per-row hot path)
+      val xs = x.toFloatArray()
+      val dims = xs.length
       val k = centroids.length
       // cosine per cell, double accumulation in index order (identical math
-      // to CosineSimilarity); NULL cosine → -Infinity sentinel (real
-      // cosines live in [-1, 1], so the sentinel is unambiguous)
+      // to CosineSimilarity); NULL and NaN cosines → -Infinity sentinel
+      // (real cosines live in [-1, 1], so the sentinel is unambiguous).
+      // The NaN mapping matters (r16 review): a NaN centroid — k-means over
+      // data containing a corrupted embedding — yields NaN cosines, and the
+      // strict-'>' selection below can never displace a NaN once seeded, so
+      // without the sentinel ONE bad centroid would absorb every row.
       val cos = new Array[Double](k)
       var nx = 0.0
       var i = 0
-      while (i < dims) { val xi = x.getFloat(i).toDouble; nx += xi * xi; i += 1 }
+      while (i < dims) { val xi = xs(i).toDouble; nx += xi * xi; i += 1 }
       var c = 0
       while (c < k) {
         val cent = centroids(c)
@@ -545,11 +586,12 @@ object NativeHashes {
         i = 0
         while (i < dims) {
           val yi = cent(i).toDouble
-          dot += x.getFloat(i).toDouble * yi; ny += yi * yi
+          dot += xs(i).toDouble * yi; ny += yi * yi
           i += 1
         }
-        cos(c) = if (nx == 0.0 || ny == 0.0) Double.NegativeInfinity
+        val cv = if (nx == 0.0 || ny == 0.0) Double.NegativeInfinity
           else dot / (math.sqrt(nx) * math.sqrt(ny))
+        cos(c) = if (java.lang.Double.isNaN(cv)) Double.NegativeInfinity else cv
         c += 1
       }
       val m = math.min(n, k)
@@ -639,12 +681,29 @@ object NativeHashes {
     // instance that evaluates (driver interpreted eval or post-
     // deserialization on the executor), not on every planning-time copy;
     // the compact literal is what rides the serialized expression
-    @transient private lazy val mergesA: Array[String] =
-      if (mergesLit.isEmpty) Array.empty
-      else mergesLit.split("\u0002", -1).map(p => p.substring(0, p.indexOf('\u0001')))
-    @transient private lazy val mergesB: Array[String] =
-      if (mergesLit.isEmpty) Array.empty
-      else mergesLit.split("\u0002", -1).map(p => p.substring(p.indexOf('\u0001') + 1))
+    // ONE tokenization pass feeds both part arrays (r16 review — a 32k-rank
+    // table is multi-MB, and the per-pair separator is validated here with
+    // a named error instead of a bare StringIndexOutOfBounds at first row)
+    @transient private lazy val merges: (Array[String], Array[String]) =
+      if (mergesLit.isEmpty) (Array.empty, Array.empty)
+      else {
+        val pairs = mergesLit.split("\u0002", -1)
+        val a = new Array[String](pairs.length)
+        val b = new Array[String](pairs.length)
+        var r = 0
+        while (r < pairs.length) {
+          val p = pairs(r)
+          val sep = p.indexOf('\u0001')
+          if (sep < 0) throw new IllegalArgumentException(
+            s"bpe_units: merge pair $r lacks the U+0001 part separator")
+          a(r) = p.substring(0, sep)
+          b(r) = p.substring(sep + 1)
+          r += 1
+        }
+        (a, b)
+      }
+    @transient private lazy val mergesA: Array[String] = merges._1
+    @transient private lazy val mergesB: Array[String] = merges._2
 
     /** unit → ascending ranks mentioning it (as either part; a == b
       * listed once). Read-only at eval time, so concurrent tasks share it
@@ -811,33 +870,36 @@ object NativeHashes {
       s"$fn expects a string literal, got $other")
   }
 
+  /** name -> builder for EVERY native expression — the single source of
+    * truth shared by [[register]] (per-session temp functions, what the
+    * operator entry points call) and [[graft.GraftExtensions]] (the
+    * `spark.sql.extensions` deployment path). One list means the two
+    * registration surfaces can never drift (r16 review: the extensions
+    * path had been hand-maintained and was missing bloom_might_contain,
+    * hyperplane_bucket, nearest_cells, bpe_units, and bm25_idf). */
+  private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "simhash_chunks" -> (args => SimHashChunks(args.head)),
+    "minhash_signature" ->
+      (args => MinHashSignature(args.head, intLit(args(1), "minhash_signature"))),
+    "word_shingles" -> (args => WordShingles(args.head, intLit(args(1), "word_shingles"))),
+    "cosine_similarity" -> (args => CosineSimilarity(args.head, args(1))),
+    "rabin_fingerprint" -> (args => RabinFingerprint(args.head)),
+    "l2_norm" -> (args => L2Norm(args.head)),
+    "quantize_int8" -> (args => QuantizeInt8(args.head)),
+    "bloom_might_contain" -> (args => BloomMightContainLong(args.head, args(1))),
+    "hyperplane_bucket" -> (args => HyperplaneSignature(args.head,
+      intLit(args(1), "hyperplane_bucket"), intLit(args(2), "hyperplane_bucket"))),
+    "nearest_cells" ->
+      (args => NearestCells(args.head, args(1), intLit(args(2), "nearest_cells"))),
+    "bpe_units" -> (args => BpeUnits(args.head, stringLit(args(1), "bpe_units"))),
+    "bm25_idf" -> (args => Bm25Idf(args.head, longLit(args(1), "bm25_idf"))),
+  )
+
   /** Register all native expressions as session functions (idempotent). */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    registry.createOrReplaceTempFunction("simhash_chunks",
-      args => SimHashChunks(args.head), "built-in")
-    registry.createOrReplaceTempFunction("minhash_signature",
-      args => MinHashSignature(args.head, intLit(args(1), "minhash_signature")), "built-in")
-    registry.createOrReplaceTempFunction("word_shingles",
-      args => WordShingles(args.head, intLit(args(1), "word_shingles")), "built-in")
-    registry.createOrReplaceTempFunction("cosine_similarity",
-      args => CosineSimilarity(args.head, args(1)), "built-in")
-    registry.createOrReplaceTempFunction("rabin_fingerprint",
-      args => RabinFingerprint(args.head), "built-in")
-    registry.createOrReplaceTempFunction("l2_norm",
-      args => L2Norm(args.head), "built-in")
-    registry.createOrReplaceTempFunction("quantize_int8",
-      args => QuantizeInt8(args.head), "built-in")
-    registry.createOrReplaceTempFunction("bloom_might_contain",
-      args => BloomMightContainLong(args.head, args(1)), "built-in")
-    registry.createOrReplaceTempFunction("hyperplane_bucket",
-      args => HyperplaneSignature(args.head,
-        intLit(args(1), "hyperplane_bucket"), intLit(args(2), "hyperplane_bucket")), "built-in")
-    registry.createOrReplaceTempFunction("nearest_cells",
-      args => NearestCells(args.head, args(1), intLit(args(2), "nearest_cells")), "built-in")
-    registry.createOrReplaceTempFunction("bpe_units",
-      args => BpeUnits(args.head, stringLit(args(1), "bpe_units")), "built-in")
-    registry.createOrReplaceTempFunction("bm25_idf",
-      args => Bm25Idf(args.head, longLit(args(1), "bm25_idf")), "built-in")
+    builders.foreach { case (name, b) =>
+      registry.createOrReplaceTempFunction(name, b, "built-in")
+    }
   }
 }

@@ -87,6 +87,25 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(dfc.getBoolean(10))
       assert(dfc.getString(11) == "b")
       assert(dfc.getString(12) == "x-y")
+
+      // COMPLETENESS: every native in NativeHashes.builders must resolve
+      // through the extensions path — the hand-maintained injection list
+      // had drifted five functions behind register() (r16 review); both
+      // surfaces now share one builders list, and this pins it
+      val missing = graft.functions.NativeHashes.builders.map(_._1).filterNot(n =>
+        spark.sessionState.functionRegistry.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(n)))
+      assert(missing.isEmpty, s"extensions path missing native functions: $missing")
+      // and the previously-missing ones actually evaluate end-to-end
+      val natives = spark.sql(
+        """SELECT nearest_cells(array(CAST(1.0 AS FLOAT)),
+          |         array(array(CAST(1.0 AS FLOAT)), array(CAST(-1.0 AS FLOAT))), 1) AS nc,
+          |       bm25_idf(CAST(3 AS BIGINT), 10L) AS idf,
+          |       hyperplane_bucket(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), 2, 4) AS hb
+          |""".stripMargin).collect()(0)
+      assert(natives.getSeq[Int](0) == Seq(0))
+      assert(natives.getDouble(1) == StrictMath.log((10 - 3 + 0.5) / (3 + 0.5) + 1.0))
+      assert(!natives.isNullAt(2))
     } finally spark.stop()
   }
 }

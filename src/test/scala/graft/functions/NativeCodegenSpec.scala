@@ -184,4 +184,42 @@ class NativeCodegenSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()(0)
     (0 until 5).foreach(i => assert(r.isNullAt(i), s"column $i must be NULL"))
   }
+
+  test("r16 hardening: NaN centroids lose, null elements skip, malformed inputs fail with named errors") {
+    // a NaN centroid (k-means over a corrupted embedding) maps to the
+    // -Infinity sentinel — without it, the strict-'>' selection seeded on
+    // the NaN cell could never be displaced and ONE bad centroid absorbed
+    // every row (the NaN cell must have the LARGEST id to trigger: the
+    // descending scan seeds on it)
+    val nanPick = spark.sql(
+      """SELECT nearest_cells(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |  array(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |        array(CAST('NaN' AS FLOAT), CAST('NaN' AS FLOAT))), 1) AS c""".stripMargin)
+      .collect()(0).getSeq[Int](0)
+    assert(nanPick == Seq(0), s"a NaN centroid must never win the slot: $nanPick")
+    // null ELEMENTS are skipped, not hashed representation-dependently
+    // (UnsafeArrayData yields empty bytes where GenericArrayData yields
+    // null): signatures with and without the null slot must agree
+    val sigs = spark.sql(
+      """SELECT minhash_signature(array('a', CAST(NULL AS STRING), 'b'), 4) AS m1,
+        |       minhash_signature(array('a', 'b'), 4) AS m2,
+        |       simhash_chunks(array('a', CAST(NULL AS STRING), 'b')) AS s1,
+        |       simhash_chunks(array('a', 'b')) AS s2""".stripMargin).collect()(0)
+    assert(sigs.getSeq[Long](0) == sigs.getSeq[Long](1), "minhash must skip null elements")
+    assert(sigs.getSeq[Long](2) == sigs.getSeq[Long](3), "simhash must skip null elements")
+    // size parameters are rejected at expression construction, not as a
+    // per-row NegativeArraySize/empty-window surprise at execution
+    assertThrows[Exception](spark.sql("SELECT word_shingles('a b', 0)").collect())
+    assertThrows[Exception](spark.sql("SELECT minhash_signature(array('a'), 0)").collect())
+    // a NULL bloom-filter literal is an analysis error, not an NPE when the
+    // lazy filter deserializes at codegen time
+    assertThrows[Exception](
+      spark.sql("SELECT bloom_might_contain(CAST(1 AS BIGINT), CAST(NULL AS BINARY))").collect())
+    // a malformed merge literal (missing the U+0001 part separator) names
+    // the problem instead of a bare StringIndexOutOfBoundsException
+    val e = intercept[Exception](spark.sql("SELECT bpe_units('ab', 'xy')").collect())
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(msgs.exists(_.contains("part separator")), s"unnamed failure: $msgs")
+  }
 }
