@@ -31,7 +31,10 @@ final class EmptyCorpusException(msg: String) extends IllegalArgumentException(m
 object VectorOps extends org.apache.spark.internal.Logging {
 
   /** Dot product in double precision, sequential fold (generic: any numeric
-    * array type). */
+    * array type). Dimension-mismatched inputs yield NULL (zip_with pads the
+    * shorter side with nulls, which poison the fold) — unlike the native
+    * cosine path, which throws a named dimension-mismatch error; callers
+    * needing the loud contract should go through [[cosine]]. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
@@ -78,7 +81,13 @@ object VectorOps extends org.apache.spark.internal.Logging {
   }
 
   /** Brute-force cosine top-k: every query row against every corpus row.
-    * `queries` must be small (it is broadcast); corpus streams map-side. */
+    * `queries` must be small (it is broadcast); corpus streams map-side.
+    *
+    * NULL-query-vector contract (documented r16): this path returns k rows
+    * of NULL cosine for such a query (the fuzz-pinned zero-vector
+    * semantics extend to it), while the bucketed paths (lshTopK/ivfTopK)
+    * return ZERO rows — a NULL vector has no bucket/cell to probe. Callers
+    * comparing paths should pre-filter NULL query vectors. */
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
       corpusId: String = "vec_id", corpusVec: String = "embedding",
@@ -185,13 +194,22 @@ object VectorOps extends org.apache.spark.internal.Logging {
       corpusId: String = "vec_id", corpusVec: String = "embedding",
       queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
     graft.functions.NativeHashes.register(corpus.sparkSession)
-    val sample: Array[Array[Double]] = corpus
+    // SANITIZED sample (r16 review): a NULL embedding in the hash-ordered
+    // head NPE'd the driver map, and a NaN/Inf-element vector poisons
+    // kmeansCentroids permanently (its dots are all NaN, so it always
+    // lands in centroid 0 and its elements enter the mean) — dead cell,
+    // silent recall loss. Null rows drop; non-finite rows drop from the
+    // SEED only (they still get assigned and scored like any row).
+    val allSampled: Array[Array[Double]] = corpus
       .orderBy(xxhash64(col(corpusId)), col(corpusId)).limit(sampleN)
       .select(col(corpusVec)).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .flatMap(r => Option(r.getSeq[Float](0)).map(_.map(_.toDouble).toArray))
+    val finiteSampled = allSampled.filter(_.forall(java.lang.Double.isFinite))
+    val sample = if (finiteSampled.nonEmpty) finiteSampled else allSampled
     if (sample.isEmpty) {
-      // empty corpus: no centroids to train and no neighbors to return —
-      // an empty frame with the output schema, not an AIOOBE from k-means
+      // empty (or all-NULL-sample) corpus: no centroids to train and no
+      // neighbors to return — an empty frame with the output schema, not
+      // an NPE/AIOOBE from k-means
       return bruteForceTopK(corpus, queries.limit(0), k,
         corpusId, corpusVec, queryId, queryVec)
     }
@@ -244,18 +262,45 @@ object VectorOps extends org.apache.spark.internal.Logging {
       corpus: DataFrame, vecCol: String, k: Int, iters: Int = 5,
       idCol: String = "vec_id", sampleN: Int = 2048): Array[Seq[Float]] = {
     graft.functions.NativeHashes.register(corpus.sparkSession)
-    val sample: Array[Array[Double]] = corpus
+    val sampledRows = corpus
       .orderBy(xxhash64(col(idCol)), col(idCol)).limit(sampleN)
       .select(col(vecCol)).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    if (sample.isEmpty) throw new EmptyCorpusException("kmeansFit on an empty corpus")
+    if (sampledRows.isEmpty) throw new EmptyCorpusException("kmeansFit on an empty corpus")
+    // SANITIZED seed (r16 review): NULL rows NPE'd the driver map, and a
+    // NaN/Inf-element vector poisons kmeansCentroids permanently (its dots
+    // are all NaN so it always lands in centroid 0 and its elements enter
+    // the mean — one dead cell, silent quality loss). PREFER finite seeds;
+    // when nothing finite exists (an all-degenerate corpus — a shape the
+    // semdedup fuzz family pins) fall back to the raw non-null sample:
+    // centroids then carry NaN, every assignment resolves through the
+    // deterministic -Inf-cosine rule, and the dedup guards (NaN pair
+    // filter, nonZero collapse gate) still produce the contracted
+    // self-labels. A corpus whose every sampled vector is NULL has nothing
+    // to seed from at all — typed emptiness, which semanticDedup converts
+    // to all-self labels.
+    val allSampled: Array[Array[Double]] = sampledRows
+      .flatMap(r => Option(r.getSeq[Float](0)).map(_.map(_.toDouble).toArray))
+    val finiteSampled = allSampled.filter(_.forall(java.lang.Double.isFinite))
+    val sample = if (finiteSampled.nonEmpty) finiteSampled else allSampled
+    if (sample.isEmpty) throw new EmptyCorpusException(
+      "kmeansFit: no non-NULL embedding among the sampled rows")
     // seed from the driver-side sample (1 Lloyd round), then refine with
     // distributed rounds over the FULL corpus
     var cents: Array[Seq[Float]] =
       kmeansCentroids(sample, math.min(k, sample.length), 1)
         .map(_.map(_.toFloat).toSeq)
+    // refinement reads only rows with a finite vector (r16 review): a NULL
+    // row has no assignment, and a NaN/Inf element would poison its cell's
+    // mean (or, under ANSI, kill the decimal cast outright) — excluded
+    // rows still get labeled by assignClusters like any other row. The
+    // probe is the NATIVE l2_norm (NaN iff any element is NaN; Inf iff any
+    // is ±Inf — squaring folds the sign), not an interpreted per-element
+    // HOF, so the per-row-per-round cost stays in codegen.
+    val nrm = call_function("l2_norm", col(vecCol))
+    val finiteVecs = corpus.filter(col(vecCol).isNotNull &&
+      !isnan(nrm) && nrm =!= lit(Double.PositiveInfinity))
     for (_ <- 0 until iters) {
-      val assigned = corpus.withColumn("_cl", nearestCentroid(col(vecCol), cents))
+      val assigned = finiteVecs.withColumn("_cl", nearestCentroid(col(vecCol), cents))
       val stats = assigned
         .select(col("_cl"), posexplode(col(vecCol)).as(Seq("_pos", "_v")))
         .groupBy(col("_cl"), col("_pos"))
@@ -413,10 +458,20 @@ object VectorOps extends org.apache.spark.internal.Logging {
       try kmeansFit(rows, "v", k, kmeansIters, idCol = "id")
       catch {
         case _: EmptyCorpusException =>
+          // truly empty corpus → empty labeling; a non-empty corpus whose
+          // every sampled vector is NULL → every row labels ITSELF (no
+          // direction ⇒ nobody's duplicate; an empty labeling here would
+          // silently drop the rows — r16 review). Both cases are the same
+          // select: self-labels over whatever rows exist.
           return SemanticDedupResult(
-            corpus.select(col(id), col(id).as("rep")).limit(0), 0L, 0L)
+            corpus.select(col(id), col(id).as("rep")), 0L, 0L)
       }
-    val assigned = assignClusters(rows, cents, "v").localCheckpoint(false)
+    // NULL-embedding rows are excluded from the clustering pipeline (r16
+    // review: their null cluster key NPE'd the driver sizing collect) —
+    // they re-enter through CC's full id frame below and label themselves,
+    // which is the only defensible answer for a row with no direction
+    val assigned = assignClusters(rows.filter(col("v").isNotNull), cents, "v")
+      .localCheckpoint(false)
 
     // 2. Exact pre-collapse, gated to vectors whose cosine is DEFINED:
     // zero vectors produce NULL cosines (never >= threshold) and NaN/Inf
@@ -456,6 +511,14 @@ object VectorOps extends org.apache.spark.internal.Logging {
           .filter(col("__n") > 1)
           .select(col("v").as("gv"), col("gid"))
         val joined = assigned.join(dupReps, col("v") === col("gv"), "left")
+          .select(col("id"), col("v"), col("cluster"), col("gid"))
+          // checkpointed (r16 review): BOTH split halves read this — the
+          // star edges once, and the collapsed assignment from the sizing
+          // collect, every sub-split escalation count, the overCap
+          // materialization, AND pair generation. Without materialization
+          // each of those actions re-ran the full-vector groupBy and
+          // re-association join — the operator's widest shuffle.
+          .localCheckpoint(false)
         (joined.filter(col("gid").isNotNull && col("gid") =!= col("id"))
           .select(col("gid").as("id1"), col("id").as("id2")),
           joined.filter(col("gid").isNull || col("gid") === col("id"))
@@ -569,12 +632,20 @@ object VectorOps extends org.apache.spark.internal.Logging {
     // once, and the pair stage then reads stored partitions instead of
     // re-scanning the (typically much larger) existing corpus and
     // re-running the nearest_cells argmax per row (r15)
+    // NULL-embedding rows are excluded from clustering on BOTH sides (r16
+    // review: a null cluster key NPE'd capClustersLogged's sizing collect);
+    // incoming null rows still receive a self-label through the full
+    // `newIds` node frame below
     val oldA = capClustersLogged(
-      assignClusters(existing.select(col(id).as("id"), col(vec).as("v")), cents, "v")
+      assignClusters(
+        existing.select(col(id).as("id"), col(vec).as("v")).filter(col("v").isNotNull),
+        cents, "v")
         .localCheckpoint(false),
       maxClusterSize, "existing")
+    val newIds = incoming.select(col(id).as("id"))
     val newCk = assignClusters(
-      incoming.select(col(id).as("id"), col(vec).as("v")), cents, "v")
+      incoming.select(col(id).as("id"), col(vec).as("v")).filter(col("v").isNotNull),
+      cents, "v")
       .localCheckpoint(false)
     val newA = capClustersLogged(newCk, maxClusterSize, "incoming")
 
@@ -591,7 +662,7 @@ object VectorOps extends org.apache.spark.internal.Logging {
       .localCheckpoint(false)
 
     val oldTouched = pairs.filter(col("is_old")).select(col("id1").as("id")).distinct()
-    val nodes = newCk.select(col("id")).unionAll(oldTouched)
+    val nodes = newIds.unionAll(oldTouched)
     val cc = Dedup.connectedComponentsMin(nodes, pairs.select(col("id1"), col("id2")))
     // anchor-priority fix-up: min EXISTING id per component, else min id
     val anchors = cc.join(oldTouched.withColumn("is_old", lit(true)), Seq("id"), "left")

@@ -1592,6 +1592,68 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.columns.toSeq == Seq("vec_id", "rep") && out.count() == 0)
   }
 
+  test("semanticDedup + ANN tolerate NULL and non-finite embeddings: bad rows self-label, seeds stay clean") {
+    import spark.implicits._
+    // 30 near-orthogonal good rows (distinct axes in 32 dims — pairwise
+    // cos ≈ 0, so only PLANTED duplicates merge), one exact copy, and the
+    // three hostile shapes: NULL embedding, all-NaN, all-Inf
+    def axis(i: Int): Array[Float] = Array.tabulate(32)(d => if (d == i) 1.0f else 0.0f)
+    val good = (0L until 30L).map(i => (i, axis((i % 30).toInt)))
+    val corpus = (good ++ Seq(
+        (100L, axis(1)), // exact duplicate of id 1
+        (200L, null.asInstanceOf[Array[Float]]),
+        (201L, Array.fill(32)(Float.NaN)),
+        (202L, Array.fill(32)(Float.PositiveInfinity))))
+      .toDF("vec_id", "embedding")
+    // batch labels: no NPE from the null cluster key (r16), every row
+    // labeled, the duplicate prunes to its original, hostile rows self-rep
+    val labels = VectorOps.semanticDedupLabels(
+        corpus, "vec_id", "embedding", k = 4, threshold = 0.999)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == corpus.count(), s"every row must be labeled: ${labels.size}")
+    assert(labels(100L) == 1L, s"the exact duplicate must anchor to id 1: ${labels(100L)}")
+    Seq(200L, 201L, 202L).foreach(i =>
+      assert(labels(i) == i, s"hostile row $i must self-label: ${labels(i)}"))
+    assert((0L until 30L).forall(i => labels(i) == i), "good rows must be kept")
+    // incremental labels: same tolerance on both sides; a null-vec
+    // incoming row still receives its self-label through the node frame
+    val incoming = Seq(
+      (300L, axis(2)), (301L, null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding")
+    val incr = VectorOps.semanticDedupIncrementalLabels(
+        corpus, incoming, "vec_id", "embedding", k = 4, threshold = 0.999)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(incr == Map(300L -> 2L, 301L -> 301L), s"incremental labels: $incr")
+    // ivfTopK: hostile rows sit IN the seeding sample (whole corpus fits
+    // sampleN) — the sanitized seed must not NPE or let the NaN row poison
+    // centroid 0; a query copying a good row still ranks it first
+    val queries = Seq((9000L, axis(5))).toDF("query_id", "query_vec")
+    val ivf = VectorOps.ivfTopK(corpus, queries, k = 3, nCells = 4, nProbe = 4)
+      .collect().sortBy(_.getAs[Int]("rnk"))
+    assert(ivf.nonEmpty && ivf.head.getAs[Long]("vec_id") == 5L,
+      s"planted match must rank first: ${ivf.map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("rnk"))).toSeq}")
+    // an all-NULL-vector NON-empty corpus: kmeansFit signals typed
+    // emptiness (nothing to seed from), and semanticDedup converts that to
+    // ALL-SELF labels — never an empty labeling that would drop the rows
+    val allNull = Seq((11L, null.asInstanceOf[Array[Float]]),
+      (12L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding")
+    assertThrows[EmptyCorpusException](VectorOps.kmeansFit(allNull, "embedding", k = 2))
+    val nullLabels = VectorOps.semanticDedupLabels(
+        allNull, "vec_id", "embedding", k = 2, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nullLabels == Map(11L -> 11L, 12L -> 12L),
+      s"all-null corpus must self-label, not lose rows: $nullLabels")
+    // an all-NaN corpus still labels (the fuzz-pinned degenerate shape):
+    // the seed falls back to the raw sample and the NaN guards self-label
+    val allNaN = Seq((21L, Array.fill(4)(Float.NaN)), (22L, Array.fill(4)(Float.NaN)))
+      .toDF("vec_id", "embedding")
+    val nanLabels = VectorOps.semanticDedupLabels(
+        allNaN, "vec_id", "embedding", k = 1, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nanLabels == Map(21L -> 21L, 22L -> 22L),
+      s"all-NaN corpus must self-label: $nanLabels")
+  }
+
   test("rangeOverlapJoin rejects a non-positive binWidth instead of silently returning empty") {
     import spark.implicits._
     val iv = Seq(("A", 1L, 5L)).toDF("k", "s", "e")
