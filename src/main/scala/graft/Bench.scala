@@ -7,11 +7,13 @@ import org.apache.spark.sql.SparkSession
   * Measurement hygiene (round-1 verdict + round-8 verdict #3): queries run
   * in sorted-name order (deterministic); each gets one untimed warm pass
   * (absorbs parquet footer reads + codegen compilation) and then
-  * SPARK_GRAFT_REPS timed passes (default 2), reporting the MIN. The
+  * SPARK_GRAFT_REPS timed passes (default 3), reporting the MIN. The
   * r6→r8 history showed 1.5–3× single-run noise on identical code
   * (q_dedup_minhash r7, q_json_funcs r7→r8) that twice triggered
-  * regression hunts — min-of-2-warm is the cheapest estimator that
-  * reproduces across driver runs (SCALE.md records the protocol). The
+  * regression hunts, and the r16 pinned-commit A/B measured the
+  * same-CODE run-to-run band on this machine at 8–18% — min-of-N-warm
+  * is the estimator that reproduces across driver runs (min-of-3 per
+  * query as of r17; SCALE.md records the protocol and the band). The
   * JSON line is printed (and flushed) before `spark.stop()` so no shutdown
   * logging can interleave with or truncate it.
   */
@@ -35,7 +37,7 @@ object Bench {
     def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Boolean =
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     // Dev convenience: SPARK_GRAFT_ONLY=q_a,q_b restricts the sweep to the
     // named queries (unset = full suite; the driver never sets it).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)

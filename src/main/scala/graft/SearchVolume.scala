@@ -18,7 +18,7 @@ import graft.operators.SearchIndex
   *     unique-heavy vocabulary worst case, nothing for map-side combine
   *     to collapse.
   *
-  * Two shapes:
+  * Five shapes:
   *
   *   1. **invertedIndex(cap=20)**: the two-level postings window must
   *      spread the stopword's 500k postings across input partitions
@@ -40,6 +40,14 @@ import graft.operators.SearchIndex
   *      surface the five planted docs, the stopword query returns its
   *      k rows without concentrating 500k candidate rows on one task
   *      (listener bound), and the whole batch runs in ONE plan.
+  *   4. **bm25BatchTopK fallback regime** (r16): 10,002 queries forced
+  *      through the distributed (no query-side broadcast/collect) regime —
+  *      salted joins, native Bm25Idf, worst-task bound.
+  *   5. **hot QUERY-SIDE term spill** (r17): 100k queries, a third
+  *      sharing one term — the SMJ scoring join's buffered (term, salt)
+  *      query group must take its SPILL path (asserted via task-metrics
+  *      disk-spill bytes under forced buffer thresholds), the shape the
+  *      r16 SMJ swap was designed for but shape 4 never exercised.
   *
   * Success criteria are printed and asserted; wall gates are generous
   * (they catch complexity-class regressions, not environment noise).
@@ -202,6 +210,67 @@ object SearchVolume {
     assert(worstBig < nDocs * 7 / 10,
       f"fallback regime concentrated a hot key: worst task $worstBig%,d rows")
     assert(tBig < 180.0, f"fallback batch BM25 took $tBig%.1f s — complexity regression")
+
+    // -- shape 5: hot QUERY-SIDE term — the SMJ scoring join must SPILL -----
+    // The r16 SMJ swap exists for a term appearing in a large fraction of a
+    // prompt sweep: the scoring join's buffered side holds EVERY query row
+    // of the current (term, salt) group, which for such a term is unbounded
+    // — a shuffle-hash build there is memory-resident and OOMs, while SMJ's
+    // ExternalAppendOnlyUnsafeRowArray spills the group to disk. Shape 4's
+    // query side is benign (the stopword group is 32 rows), so this shape
+    // plants `needle` (corpus df = 5, keeping the join OUTPUT small) into
+    // a third of 100k queries: the (needle, salt) group buffers 33,334
+    // query rows per salt bucket. The session's SMJ buffer thresholds are
+    // forced low (in-memory 1,024 rows / spill 8,192 rows — the idiom
+    // Spark's own SortMergeJoin spill tests use) so the group MUST take the
+    // spill path at rehearsal scale; the assertion is on task-metrics disk
+    // spill bytes: > 0 proves the buffer went through the spillable array,
+    // not a resident buffer. Default thresholds are restored after.
+    // fallbackSaltBuckets is left at the auto default — n = 500k derives
+    // 32 (the probe assertion below), so this shape also rehearses the r17
+    // df-aware width end-to-end.
+    spark.conf.set("spark.sql.sortMergeJoinExec.buffer.in.memory.threshold", "1024")
+    spark.conf.set("spark.sql.sortMergeJoinExec.buffer.spill.threshold", "8192")
+    val spillListener = StageShuffleListener.install(spark)
+    val hotQueries = spark.range(100000).select(
+      col("id").as("qid"),
+      concat(
+        lit("w"), col("id") * 5L, lit("_3 w"), col("id") * 5L, lit("_7"),
+        when(col("id") % 3 === 0, lit(" needle")).otherwise(lit("")))
+        .as("qtext"))
+    val (hot, tHot) = time("bm25BatchTopK hot query-side term: 100k queries, 33,334 share `needle`, k=5") {
+      SearchIndex.bm25BatchTopK(docs, col("doc_id"), col("text"),
+        hotQueries, col("qid"), col("qtext"), k = 5,
+        broadcastQueryTermMax = 1000L).collect()
+    }
+    assert(SearchIndex.lastFallbackSaltBuckets == 32,
+      s"auto salt width at n=500k must derive 32, got ${SearchIndex.lastFallbackSaltBuckets}")
+    val byHotQ = hot.groupBy(_.getLong(0)).withDefaultValue(Array.empty)
+    // every query's own doc (matched by its two globally-unique tokens)
+    // must outrank the needle docs; non-needle queries match ONLY their doc
+    (0L until 100000L by 997L).foreach { q =>   // stride keeps the driver loop cheap
+      val rows = byHotQ(q).sortBy(r => (-r.getLong(2), r.getLong(1)))
+      assert(rows.nonEmpty && rows.head.getLong(1) == q * 5L,
+        s"hot-shape query $q must rank its own doc first: got ${rows.map(_.getLong(1)).toSeq}")
+      val want = if (q % 3 == 0) 5 else 1
+      assert(rows.length == want,
+        s"hot-shape query $q: ${rows.length} rows, want $want (own doc ${if (want == 5) "+ 4 needle docs" else "only"})")
+    }
+    spillListener.drain(minTotalRows = 1000000L)
+    val worstHot = spillListener.worstTaskRows
+    val spillDisk = spillListener.totalDiskSpillBytes
+    val spillMem = spillListener.totalMemorySpillBytes
+    println(f"[search-vol] hot-query-side worst shuffle task: $worstHot%,d rows; " +
+      f"spill: $spillMem%,d bytes memory / $spillDisk%,d bytes disk")
+    assert(worstHot < nDocs * 7 / 10,
+      f"hot query-side term concentrated: worst task $worstHot%,d rows")
+    assert(spillDisk > 0L,
+      "the SMJ scoring join must SPILL the 33,334-row (needle, salt) query group " +
+        "under the forced thresholds — zero disk spill means the group was " +
+        "resident-buffered and the spillability claim is untested")
+    assert(tHot < 240.0, f"hot query-side batch BM25 took $tHot%.1f s — complexity regression")
+    spark.conf.unset("spark.sql.sortMergeJoinExec.buffer.in.memory.threshold")
+    spark.conf.unset("spark.sql.sortMergeJoinExec.buffer.spill.threshold")
     spark.stop()
   }
 }

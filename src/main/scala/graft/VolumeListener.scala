@@ -18,6 +18,11 @@ import org.apache.spark.sql.SparkSession
   * failing loudly on timeout. */
 final class StageShuffleListener extends SparkListener {
   val stageMax = new ConcurrentHashMap[Int, (Long, Long, Int)]()
+  // per-stage (memoryBytesSpilled, diskBytesSpilled) sums: proof that a
+  // spill-capable operator (SMJ group buffer, sort, aggregate) actually
+  // exercised its spill path under a rehearsal's forced thresholds rather
+  // than resident-buffering the hot group (SearchVolume shape 5)
+  val stageSpill = new ConcurrentHashMap[Int, (Long, Long)]()
 
   override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
     val m = t.taskMetrics
@@ -25,6 +30,9 @@ final class StageShuffleListener extends SparkListener {
       val r = m.shuffleReadMetrics.recordsRead
       stageMax.merge(t.stageId, (r, r, 1),
         (a, b) => (math.max(a._1, b._1), a._2 + b._2, a._3 + b._3))
+      if (m.memoryBytesSpilled > 0L || m.diskBytesSpilled > 0L)
+        stageSpill.merge(t.stageId, (m.memoryBytesSpilled, m.diskBytesSpilled),
+          (a, b) => (a._1 + b._1, a._2 + b._2))
     }
   }
 
@@ -35,6 +43,13 @@ final class StageShuffleListener extends SparkListener {
 
   /** Max per-task shuffle-read rows across all observed stages. */
   def worstTaskRows: Long = stages.map(_._2._1).maxOption.getOrElse(0L)
+
+  /** Total bytes written to DISK by spilling operators across all observed
+    * stages (0 when nothing spilled). */
+  def totalDiskSpillBytes: Long = stageSpill.asScala.values.map(_._2).sum
+
+  /** Total in-memory bytes released by spills across all observed stages. */
+  def totalMemorySpillBytes: Long = stageSpill.asScala.values.map(_._1).sum
 
   /** Wait for the async bus to deliver everything: poll until the total
     * observed task count is unchanged between polls AND the caller's

@@ -73,6 +73,77 @@ object FlatbuffersPayloadCodec extends EnginePayloadCodec {
   private object RawOk { val NumRecords = 0; val NumFields = 1 }
   private object Err { val Message = 0; val Backtrace = 1; val NumFields = 2 }
 
+  /** The compiled-in slot assignments, keyed by engine.fbs table name with
+    * fields in slot order (unions expanded to their two slots,
+    * `<name>_type` / `<name>`, per the layout rules pinned in engine.fbs).
+    * FlatbuffersGoldenBytesSpec walks this map against a fresh parse of the
+    * vendored schema TEXT, so an engine.fbs edit that reorders or renames
+    * fields fails a spec immediately — even without regenerating the golden
+    * bytes (r17, closing the carried wire-format item as far as offline
+    * allows). Built from the same constants the codec reads/writes with, so
+    * it cannot drift from the code. */
+  private[server] val slotTables: Map[String, Seq[(String, Int)]] = Map(
+    "TransformRequest" -> Seq(
+      "dataset_id" -> Req.DatasetId, "dataset_alias" -> Req.DatasetAlias,
+      "system_time" -> Req.SystemTime, "vocab" -> Req.Vocab,
+      "transform_type" -> Req.TransformType, "transform" -> Req.Transform,
+      "query_inputs" -> Req.QueryInputs, "next_offset" -> Req.NextOffset,
+      "prev_checkpoint_path" -> Req.PrevCheckpointPath,
+      "new_checkpoint_path" -> Req.NewCheckpointPath,
+      "new_data_path" -> Req.NewDataPath),
+    "TransformRequestInput" -> Seq(
+      "dataset_id" -> In.DatasetId, "dataset_alias" -> In.DatasetAlias,
+      "query_alias" -> In.QueryAlias, "vocab" -> In.Vocab,
+      "offset_interval" -> In.OffsetInterval, "data_paths" -> In.DataPaths,
+      "schema_file" -> In.SchemaFile,
+      "explicit_watermarks" -> In.ExplicitWatermarks),
+    "RawQueryRequest" -> Seq(
+      "input_data_paths" -> Raw.InputDataPaths,
+      "transform_type" -> Raw.TransformType, "transform" -> Raw.Transform,
+      "output_data_path" -> Raw.OutputDataPath),
+    "TransformSql" -> Seq(
+      "engine" -> Sql.Engine, "version" -> Sql.Version, "query" -> Sql.Query,
+      "queries" -> Sql.Queries, "temporal_tables" -> Sql.TemporalTables),
+    "SqlQueryStep" -> Seq("alias" -> Step.Alias, "query" -> Step.Query),
+    "DatasetVocabulary" -> Seq(
+      "offset_column" -> Vocab.OffsetColumn,
+      "operation_type_column" -> Vocab.OperationTypeColumn,
+      "system_time_column" -> Vocab.SystemTimeColumn,
+      "event_time_column" -> Vocab.EventTimeColumn),
+    "OffsetInterval" -> Seq("start" -> Interval.Start, "end" -> Interval.End),
+    "Watermark" -> Seq(
+      "system_time" -> Wm.SystemTime, "event_time" -> Wm.EventTime),
+    "TransformResponseRoot" -> Seq(
+      "value_type" -> Root.ValueType, "value" -> Root.Value),
+    "RawQueryResponseRoot" -> Seq(
+      "value_type" -> Root.ValueType, "value" -> Root.Value),
+    "TransformResponseSuccess" -> Seq(
+      "new_offset_interval" -> TxOk.NewOffsetInterval,
+      "new_watermark" -> TxOk.NewWatermark),
+    "RawQueryResponseSuccess" -> Seq("num_records" -> RawOk.NumRecords),
+    "TransformResponseInvalidQuery" -> Seq("message" -> Err.Message),
+    "TransformResponseInternalError" -> Seq(
+      "message" -> Err.Message, "backtrace" -> Err.Backtrace),
+    "RawQueryResponseInvalidQuery" -> Seq("message" -> Err.Message),
+    "RawQueryResponseInternalError" -> Seq(
+      "message" -> Err.Message, "backtrace" -> Err.Backtrace))
+
+  /** Union variant discriminants as compiled in (1-based declaration
+    * order), keyed by union name — walked against engine.fbs alongside
+    * [[slotTables]]. */
+  private[server] val unionVariants: Map[String, Seq[(String, Byte)]] = Map(
+    "Transform" -> Seq("TransformSql" -> TransformSqlVariant),
+    "TransformResponse" -> Seq(
+      "TransformResponseProgress" -> VariantProgress,
+      "TransformResponseInvalidQuery" -> VariantInvalidQuery,
+      "TransformResponseInternalError" -> VariantInternalError,
+      "TransformResponseSuccess" -> VariantSuccess),
+    "RawQueryResponse" -> Seq(
+      "RawQueryResponseProgress" -> VariantProgress,
+      "RawQueryResponseInvalidQuery" -> VariantInvalidQuery,
+      "RawQueryResponseInternalError" -> VariantInternalError,
+      "RawQueryResponseSuccess" -> VariantSuccess))
+
   // =========================================================== timestamps ==
 
   /** struct Timestamp: int32 year @0, uint16 ordinal @4, pad @6,

@@ -50,6 +50,9 @@ object Dedup extends org.apache.spark.internal.Logging {
     * to that formulation (same positions, same order, same concat/hash),
     * so every pinned recall fact carries over unchanged. */
   def lshBuckets(df: DataFrame, id: Column, sig: Column, bands: Int): DataFrame = {
+    // named validation (r16 advice): bands = 0 otherwise surfaces as an
+    // opaque runtime 'sequence step must not be zero' from the band walk
+    require(bands >= 1, s"lshBuckets needs bands >= 1, got $bands")
     val bandArr = when(size(sig) > 0,
       transform(sequence(lit(0), least(lit(bands), size(sig)) - 1), b =>
         xxhash64(concat_ws(",",

@@ -29,6 +29,9 @@ object Packing {
       orderCol: Column,
       sizeCol: Column,
       capacity: Int): DataFrame = {
+    // named validation (r17, the lshBuckets idiom): capacity = 0 otherwise
+    // NULLs every bin under non-ANSI division — a silently empty packing
+    require(capacity > 0, s"packIntoBins needs capacity > 0, got $capacity")
     val w = Window.partitionBy(shardCols.map(col): _*).orderBy(orderCol)
     df.withColumn("tok_start", coalesce(sum(sizeCol).over(w) - sizeCol, lit(0L)).cast("long"))
       .withColumn("bin", floor(col("tok_start") / capacity).cast("long"))

@@ -40,6 +40,33 @@ object SearchIndex {
       a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
       b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
+  /** df-aware salt width for [[bm25BatchTopK]]'s fallback regime: a hot
+    * term's worst join task carries ~df/buckets rows and df is bounded by
+    * the corpus doc count (a term appears in at most every doc), so the
+    * width scales with n — next power of two of n/targetRowsPerTask,
+    * clamped to [32, 1024]. The clamp floor keeps small corpora at the
+    * rehearsed width (500k docs → 32, unchanged from the fixed-32 era);
+    * the ceiling bounds the ×buckets replication of the query-derived
+    * sides while still capping a universal stopword at n = 10⁹ to
+    * ~10⁹/1024 ≈ 1M rows per task (vs ~30M at fixed 32). Pure — the spec
+    * pins the derivation table directly. */
+  private[operators] def autoSaltBuckets(
+      nDocs: Long, targetRowsPerTask: Long = 250000L): Int = {
+    val needed = math.max(1L, (nDocs + targetRowsPerTask - 1L) / targetRowsPerTask)
+    val pow2 =
+      if (java.lang.Long.bitCount(needed) == 1) needed
+      else java.lang.Long.highestOneBit(needed) << 1
+    math.min(1024L, math.max(32L, pow2)).toInt
+  }
+
+  private val saltBucketsProbe = new ThreadLocal[Integer]
+  /** The effective fallback salt width the LAST [[bm25BatchTopK]] call on
+    * this thread used (explicit argument or [[autoSaltBuckets]] derivation;
+    * −1 before any call). ThreadLocal so concurrent sessions can't race —
+    * the LanguageModel.lastTrainHost observability idiom. */
+  private[graft] def lastFallbackSaltBuckets: Int =
+    Option(saltBucketsProbe.get).map(_.intValue).getOrElse(-1)
+
   /** BM25 top-k retrieval over the corpus (Lucene's non-negative idf
     * variant): score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
     * idf(t) = ln((N−df+0.5)/(df+0.5) + 1) — the query-side counterpart of
@@ -178,8 +205,8 @@ object SearchIndex {
     *     (StrictMath.log, same operation order) instead of a driver
     *     collect+fold, so no driver materialization grows with the query
     *     table and `spark.driver.maxResultSize` is never in play. The salt
-    *     (corpus-side hash mod `fallbackSaltBuckets`; query-derived side
-    *     exploded ×buckets) exists because a bare-`term` join key
+    *     (corpus-side hash mod the effective bucket count; query-derived
+    *     side exploded ×buckets) exists because a bare-`term` join key
     *     concentrates a stopword's postings on ONE task — measured in
     *     SearchVolume shape 4: df=500k ⇒ a 1.16M-row worst task unsalted
     *     vs 273k salted (the balanced per-partition stream share; the hot
@@ -190,15 +217,22 @@ object SearchIndex {
     *     honestly: the corpus token stream's shuffle is no longer
     *     broadcast-pruned map-side and the tf aggregate re-shuffles its
     *     output (two corpus-derived exchanges instead of one), plus
-    *     ×buckets replication of the query-derived join sides. */
+    *     ×buckets replication of the query-derived join sides.
+    *
+    * `fallbackSaltBuckets = 0` (the default) derives the salt width from
+    * the corpus size via [[autoSaltBuckets]] — df ≤ n, so the worst
+    * hot-term task is bounded by max(250k, n/1024) rows instead of df/32
+    * at any scale; pass a positive value to pin the width (rehearsals and
+    * the degenerate-width fuzz cases do). */
   def bm25BatchTopK(
       docs: DataFrame, id: Column, text: Column,
       queries: DataFrame, queryId: Column, queryText: Column,
       k: Int, k1: Double = 1.2, b: Double = 0.75,
       broadcastQueryTermMax: Long = 1000000L,
-      fallbackSaltBuckets: Int = 32): DataFrame = {
+      fallbackSaltBuckets: Int = 0): DataFrame = {
     require(k > 0, "bm25BatchTopK needs k > 0")
-    require(fallbackSaltBuckets > 0, "bm25BatchTopK needs fallbackSaltBuckets > 0")
+    require(fallbackSaltBuckets >= 0,
+      "bm25BatchTopK needs fallbackSaltBuckets >= 0 (0 = derive from corpus size)")
     val base = docs
       .select(id.as("doc_id"), TextOps.tokens(text).as("toks"))
       .select(col("doc_id"), col("toks"), size(col("toks")).cast("double").as("dl"))
@@ -236,17 +270,32 @@ object SearchIndex {
     // posting of a stopword to one task (SearchVolume shape 4 measured a
     // 1.16M-row worst task at df=500k). The corpus-derived side salts by
     // its own doc id hash; the query-derived side explodes ×buckets, so
-    // each hot term spreads over `fallbackSaltBuckets` tasks at ×buckets
-    // replication of the SMALL side only. The vocab prune below is
-    // shuffle-hash (build side = exploded DISTINCT terms — exactly one row
-    // per (term, salt) key, structurally bounded; the hint also keeps
+    // each hot term spreads over `effSalt` tasks at ×buckets replication
+    // of the SMALL side only. The vocab prune below is shuffle-hash
+    // (build side = exploded DISTINCT terms — exactly one row per
+    // (term, salt) key, structurally bounded; the hint also keeps
     // auto-broadcast from re-introducing the very materialization the gate
     // rejected); the scoring join further down is sort-merge — see there.
-    val salts = array((0 until fallbackSaltBuckets).map(lit): _*)
+    //
+    // Salt WIDTH is df-aware (r17, closing the fixed-32 finding): the
+    // worst hot key carries ~df/buckets rows per task and df ≤ n (a term
+    // can appear in at most every doc), so the width derives from the n
+    // this plan already computed — nothing extra is aggregated. A fixed 32
+    // was correct at every rehearsed scale but left ~30M-row tasks at a
+    // true 100-TB stopword df (10⁹ postings / 32); the derived width caps
+    // the implied worst task at max(targetRows, n/1024) ≈ 1M rows at
+    // n = 10⁹. Explicit positive arguments bypass the derivation (the
+    // fuzz family pins degenerate widths 1/2/7 for merge-semantics
+    // equality), and the chosen width is observable through
+    // [[lastFallbackSaltBuckets]] — the LanguageModel.lastTrainHost idiom.
+    val effSalt =
+      if (fallbackSaltBuckets > 0) fallbackSaltBuckets else autoSaltBuckets(n)
+    saltBucketsProbe.set(effSalt)
+    val salts = array((0 until effSalt).map(lit): _*)
     val cand = (
         if (smallQuery) stream.join(broadcast(qvocab), Seq("term"))
         else stream
-          .withColumn("__salt", pmod(xxhash64(col("doc_id")), lit(fallbackSaltBuckets)))
+          .withColumn("__salt", pmod(xxhash64(col("doc_id")), lit(effSalt)))
           .join(qvocab.withColumn("__salt", explode(salts)).hint("shuffle_hash"),
             Seq("term", "__salt"))
           .drop("__salt"))
@@ -299,7 +348,7 @@ object SearchIndex {
         //     key group in a spillable array. Same exchange count, and
         //     both sorts spill.
         cand
-          .withColumn("__salt", pmod(xxhash64(col("doc_id")), lit(fallbackSaltBuckets)))
+          .withColumn("__salt", pmod(xxhash64(col("doc_id")), lit(effSalt)))
           .join(idfDf.withColumn("__salt", explode(salts)).hint("shuffle_hash"),
             Seq("term", "__salt"))
           .join(qterms.withColumn("__salt", explode(salts)).hint("merge"),

@@ -52,7 +52,11 @@ object Sketches {
     * CMS (eps × confidence sized) + ≤ localCap candidates, independent of
     * corpus size.
     *
-    * Returns (token, est_count) for the top-k candidates by estimate. */
+    * Returns (token, est_count) for the top-k candidates by estimate.
+    * NULL tokens are dropped before the pass (r17 review): they are not a
+    * countable item — `CountMinSketch.addString(null)` NPEs the executor —
+    * and a dirty corpus must degrade to defined results, not a task
+    * failure. */
   def heavyHitters(
       tokens: DataFrame,
       tokenCol: String,
@@ -66,7 +70,8 @@ object Sketches {
     def zero: Acc =
       (CountMinSketch.create(eps, confidence, 42),
         scala.collection.mutable.HashMap.empty[String, Long])
-    val (sketch, mg) = tokens.select(col(tokenCol)).as[String].rdd
+    val (sketch, mg) = tokens.select(col(tokenCol)).filter(col(tokenCol).isNotNull)
+      .as[String].rdd
       .treeAggregate(zero)(
         seqOp = { case ((cms, counts), t) =>
           cms.addString(t)

@@ -20,6 +20,9 @@ object SkewOps {
   def saltedAggregate(
       df: DataFrame, keys: Seq[Column], buckets: Int,
       partial: Seq[(String, Column)], finalAgg: Seq[Column => Column]): DataFrame = {
+    // named validation (r17, the lshBuckets idiom): pmod(·, 0) is NULL,
+    // which would silently collapse the salting into one NULL bucket
+    require(buckets >= 1, s"saltedAggregate needs buckets >= 1, got $buckets")
     val salted = df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)))
     val stage1 = salted
       .groupBy(keys :+ col("__salt"): _*)
@@ -39,6 +42,9 @@ object SkewOps {
   def saltedJoin(
       left: DataFrame, right: DataFrame, leftKey: Column, rightKey: Column,
       buckets: Int): DataFrame = {
+    // named validation (r17): buckets = 0 gives NULL left salts vs a
+    // [0, -1] right sequence — a silently EMPTY join, the worst failure
+    require(buckets >= 1, s"saltedJoin needs buckets >= 1, got $buckets")
     val saltedLeft = left.withColumn("__salt",
       pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)).cast("int"))
     val replicatedRight = right.withColumn("__salt",

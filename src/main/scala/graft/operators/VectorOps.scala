@@ -198,16 +198,21 @@ object VectorOps extends org.apache.spark.internal.Logging {
     // head NPE'd the driver map, and a NaN/Inf-element vector poisons
     // kmeansCentroids permanently (its dots are all NaN, so it always
     // lands in centroid 0 and its elements enter the mean) — dead cell,
-    // silent recall loss. Null rows drop; non-finite rows drop from the
-    // SEED only (they still get assigned and scored like any row).
+    // silent recall loss. NULL rows are filtered BEFORE the limit (r17,
+    // closing the r16 advice note): dropping them after meant null rows
+    // THINNED the seed — an all-null hash-ordered head over a corpus with
+    // real vectors past sampleN returned zero neighbors despite real ones
+    // existing. Non-finite rows drop from the SEED only (they still get
+    // assigned and scored like any row).
     val allSampled: Array[Array[Double]] = corpus
+      .filter(col(corpusVec).isNotNull)
       .orderBy(xxhash64(col(corpusId)), col(corpusId)).limit(sampleN)
       .select(col(corpusVec)).collect()
       .flatMap(r => Option(r.getSeq[Float](0)).map(_.map(_.toDouble).toArray))
     val finiteSampled = allSampled.filter(_.forall(java.lang.Double.isFinite))
     val sample = if (finiteSampled.nonEmpty) finiteSampled else allSampled
     if (sample.isEmpty) {
-      // empty (or all-NULL-sample) corpus: no centroids to train and no
+      // empty (or all-NULL-vector) corpus: no centroids to train and no
       // neighbors to return — an empty frame with the output schema, not
       // an NPE/AIOOBE from k-means
       return bruteForceTopK(corpus, queries.limit(0), k,
@@ -262,10 +267,17 @@ object VectorOps extends org.apache.spark.internal.Logging {
       corpus: DataFrame, vecCol: String, k: Int, iters: Int = 5,
       idCol: String = "vec_id", sampleN: Int = 2048): Array[Seq[Float]] = {
     graft.functions.NativeHashes.register(corpus.sparkSession)
+    // NULL rows are filtered BEFORE the limit (r17, closing the r16 advice
+    // note): filtering after meant null rows thinned the seed sample, and
+    // an all-null hash-ordered head over a corpus with real vectors past
+    // sampleN threw EmptyCorpusException despite trainable vectors
+    // existing (semanticDedup then silently self-labeled the whole corpus).
     val sampledRows = corpus
+      .filter(col(vecCol).isNotNull)
       .orderBy(xxhash64(col(idCol)), col(idCol)).limit(sampleN)
       .select(col(vecCol)).collect()
-    if (sampledRows.isEmpty) throw new EmptyCorpusException("kmeansFit on an empty corpus")
+    if (sampledRows.isEmpty) throw new EmptyCorpusException(
+      "kmeansFit: no row with a non-NULL embedding to seed from")
     // SANITIZED seed (r16 review): NULL rows NPE'd the driver map, and a
     // NaN/Inf-element vector poisons kmeansCentroids permanently (its dots
     // are all NaN so it always lands in centroid 0 and its elements enter
@@ -275,13 +287,15 @@ object VectorOps extends org.apache.spark.internal.Logging {
     // centroids then carry NaN, every assignment resolves through the
     // deterministic -Inf-cosine rule, and the dedup guards (NaN pair
     // filter, nonZero collapse gate) still produce the contracted
-    // self-labels. A corpus whose every sampled vector is NULL has nothing
-    // to seed from at all — typed emptiness, which semanticDedup converts
-    // to all-self labels.
+    // self-labels. A corpus with no non-NULL vector at all has nothing to
+    // seed from — typed emptiness from the pre-filtered sample collect
+    // above, which semanticDedup converts to all-self labels.
     val allSampled: Array[Array[Double]] = sampledRows
       .flatMap(r => Option(r.getSeq[Float](0)).map(_.map(_.toDouble).toArray))
     val finiteSampled = allSampled.filter(_.forall(java.lang.Double.isFinite))
     val sample = if (finiteSampled.nonEmpty) finiteSampled else allSampled
+    // unreachable since the isNotNull pre-filter (r17), kept as a typed
+    // guard against a future sampling-path edit reintroducing NULLs
     if (sample.isEmpty) throw new EmptyCorpusException(
       "kmeansFit: no non-NULL embedding among the sampled rows")
     // seed from the driver-side sample (1 Lloyd round), then refine with
@@ -458,11 +472,13 @@ object VectorOps extends org.apache.spark.internal.Logging {
       try kmeansFit(rows, "v", k, kmeansIters, idCol = "id")
       catch {
         case _: EmptyCorpusException =>
-          // truly empty corpus → empty labeling; a non-empty corpus whose
-          // every sampled vector is NULL → every row labels ITSELF (no
-          // direction ⇒ nobody's duplicate; an empty labeling here would
-          // silently drop the rows — r16 review). Both cases are the same
-          // select: self-labels over whatever rows exist.
+          // truly empty corpus → empty labeling; a non-empty corpus with
+          // NO non-NULL vector anywhere (r17: the seed sample pre-filters
+          // NULLs, so a merely null-headed sample no longer lands here) →
+          // every row labels ITSELF (no direction ⇒ nobody's duplicate; an
+          // empty labeling here would silently drop the rows — r16
+          // review). Both cases are the same select: self-labels over
+          // whatever rows exist.
           return SemanticDedupResult(
             corpus.select(col(id), col(id).as("rep")), 0L, 0L)
       }

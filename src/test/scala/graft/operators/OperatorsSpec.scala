@@ -828,6 +828,24 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
         r.getAs[Long]("n_tokens"), r.getAs[Long]("tok_start"), r.getAs[Long]("bin")))
     assert(reparted.toSet == packed.toSet)
+    // named validation (r17): capacity = 0 would NULL every bin silently
+    assertThrows[IllegalArgumentException](
+      Packing.packIntoBins(docs, Seq("source"), col("doc_id"), col("n_tokens"), 0))
+  }
+
+  test("skew ops: degenerate bucket counts are a named error, not a NULL-salt result") {
+    import spark.implicits._
+    // buckets = 0 previously made saltedJoin silently EMPTY (NULL left
+    // salts never match the right's [0, -1] sequence) and collapsed
+    // saltedAggregate into one NULL bucket — both are now rejected loudly
+    val df = Seq((1L, 2L)).toDF("k", "v")
+    assertThrows[IllegalArgumentException](
+      SkewOps.saltedJoin(df, df, col("k"), col("k"), buckets = 0))
+    assertThrows[IllegalArgumentException](
+      SkewOps.saltedAggregate(df, Seq(col("k")), 0,
+        Seq("s" -> sum(col("v"))), Seq(c => sum(c))))
+    assertThrows[IllegalArgumentException](
+      Dedup.lshBuckets(df, col("k"), array(lit(1L)), bands = 0))
   }
 
   test("compaction: many tiny files become few target-sized files, data unchanged") {
@@ -918,6 +936,14 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the planted head must come back as the top 5, in order
     assert(est.take(5).map(_._1).toSeq == hot.map(_._1),
       s"planted heavy hitters not recovered in order: ${est.take(5).toSeq}")
+    // NULL tokens are not countable items (r17): a dirty token column must
+    // degrade to the same answer over its non-NULL rows, not NPE the
+    // executor inside CountMinSketch.addString
+    val dirty = toks.unionAll(Seq.fill(50)(null: String).toDF("token"))
+    val estDirty = Sketches.heavyHitters(dirty, "token", k = 5, eps = eps)
+      .collect().map(_.getString(0)).toSeq
+    assert(estDirty == hot.map(_._1),
+      s"NULL tokens perturbed the heavy-hitter head: $estDirty")
   }
 
   test("approx sketches: HLL within 5% and t-digest median within 1% of exact (sf0.01)") {
@@ -1797,8 +1823,13 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rows = Seq((1L, "alpha beta"), (2L, "alpha gamma"),
       (2L, "alpha gamma"), (3L, "beta beta alpha"))
     val corpus = rows.toDF("doc_id", "text")
-    val got = SearchIndex.bm25BatchTopK(corpus, col("doc_id"), col("text"),
-        Seq((9L, "alpha beta")).toDF("qid", "qtext"), col("qid"), col("qtext"), k = 10)
+    // BOTH regimes (r17): the broadcast path and the salted-join fallback
+    // share the tf-merging cand aggregate, so their duplicate-id semantics
+    // must pin to the SAME replica — a fallback-only divergence here would
+    // otherwise hide behind the regime gate
+    def got(btm: Long) = SearchIndex.bm25BatchTopK(corpus, col("doc_id"), col("text"),
+        Seq((9L, "alpha beta")).toDF("qid", "qtext"), col("qid"), col("qtext"), k = 10,
+        broadcastQueryTermMax = btm)
       .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(identity).toSeq
     val k1 = 1.2; val b = 0.75
     val toks = rows.map { case (id, t) => (id, t.split("\\s+").toSeq) }
@@ -1822,7 +1853,39 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       }.sortBy(_._1).map(_._2).foldLeft(0.0)(_ + _)
     }.toSeq.map { case (id, s) => (id, math.floor(s * 1e4).toLong) }
       .sortBy(identity)
-    assert(got == want, s"got=$got want=$want")
+    assert(got(1000000L) == want, s"broadcast regime: got=${got(1000000L)} want=$want")
+    assert(got(0L) == want, s"fallback regime: got=${got(0L)} want=$want")
+  }
+
+  test("bm25BatchTopK: auto salt width derives from corpus size, explicit widths bypass") {
+    import spark.implicits._
+    // the derivation table (pure function): floor 32 below 8M docs, next
+    // pow-2 of n/250k between, ceiling 1024 from 256M docs up — the worst
+    // hot-term task is then bounded by max(250k, n/1024) at ANY corpus size
+    assert(SearchIndex.autoSaltBuckets(0L) == 32)
+    assert(SearchIndex.autoSaltBuckets(500000L) == 32)       // the rehearsed width
+    assert(SearchIndex.autoSaltBuckets(8000000L) == 32)      // 32 × 250k — boundary
+    assert(SearchIndex.autoSaltBuckets(8000001L) == 64)
+    assert(SearchIndex.autoSaltBuckets(100000000L) == 512)   // 400 → next pow2
+    assert(SearchIndex.autoSaltBuckets(1000000000L) == 1024) // the 100-TB stopword df
+    assert(SearchIndex.autoSaltBuckets(Long.MaxValue / 2) == 1024) // ceiling holds
+    // end-to-end: the default (0) derives from n and the probe records it;
+    // an explicit width is honored verbatim — results identical either way
+    val corpus = (0L until 40L).map(i => (i, s"tok$i shared")).toDF("doc_id", "text")
+    val queries = Seq((1L, "shared tok3")).toDF("qid", "qtext")
+    def run(salt: Int) = SearchIndex.bm25BatchTopK(corpus, col("doc_id"), col("text"),
+        queries, col("qid"), col("qtext"), k = 5,
+        broadcastQueryTermMax = 0L, fallbackSaltBuckets = salt)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(identity).toSeq
+    val auto = run(0)
+    assert(SearchIndex.lastFallbackSaltBuckets == 32,
+      s"n=40 must derive the floor width 32, got ${SearchIndex.lastFallbackSaltBuckets}")
+    val explicit = run(7)
+    assert(SearchIndex.lastFallbackSaltBuckets == 7,
+      s"explicit width must be honored verbatim, got ${SearchIndex.lastFallbackSaltBuckets}")
+    assert(auto.nonEmpty && explicit == auto,
+      s"salt width must never change results: auto=$auto explicit7=$explicit")
+    assertThrows[IllegalArgumentException](run(-1))
   }
 
   test("BPE vocabTopK: no-op at K >= vocab; truncation trains exactly on the head vocabulary") {

@@ -1203,10 +1203,17 @@ object TextContractChecks {
     // half the seeds force the distributed large-query-table regime
     // (broadcastQueryTermMax = 0): both regimes must match bm25TopK on the
     // same hostile corpora/query tables, so the Bm25Idf + shuffle-join
-    // fallback gets the same adversarial coverage as the broadcast path
+    // fallback gets the same adversarial coverage as the broadcast path.
+    // Salt width flips too (r17): 0 = the df-aware auto derivation, plus
+    // the degenerate widths the boundary arithmetic must survive — 1 (no
+    // spread at all: explode(array(0)) and pmod(·, 1) both collapse to a
+    // single bucket), 2, and non-power-of-2 7. Results must be identical
+    // at every width (the salt is partitioning, never semantics).
     val btm = if (rnd.nextBoolean()) 0L else 1000000L
+    val saltB = Vector(0, 1, 2, 7)(rnd.nextInt(4))
     val got = SearchIndex.bm25BatchTopK(corpusDf, col("doc_id"), col("text"),
-        qDf, col("qid"), col("qtext"), k, broadcastQueryTermMax = btm)
+        qDf, col("qid"), col("qtext"), k, broadcastQueryTermMax = btm,
+        fallbackSaltBuckets = saltB)
       .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
       .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(identity).toSeq).toMap
     val wantKeys = mutable.HashSet.empty[Long]
