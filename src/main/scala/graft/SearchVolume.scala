@@ -262,7 +262,16 @@ object SearchVolume {
     val spillMem = spillListener.totalMemorySpillBytes
     println(f"[search-vol] hot-query-side worst shuffle task: $worstHot%,d rows; " +
       f"spill: $spillMem%,d bytes memory / $spillDisk%,d bytes disk")
-    assert(worstHot < nDocs * 7 / 10,
+    // The row bound here is WIDER than shapes 1-4's 0.7·nDocs: this shape's
+    // exploded query side is byte-tiny (~30 B/row), so AQE legitimately
+    // COALESCES its 7.5M-row shuffle into ~15 even tasks of ~500k rows
+    // (measured 506k — 7.47M / 506k ≈ 15 tasks at the 64 MB advisory
+    // target). That is balance, not concentration; the hazard this shape
+    // exists for is the SMJ's per-(term, salt) group BUFFER, which the
+    // disk-spill assertion below covers. 2M rows still fails loudly on a
+    // complexity-class regression (an unsalted hot key or an accidental
+    // query×needle-doc blowup lands the full group product on one task).
+    assert(worstHot < 2000000L,
       f"hot query-side term concentrated: worst task $worstHot%,d rows")
     assert(spillDisk > 0L,
       "the SMJ scoring join must SPILL the 33,334-row (needle, salt) query group " +

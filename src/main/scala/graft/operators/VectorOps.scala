@@ -658,7 +658,17 @@ object VectorOps extends org.apache.spark.internal.Logging {
         cents, "v")
         .localCheckpoint(false),
       maxClusterSize, "existing")
-    val newIds = incoming.select(col(id).as("id"))
+    // CHECKPOINTED (r17, closing the r16 verdict's q_semantic_dedup_incr
+    // watch item — pinned-commit A/B attributed a ~0.3 s regression to this
+    // frame): `newIds` replaced the checkpointed newCk as the CC node set
+    // when null-embedding rows were excluded from clustering (they must
+    // still self-label), but the id subtree appears MULTIPLE times in the
+    // final plan (cc feeds both the anchors aggregate and the outer
+    // labeling join), and each occurrence re-executed the whole incoming
+    // plan — scans and transforms — where the pre-r16 shape replayed
+    // stored partitions. The frame is one id column of the incoming slice:
+    // materializing it is strictly cheaper than re-deriving it even once.
+    val newIds = incoming.select(col(id).as("id")).localCheckpoint(false)
     val newCk = assignClusters(
       incoming.select(col(id).as("id"), col(vec).as("v")).filter(col("v").isNotNull),
       cents, "v")
