@@ -46,7 +46,13 @@ object Sampling {
 
   /** Exactly-n uniform sample without replacement: the n smallest md5
     * hashes. A deterministic reservoir — growing the corpus only evicts
-    * rows with the largest hashes, it never reshuffles the survivors. */
+    * rows with the largest hashes, it never reshuffles the survivors.
+    *
+    * Determinism assumes distinct keys (the corpus-id convention shared
+    * with bm25BatchTopK): rows sharing a key share a hash, so WHICH of
+    * them survives when the duplicate class straddles the n-boundary is
+    * partition-order dependent — dedup first if duplicate keys carry
+    * different payloads (r17 review note). */
   def fixedSizeSample(df: DataFrame, key: Column, n: Int): DataFrame =
     df.withColumn("_h", md5(key.cast("string").cast("binary")))
       .orderBy(col("_h"))
