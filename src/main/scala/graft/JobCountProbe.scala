@@ -33,7 +33,20 @@ object JobCountProbe {
       SparkEntry.queries(name)(spark, "/root/testdata/sf0.1")
         .write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(1500) // listener bus drain
+      // Listener-bus drain: poll until the observed task count is stable
+      // across two consecutive polls (the StageShuffleListener.drain idiom)
+      // instead of a fixed sleep — on a loaded machine late task-end events
+      // would undercount exactly the metrics this probe exists to compare
+      // (r17 ADVICE). Bounded at 15 s, loud on timeout.
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      var prev = -1
+      while (prev != tasks.get) {
+        prev = tasks.get
+        Thread.sleep(200)
+        if (System.nanoTime() > deadline)
+          throw new IllegalStateException(
+            s"[probe] listener bus did not drain for $name (tasks=${tasks.get})")
+      }
       println(f"[probe] $name jobs=${jobs.get} tasks=${tasks.get} " +
         f"taskTimeMs=${taskMs.get} wall=$wall%.2f")
       spark.sparkContext.removeSparkListener(l)

@@ -227,8 +227,9 @@ object SearchVolume {
     // spill bytes: > 0 proves the buffer went through the spillable array,
     // not a resident buffer. Default thresholds are restored after.
     // fallbackSaltBuckets is left at the auto default — n = 500k derives
-    // 32 (the probe assertion below), so this shape also rehearses the r17
-    // df-aware width end-to-end.
+    // prune width 32, and the r18 max(df)-derived scoring width also lands
+    // on the 32 floor here (the probe assertion below), so this shape
+    // rehearses BOTH derivations end-to-end.
     spark.conf.set("spark.sql.sortMergeJoinExec.buffer.in.memory.threshold", "1024")
     spark.conf.set("spark.sql.sortMergeJoinExec.buffer.spill.threshold", "8192")
     val spillListener = StageShuffleListener.install(spark)

@@ -48,16 +48,38 @@ object Sampling {
     * hashes. A deterministic reservoir — growing the corpus only evicts
     * rows with the largest hashes, it never reshuffles the survivors.
     *
-    * Determinism assumes distinct keys (the corpus-id convention shared
-    * with bm25BatchTopK): rows sharing a key share a hash, so WHICH of
-    * them survives when the duplicate class straddles the n-boundary is
-    * partition-order dependent — dedup first if duplicate keys carry
-    * different payloads (r17 review note). */
-  def fixedSizeSample(df: DataFrame, key: Column, n: Int): DataFrame =
+    * Duplicate keys (r18, closing the r17 review caveat): rows sharing a
+    * key share a hash, so the md5 order alone would leave WHICH duplicate
+    * survives an n-boundary straddle to partition order. A full-row
+    * xxhash64 tiebreak makes the survivor set a pure function of content —
+    * same rows in, same rows out, on any partitioning. Rows identical in
+    * EVERY column still tie, and interchangeably so: whichever survives,
+    * the multiset of returned rows is the same. The plan stays the same
+    * TakeOrderedAndProject (per-partition heaps, driver merge of n rows —
+    * never a global sort).
+    *
+    * Map-typed columns are excluded from the tiebreak hash (xxhash64
+    * rejects MapType — maps have no canonical entry order); rows differing
+    * only in a map column therefore still tie, which is the pre-r18
+    * behavior for exactly those columns and exact-tie behavior for all
+    * others. */
+  def fixedSizeSample(df: DataFrame, key: Column, n: Int): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+    def hasMap(dt: DataType): Boolean = dt match {
+      case _: MapType    => true
+      case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+      case a: ArrayType  => hasMap(a.elementType)
+      case _             => false
+    }
+    val hashable =
+      df.schema.fields.filterNot(f => hasMap(f.dataType)).map(f => col(f.name)).toIndexedSeq
+    val tiebreak = if (hashable.isEmpty) lit(0L) else xxhash64(hashable: _*)
     df.withColumn("_h", md5(key.cast("string").cast("binary")))
-      .orderBy(col("_h"))
+      .withColumn("_rh", tiebreak)
+      .orderBy(col("_h"), col("_rh"))
       .limit(n)
-      .drop("_h")
+      .drop("_h", "_rh")
+  }
 
   /** Deterministic uniform draw in (0, 1]: 24 bits of md5(key). Coarse
     * enough to rebuild with integer arithmetic in any engine, fine enough

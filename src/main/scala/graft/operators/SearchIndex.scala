@@ -52,20 +52,50 @@ object SearchIndex {
     * pins the derivation table directly. */
   private[operators] def autoSaltBuckets(
       nDocs: Long, targetRowsPerTask: Long = 250000L): Int = {
-    val needed = math.max(1L, (nDocs + targetRowsPerTask - 1L) / targetRowsPerTask)
+    // ceiling division via quotient + remainder check, NOT (n + t - 1) / t:
+    // the addition form overflows for nDocs near Long.MaxValue and would
+    // silently collapse the derived width to the 32 floor instead of the
+    // 1024 ceiling (r17 ADVICE — theoretical for real corpus counts, but
+    // the spec pins Long.MaxValue/2 and the hardening is free)
+    val needed = math.max(1L,
+      nDocs / targetRowsPerTask + (if (nDocs % targetRowsPerTask == 0L) 0L else 1L))
     val pow2 =
       if (java.lang.Long.bitCount(needed) == 1) needed
       else java.lang.Long.highestOneBit(needed) << 1
     math.min(1024L, math.max(32L, pow2)).toInt
   }
 
+  /** Scoring-join salt width (r18, closing the r17 "derives from n, not
+    * max(df)" finding): the scoring join's per-(term, salt) group on the
+    * candidate side is exactly df/buckets rows — df itself, not the corpus
+    * size, is the hot-key mass — so once the candidate frame exists the
+    * minimal sufficient width derives from the OBSERVED max df, with the
+    * n-derived width as its ceiling (df ≤ n keeps the min redundant for
+    * data-produced inputs; it documents — and enforces for any caller —
+    * that the n-bound is never exceeded). A cold vocabulary over a 1B-doc
+    * corpus (max df 100k, no term hot) now pays ×32 replication of the
+    * query-derived sides instead of the unconditional ×1024 the n-bound
+    * charged. Pure — the spec pins the table directly. */
+  private[operators] def scoringSaltWidth(nDocs: Long, maxDf: Long): Int =
+    math.min(autoSaltBuckets(nDocs), autoSaltBuckets(maxDf))
+
   private val saltBucketsProbe = new ThreadLocal[Integer]
-  /** The effective fallback salt width the LAST [[bm25BatchTopK]] call on
-    * this thread used (explicit argument or [[autoSaltBuckets]] derivation;
-    * −1 before any call). ThreadLocal so concurrent sessions can't race —
-    * the LanguageModel.lastTrainHost observability idiom. */
+  private val pruneSaltBucketsProbe = new ThreadLocal[Integer]
+  /** The SCORING-join salt width of the LAST [[bm25BatchTopK]] call on
+    * this thread — fallback regime only: −1 before any call, and reset to
+    * −1 when the last call took the broadcast regime or the empty-corpus
+    * early return (no salting occurred, so a stale width would mislead —
+    * r17 ADVICE). ThreadLocal so concurrent sessions can't race — the
+    * LanguageModel.lastTrainHost observability idiom. */
   private[graft] def lastFallbackSaltBuckets: Int =
     Option(saltBucketsProbe.get).map(_.intValue).getOrElse(-1)
+  /** The vocab-prune salt width of the LAST fallback-regime call (−1
+    * otherwise, like [[lastFallbackSaltBuckets]]). Derived from n, never
+    * from df: the prune join runs BEFORE any df is known, and its stream
+    * side is keyed by term OCCURRENCES (≥ df — a doc can repeat a term),
+    * which only the corpus size bounds. */
+  private[graft] def lastFallbackPruneSaltBuckets: Int =
+    Option(pruneSaltBucketsProbe.get).map(_.intValue).getOrElse(-1)
 
   /** BM25 top-k retrieval over the corpus (Lucene's non-negative idf
     * variant): score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
@@ -219,11 +249,15 @@ object SearchIndex {
     *     output (two corpus-derived exchanges instead of one), plus
     *     ×buckets replication of the query-derived join sides.
     *
-    * `fallbackSaltBuckets = 0` (the default) derives the salt width from
-    * the corpus size via [[autoSaltBuckets]] — df ≤ n, so the worst
-    * hot-term task is bounded by max(250k, n/1024) rows instead of df/32
-    * at any scale; pass a positive value to pin the width (rehearsals and
-    * the degenerate-width fuzz cases do). */
+    * `fallbackSaltBuckets = 0` (the default) derives the salt widths
+    * per join: the vocab prune from the corpus size via
+    * [[autoSaltBuckets]] (df ≤ n, so the worst hot-term task is bounded
+    * by max(250k, n/1024) rows instead of df/32 at any scale), the
+    * scoring joins from the OBSERVED max df via [[scoringSaltWidth]]
+    * (minimal sufficient replication of the query-derived sides — a cold
+    * vocabulary over a huge corpus stays at the ×32 floor). Pass a
+    * positive value to pin BOTH widths (rehearsals and the
+    * degenerate-width fuzz cases do). */
   def bm25BatchTopK(
       docs: DataFrame, id: Column, text: Column,
       queries: DataFrame, queryId: Column, queryText: Column,
@@ -254,6 +288,11 @@ object SearchIndex {
     // the size gate: one count on the just-checkpointed frame (reads the
     // materialization, not the query plan)
     val smallQuery = qterms.count() <= broadcastQueryTermMax
+    // probes report the LAST call: clear before the regime split so a
+    // broadcast-regime or empty-corpus call reads −1, not the width of an
+    // earlier fallback call on this thread (r17 ADVICE)
+    saltBucketsProbe.remove()
+    pruneSaltBucketsProbe.remove()
     val statsRow = base.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl")).collect()(0)
     val n = statsRow.getLong(0)
     if (n == 0L)
@@ -277,26 +316,32 @@ object SearchIndex {
     // auto-broadcast from re-introducing the very materialization the gate
     // rejected); the scoring join further down is sort-merge — see there.
     //
-    // Salt WIDTH is df-aware (r17, closing the fixed-32 finding): the
-    // worst hot key carries ~df/buckets rows per task and df ≤ n (a term
-    // can appear in at most every doc), so the width derives from the n
-    // this plan already computed — nothing extra is aggregated. A fixed 32
-    // was correct at every rehearsed scale but left ~30M-row tasks at a
-    // true 100-TB stopword df (10⁹ postings / 32); the derived width caps
-    // the implied worst task at max(targetRows, n/1024) ≈ 1M rows at
-    // n = 10⁹. Explicit positive arguments bypass the derivation (the
-    // fuzz family pins degenerate widths 1/2/7 for merge-semantics
-    // equality), and the chosen width is observable through
-    // [[lastFallbackSaltBuckets]] — the LanguageModel.lastTrainHost idiom.
-    val effSalt =
+    // Salt WIDTHS are derived per join (r17 n-aware, r18 df-aware):
+    //   - the PRUNE join here runs before any df exists, and its stream
+    //     side is keyed by term OCCURRENCES (≥ df — docs repeat terms), so
+    //     its width derives from the n this plan already computed. A fixed
+    //     32 was correct at every rehearsed scale but left ~30M-row tasks
+    //     at a true 100-TB stopword df (10⁹ postings / 32); the derived
+    //     width caps the implied worst task at max(targetRows, n/1024)
+    //     ≈ 1M rows at n = 10⁹.
+    //   - the SCORING joins further down see the candidate frame, whose
+    //     per-term mass is exactly df — they re-derive the minimal width
+    //     from the observed max(df) (see there), so a cold vocabulary
+    //     never pays the n-bound's ×1024 replication of the query sides.
+    // Explicit positive arguments bypass both derivations (the fuzz family
+    // pins degenerate widths 1/2/7 for merge-semantics equality), and the
+    // chosen widths are observable through [[lastFallbackSaltBuckets]] /
+    // [[lastFallbackPruneSaltBuckets]] — the LanguageModel.lastTrainHost
+    // idiom.
+    val pruneSalt =
       if (fallbackSaltBuckets > 0) fallbackSaltBuckets else autoSaltBuckets(n)
-    saltBucketsProbe.set(effSalt)
-    val salts = array((0 until effSalt).map(lit): _*)
+    if (!smallQuery) pruneSaltBucketsProbe.set(pruneSalt)
+    val pruneSalts = array((0 until pruneSalt).map(lit): _*)
     val cand = (
         if (smallQuery) stream.join(broadcast(qvocab), Seq("term"))
         else stream
-          .withColumn("__salt", pmod(xxhash64(col("doc_id")), lit(effSalt)))
-          .join(qvocab.withColumn("__salt", explode(salts)).hint("shuffle_hash"),
+          .withColumn("__salt", pmod(xxhash64(col("doc_id")), lit(pruneSalt)))
+          .join(qvocab.withColumn("__salt", explode(pruneSalts)).hint("shuffle_hash"),
             Seq("term", "__salt"))
           .drop("__salt"))
       .groupBy(col("term"), col("doc_id"), col("dl"))
@@ -329,7 +374,7 @@ object SearchIndex {
     val joined =
       if (smallQuery)
         cand.join(broadcast(qterms.join(broadcast(idfDf), Seq("term"))), Seq("term"))
-      else
+      else {
         // Fallback scoring: salt `cand` ONCE by doc_id and run BOTH
         // query-side joins on (term, __salt) — the idf join's output keeps
         // cand's hashpartitioning, so the scoring join reuses that single
@@ -347,13 +392,31 @@ object SearchIndex {
         //     exists to avoid), while SortMergeJoin buffers the current
         //     key group in a spillable array. Same exchange count, and
         //     both sorts spill.
+        //
+        // Width (r18): the minimal sufficient one — max over the OBSERVED
+        // dfs, n-bound as ceiling ([[scoringSaltWidth]]). One extra
+        // candidate-sized max aggregate against the cand checkpoint (the
+        // df groupBy runs once more lazily inside the executed plan);
+        // what it buys: a 10M-prompt sweep over a 1B-doc corpus with a
+        // COLD vocabulary (max df ≤ 8M) replicates qterms/idfDf ×32, not
+        // the unconditional ×1024 the n-derived width charged — the r17
+        // verdict's one "over-pays" knob. An empty candidate frame (no
+        // term matches) derives the floor.
+        val maxDfRow = dfFrame.agg(max(col("df"))).collect()(0)
+        val maxDf = if (maxDfRow.isNullAt(0)) 0L else maxDfRow.getLong(0)
+        val scoreSalt =
+          if (fallbackSaltBuckets > 0) fallbackSaltBuckets
+          else scoringSaltWidth(n, maxDf)
+        saltBucketsProbe.set(scoreSalt)
+        val scoreSalts = array((0 until scoreSalt).map(lit): _*)
         cand
-          .withColumn("__salt", pmod(xxhash64(col("doc_id")), lit(effSalt)))
-          .join(idfDf.withColumn("__salt", explode(salts)).hint("shuffle_hash"),
+          .withColumn("__salt", pmod(xxhash64(col("doc_id")), lit(scoreSalt)))
+          .join(idfDf.withColumn("__salt", explode(scoreSalts)).hint("shuffle_hash"),
             Seq("term", "__salt"))
-          .join(qterms.withColumn("__salt", explode(salts)).hint("merge"),
+          .join(qterms.withColumn("__salt", explode(scoreSalts)).hint("merge"),
             Seq("term", "__salt"))
           .drop("__salt")
+      }
     val contrib = joined
       .select(col("query_id"), col("doc_id"),
         struct(col("term"),

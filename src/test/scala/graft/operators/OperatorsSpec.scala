@@ -911,6 +911,31 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("fixedSizeSample: duplicate keys get a content-deterministic survivor set") {
+    import spark.implicits._
+    // 50 duplicate classes × 3 DISTINCT payloads; n = 25 cuts inside the
+    // 9th class in md5-key order (classes are contiguous blocks of 3), so
+    // WHICH duplicate survives the boundary is exactly what the r18
+    // full-row-hash tiebreak pins — pre-r18 this was partition-order
+    // dependent (the r17 review caveat, now deleted with the fix).
+    val rows = for { k <- 0 until 50; p <- Seq("a", "b", "c") }
+      yield (k.toLong, s"payload_${p}_$k")
+    val df = rows.toDF("id", "payload")
+    def sample(parts: Int): Seq[(Long, String)] =
+      Sampling.fixedSizeSample(df.repartition(parts), col("id"), 25)
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(identity).toSeq
+    val got = sample(1)
+    assert(got.size == 25)
+    assert(sample(7) == got && sample(13) == got,
+      s"survivor set must be a pure function of content, not partitioning: $got")
+    // the fixture really does straddle a class: some key is present with
+    // only 1 or 2 of its 3 payload variants (a vacuously-whole-classes
+    // sample would not exercise the tiebreak at all)
+    val classSizes = got.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(classSizes.values.exists(c => c == 1 || c == 2),
+      s"fixture must cut inside a duplicate class at the n-boundary: $classSizes")
+  }
+
   test("count-min heavy hitters: one-sided eps-bounded estimates, planted hot tokens recovered") {
     import spark.implicits._
     // The synthetic corpus vocabulary is near-uniform (no true heavy
@@ -1869,8 +1894,23 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(SearchIndex.autoSaltBuckets(100000000L) == 512)   // 400 → next pow2
     assert(SearchIndex.autoSaltBuckets(1000000000L) == 1024) // the 100-TB stopword df
     assert(SearchIndex.autoSaltBuckets(Long.MaxValue / 2) == 1024) // ceiling holds
-    // end-to-end: the default (0) derives from n and the probe records it;
-    // an explicit width is honored verbatim — results identical either way
+    // overflow hardening (r17 ADVICE): the (n + t - 1)/t ceiling-division
+    // form wraps negative near Long.MaxValue and would silently derive the
+    // 32 FLOOR for the largest corpora — the quotient+remainder form holds
+    assert(SearchIndex.autoSaltBuckets(Long.MaxValue - 1L) == 1024)
+    // the SCORING width (r18): minimal sufficient replication — derived
+    // from the observed max df, n-bound as ceiling. A cold vocabulary over
+    // a 1B-doc corpus stays at the ×32 floor instead of paying ×1024
+    // replication of the query-derived join sides for hotness it no term has
+    assert(SearchIndex.scoringSaltWidth(1000000000L, 100000L) == 32)     // cold vocab
+    assert(SearchIndex.scoringSaltWidth(1000000000L, 30000000L) == 128)  // warm term
+    assert(SearchIndex.scoringSaltWidth(1000000000L, 1000000000L) == 1024) // stopword
+    assert(SearchIndex.scoringSaltWidth(8000000L, 1000000000L) == 32)    // n caps df
+    // end-to-end: the default (0) derives prune width from n and scoring
+    // width from max(df), the probes record both; an explicit width pins
+    // BOTH joins — results identical at every width, including one far
+    // above the floor (256: the wide literal-array explode path the 100-TB
+    // fallback depends on executes here, not first on a 100M-doc corpus)
     val corpus = (0L until 40L).map(i => (i, s"tok$i shared")).toDF("doc_id", "text")
     val queries = Seq((1L, "shared tok3")).toDF("qid", "qtext")
     def run(salt: Int) = SearchIndex.bm25BatchTopK(corpus, col("doc_id"), col("text"),
@@ -1879,12 +1919,29 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(identity).toSeq
     val auto = run(0)
     assert(SearchIndex.lastFallbackSaltBuckets == 32,
-      s"n=40 must derive the floor width 32, got ${SearchIndex.lastFallbackSaltBuckets}")
+      s"n=40 must derive the floor scoring width 32, got ${SearchIndex.lastFallbackSaltBuckets}")
+    assert(SearchIndex.lastFallbackPruneSaltBuckets == 32,
+      s"n=40 must derive the floor prune width 32, got ${SearchIndex.lastFallbackPruneSaltBuckets}")
     val explicit = run(7)
-    assert(SearchIndex.lastFallbackSaltBuckets == 7,
-      s"explicit width must be honored verbatim, got ${SearchIndex.lastFallbackSaltBuckets}")
-    assert(auto.nonEmpty && explicit == auto,
-      s"salt width must never change results: auto=$auto explicit7=$explicit")
+    assert(SearchIndex.lastFallbackSaltBuckets == 7 &&
+        SearchIndex.lastFallbackPruneSaltBuckets == 7,
+      s"explicit width must pin both joins, got scoring=${SearchIndex.lastFallbackSaltBuckets} " +
+        s"prune=${SearchIndex.lastFallbackPruneSaltBuckets}")
+    val wide = run(256)
+    assert(SearchIndex.lastFallbackSaltBuckets == 256 &&
+        SearchIndex.lastFallbackPruneSaltBuckets == 256,
+      s"explicit 256 must be honored, got scoring=${SearchIndex.lastFallbackSaltBuckets} " +
+        s"prune=${SearchIndex.lastFallbackPruneSaltBuckets}")
+    assert(auto.nonEmpty && explicit == auto && wide == auto,
+      s"salt width must never change results: auto=$auto explicit7=$explicit wide256=$wide")
+    // the probes are FALLBACK-ONLY (r17 ADVICE): a broadcast-regime call
+    // must not leave a stale fallback width visible
+    SearchIndex.bm25BatchTopK(corpus, col("doc_id"), col("text"),
+        queries, col("qid"), col("qtext"), k = 5,
+        broadcastQueryTermMax = 1000000L).collect()
+    assert(SearchIndex.lastFallbackSaltBuckets == -1 &&
+        SearchIndex.lastFallbackPruneSaltBuckets == -1,
+      "broadcast-regime call must reset the salt probes to -1")
     assertThrows[IllegalArgumentException](run(-1))
   }
 
