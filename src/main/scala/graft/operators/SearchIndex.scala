@@ -309,8 +309,8 @@ object SearchIndex {
     // posting of a stopword to one task (SearchVolume shape 4 measured a
     // 1.16M-row worst task at df=500k). The corpus-derived side salts by
     // its own doc id hash; the query-derived side explodes ×buckets, so
-    // each hot term spreads over `effSalt` tasks at ×buckets replication
-    // of the SMALL side only. The vocab prune below is shuffle-hash
+    // each hot term spreads over that join's salt width at ×buckets
+    // replication of the SMALL side only. The vocab prune below is shuffle-hash
     // (build side = exploded DISTINCT terms — exactly one row per
     // (term, salt) key, structurally bounded; the hint also keeps
     // auto-broadcast from re-introducing the very materialization the gate
