@@ -48,6 +48,13 @@ import graft.operators.SearchIndex
   *      query group must take its SPILL path (asserted via task-metrics
   *      disk-spill bytes under forced buffer thresholds), the shape the
   *      r16 SMJ swap was designed for but shape 4 never exercised.
+  *   6. **DERIVED above-floor salt width** (r18): a separate 9M-doc
+  *      corpus (above the 8M floor boundary) with a universal term —
+  *      autoSaltBuckets(9M) = 64 AND scoringSaltWidth(9M, maxDf = 9M)
+  *      = 64, so BOTH derivations execute above the 32 floor with the
+  *      width chosen by the data, not an explicit argument (the spec's
+  *      forced-256 run covers the explicit path; before this shape no
+  *      executed auto-width path had ever left the floor).
   *
   * Success criteria are printed and asserted; wall gates are generous
   * (they catch complexity-class regressions, not environment noise).
@@ -281,6 +288,53 @@ object SearchVolume {
     assert(tHot < 240.0, f"hot query-side batch BM25 took $tHot%.1f s — complexity regression")
     spark.conf.unset("spark.sql.sortMergeJoinExec.buffer.in.memory.threshold")
     spark.conf.unset("spark.sql.sortMergeJoinExec.buffer.spill.threshold")
+
+    // -- shape 6: DERIVED above-floor salt width (r18) -----------------------
+    // Every auto-width execution so far landed on the 32 floor (all
+    // rehearsal corpora ≤ 8M docs); the spec's forced-256 run covers the
+    // explicit-argument path but not the derivation choosing > 32 itself.
+    // 9M two-token docs: autoSaltBuckets(9M) = nextPow2(36) = 64 for the
+    // prune join, and the universal term `c` (df = 9M = n) drives
+    // scoringSaltWidth(9M, 9M) = 64 — both joins execute at a DATA-CHOSEN
+    // width above the floor, ×64 query-side explode and all. 50
+    // unique-token queries must each rank exactly their own doc; the
+    // universal-term query's 9M candidates spread over 64 salt buckets
+    // (~140k/task at the scoring join) and return exactly k rows.
+    val wideDocs = spark.range(9000000L).select(
+      col("id").as("doc_id"),
+      concat(lit("c w"), col("id")).as("text")).localCheckpoint()
+    val wideListener = StageShuffleListener.install(spark)
+    val wideQueries = spark.range(50).select(
+        col("id").as("qid"),
+        concat(lit("w"), col("id") * 137L).as("qtext"))
+      .unionAll(spark.range(1).select(lit(100000L).as("qid"), lit("c").as("qtext")))
+    val (wide, tWide) = time("bm25BatchTopK derived width 64: 9M docs, universal term, 51 queries, k=5") {
+      SearchIndex.bm25BatchTopK(wideDocs, col("doc_id"), col("text"),
+        wideQueries, col("qid"), col("qtext"), k = 5,
+        broadcastQueryTermMax = 10L).collect()
+    }
+    assert(SearchIndex.lastFallbackPruneSaltBuckets == 64,
+      s"n=9M must DERIVE prune width 64, got ${SearchIndex.lastFallbackPruneSaltBuckets}")
+    assert(SearchIndex.lastFallbackSaltBuckets == 64,
+      s"max(df)=9M must DERIVE scoring width 64, got ${SearchIndex.lastFallbackSaltBuckets}")
+    val byWideQ = wide.groupBy(_.getLong(0)).withDefaultValue(Array.empty)
+    (0L until 50L).foreach { q =>
+      val rows = byWideQ(q)
+      assert(rows.length == 1 && rows.head.getLong(1) == q * 137L,
+        s"derived-width query $q must match exactly its own doc: got ${rows.map(_.getLong(1)).toSeq}")
+    }
+    assert(byWideQ(100000L).length == 5,
+      s"the universal-term query returns k rows at derived width 64: ${byWideQ(100000L).length}")
+    wideListener.drain(minTotalRows = 9000000L)
+    val worstWide = wideListener.worstTaskRows
+    println(f"[search-vol] derived-width-64 worst shuffle task: $worstWide%,d rows " +
+      f"(unsalted, the universal term's 9,000,000 candidates land on ONE task)")
+    // 18M stream rows / 32 partitions ≈ 560k/task balanced; the salted
+    // scoring join sees ~9M/64 ≈ 140k/task for the universal term. 2.5M
+    // fails loudly if the hot key ever re-concentrates (9M on one task).
+    assert(worstWide < 2500000L,
+      f"derived-width regime concentrated the universal term: worst task $worstWide%,d rows")
+    assert(tWide < 300.0, f"derived-width batch BM25 took $tWide%.1f s — complexity regression")
     spark.stop()
   }
 }

@@ -515,10 +515,17 @@ object DataFusionCompat {
     override protected def withNewChildInternal(c: Expression): ArrayNDims = copy(child = c)
   }
 
-  /** Euclid on |a|,|b| — static forwarder makes this callable from codegen. */
+  /** Euclid on |a|,|b| — static forwarder makes this callable from codegen.
+    * The |Long.MinValue| edge (its abs re-wraps negative) is tolerated
+    * through the loop — Euclid converges to ±gcd with negative
+    * intermediates — and caught at the end: a negative result means the
+    * true gcd is 2⁶³ (both inputs ∈ {Long.MinValue, 0}), unrepresentable
+    * in i64, where DataFusion raises its signed-overflow error too (the
+    * [[lcmLong]] fix's sibling edge, r18 review). */
   def gcdLong(a: Long, b: Long): Long = {
     var x = math.abs(a); var y = math.abs(b)
     while (y != 0) { val t = x % y; x = y; y = t }
+    if (x < 0) throw new ArithmeticException("long overflow in gcd")
     x
   }
 

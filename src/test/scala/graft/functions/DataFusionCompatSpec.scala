@@ -272,6 +272,19 @@ class DataFusionCompatSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getLong(3) == 5L && r.getLong(4) == 0L)
     assert(r.getBoolean(5) && !r.getBoolean(6))
     assert(r.getInt(7) == 7)
+    // |Long.MinValue| re-wraps negative through abs: a result that would be
+    // 2^63 is unrepresentable and must raise, like DataFusion's
+    // signed-overflow error — NOT return the negative wrap (r18 review;
+    // the lcm fuzzer find's sibling edge). Euclid with negative
+    // intermediates still converges for every other MinValue pairing.
+    val gcdOverflow = intercept[Exception](
+      spark.sql("SELECT gcd(-9223372036854775808, 0)").collect())
+    assert(gcdOverflow.getMessage.contains("overflow"),
+      s"gcd(Long.MinValue, 0) must raise, got: ${gcdOverflow.getMessage}")
+    val gcdOk = spark.sql(
+      "SELECT gcd(-9223372036854775808, 3), gcd(-9223372036854775808, 2)").collect()(0)
+    assert(gcdOk.getLong(0) == 1L && gcdOk.getLong(1) == 2L,
+      "MinValue gcd against ordinary values stays correct")
   }
 
   test("list_extract/array_element are total like DataFusion, not throwing like ElementAt") {
