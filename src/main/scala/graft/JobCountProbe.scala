@@ -34,16 +34,21 @@ object JobCountProbe {
         .write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
       // Listener-bus drain: poll until the observed task count is stable
-      // across two consecutive polls (the StageShuffleListener.drain idiom)
-      // instead of a fixed sleep — on a loaded machine late task-end events
-      // would undercount exactly the metrics this probe exists to compare
-      // (r17 ADVICE). Bounded at 15 s, loud on timeout.
+      // across FIVE consecutive 200 ms polls (1 s of quiet — covers bursty
+      // event delivery that a single unchanged gap would declare drained
+      // too early; r18 ADVICE) instead of a fixed sleep — on a loaded
+      // machine late task-end events would undercount exactly the metrics
+      // this probe exists to compare. Bounded at 15 s; the deadline check
+      // runs AFTER the stability update so a count that settles on the
+      // final poll exits cleanly instead of throwing.
       val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
-      var prev = -1
-      while (prev != tasks.get) {
-        prev = tasks.get
+      var stable = 0
+      var prev = tasks.get
+      while (stable < 5) {
         Thread.sleep(200)
-        if (System.nanoTime() > deadline)
+        val cur = tasks.get
+        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+        if (stable < 5 && System.nanoTime() > deadline)
           throw new IllegalStateException(
             s"[probe] listener bus did not drain for $name (tasks=${tasks.get})")
       }

@@ -518,15 +518,17 @@ object DataFusionCompat {
   /** Euclid on |a|,|b| — static forwarder makes this callable from codegen.
     * The |Long.MinValue| edge (its abs re-wraps negative) is tolerated
     * through the loop — Euclid converges to ±gcd with negative
-    * intermediates — and caught at the end: a negative result means the
-    * true gcd is 2⁶³ (both inputs ∈ {Long.MinValue, 0}), unrepresentable
-    * in i64, where DataFusion raises its signed-overflow error too (the
-    * [[lcmLong]] fix's sibling edge, r18 review). */
+    * intermediates (gcd(MinValue, 6) ends at x = −2; the answer is 2) —
+    * so the loop result is normalized with a final abs. Only x ==
+    * Long.MinValue itself is unrepresentable: that means the true gcd is
+    * 2⁶³ (both inputs ∈ {Long.MinValue, 0}), where DataFusion raises its
+    * signed-overflow error too (r18 ADVICE: the previous `x < 0` guard
+    * also rejected the representable negative intermediates). */
   def gcdLong(a: Long, b: Long): Long = {
     var x = math.abs(a); var y = math.abs(b)
     while (y != 0) { val t = x % y; x = y; y = t }
-    if (x < 0) throw new ArithmeticException("long overflow in gcd")
-    x
+    if (x == Long.MinValue) throw new ArithmeticException("long overflow in gcd")
+    math.abs(x)
   }
 
   /** DataFusion's lcm ERRORS on i64 overflow (DuckDB agrees: "lcm value

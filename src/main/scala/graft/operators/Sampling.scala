@@ -71,14 +71,24 @@ object Sampling {
       case a: ArrayType  => hasMap(a.elementType)
       case _             => false
     }
-    val hashable =
-      df.schema.fields.filterNot(f => hasMap(f.dataType)).map(f => col(f.name)).toIndexedSeq
+    // The key hash is computed first (the caller's Column resolves against
+    // the original names), then every column is renamed POSITIONALLY before
+    // the tiebreak references them: `col(name)` parses dots as struct
+    // access, so a legal top-level column named `a.b` — or two columns
+    // sharing a name — would otherwise fail analysis (r18 ADVICE).
+    val names = df.columns.toIndexedSeq
+    val tmp = names.indices.map(i => s"_gfs_c$i")
+    val renamed = df.withColumn("_gfs_h", md5(key.cast("string").cast("binary")))
+      .toDF(tmp :+ "_gfs_h": _*)
+    val hashable = renamed.schema.fields.dropRight(1)
+      .filterNot(f => hasMap(f.dataType)).map(f => col(f.name)).toIndexedSeq
     val tiebreak = if (hashable.isEmpty) lit(0L) else xxhash64(hashable: _*)
-    df.withColumn("_h", md5(key.cast("string").cast("binary")))
-      .withColumn("_rh", tiebreak)
-      .orderBy(col("_h"), col("_rh"))
+    renamed
+      .withColumn("_gfs_rh", tiebreak)
+      .orderBy(col("_gfs_h"), col("_gfs_rh"))
       .limit(n)
-      .drop("_h", "_rh")
+      .drop("_gfs_h", "_gfs_rh")
+      .toDF(names: _*)
   }
 
   /** Deterministic uniform draw in (0, 1]: 24 bits of md5(key). Coarse

@@ -285,6 +285,18 @@ class DataFusionCompatSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT gcd(-9223372036854775808, 3), gcd(-9223372036854775808, 2)").collect()(0)
     assert(gcdOk.getLong(0) == 1L && gcdOk.getLong(1) == 2L,
       "MinValue gcd against ordinary values stays correct")
+    // r18 ADVICE: these pairings converge with a NEGATIVE final x (-2, -2,
+    // -32) — a representable gcd that the previous `x < 0` guard spuriously
+    // rejected as overflow. Only x == Long.MinValue (gcd = 2^63) raises.
+    val gcdNeg = spark.sql(
+      """SELECT gcd(-9223372036854775808, 6), gcd(-9223372036854775808, 14),
+        |       gcd(-9223372036854775808, 96)""".stripMargin).collect()(0)
+    assert(gcdNeg.getLong(0) == 2L && gcdNeg.getLong(1) == 2L && gcdNeg.getLong(2) == 32L,
+      "negative-converging Euclid results are normalized, not rejected")
+    val gcdBoth = intercept[Exception](
+      spark.sql("SELECT gcd(-9223372036854775808, -9223372036854775808)").collect())
+    assert(gcdBoth.getMessage.contains("overflow"),
+      "gcd(MinValue, MinValue) = 2^63 is unrepresentable and must raise")
   }
 
   test("list_extract/array_element are total like DataFusion, not throwing like ElementAt") {

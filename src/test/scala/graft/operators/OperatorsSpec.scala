@@ -936,6 +936,27 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"fixture must cut inside a duplicate class at the n-boundary: $classSizes")
   }
 
+  test("fixedSizeSample: dotted and duplicate column names survive the tiebreak (r18 ADVICE)") {
+    import spark.implicits._
+    // `col("a.b")` parses the dot as struct access, so the r18 tiebreak's
+    // by-name column references broke any frame with a legal dotted
+    // top-level name (and made duplicate names ambiguous) — a regression,
+    // since pre-r18 fixedSizeSample never referenced data columns. The fix
+    // renames positionally before referencing; both shapes must sample.
+    val dotted = (0 until 60).map(i => (i.toLong, s"v$i")).toDF("id", "a.b")
+    val gotDotted = Sampling.fixedSizeSample(dotted.repartition(5), col("id"), 20)
+    assert(gotDotted.columns.toSeq == Seq("id", "a.b"), "original names restored")
+    val d1 = gotDotted.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    val d2 = Sampling.fixedSizeSample(dotted.repartition(11), col("id"), 20)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(d1.size == 20 && d1 == d2, "dotted-name frame samples deterministically")
+
+    val dup = (0 until 60).map(i => (i.toLong, s"x$i", s"y$i")).toDF("id", "v", "v")
+    val gotDup = Sampling.fixedSizeSample(dup.repartition(4), col("id"), 20)
+    assert(gotDup.columns.toSeq == Seq("id", "v", "v"), "duplicate names restored")
+    assert(gotDup.count() == 20, "duplicate-name frame samples without ambiguity errors")
+  }
+
   test("count-min heavy hitters: one-sided eps-bounded estimates, planted hot tokens recovered") {
     import spark.implicits._
     // The synthetic corpus vocabulary is near-uniform (no true heavy
