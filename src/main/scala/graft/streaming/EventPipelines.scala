@@ -71,7 +71,13 @@ object EventPipelines {
         val t = e.ts.getTime
         cur match {
           case Some(s) if t - s.end <= SessionGapMs =>
-            cur = Some(s.copy(end = t, nEvents = s.nEvents + 1))
+            // min/max, not assignment: a LATE event from a later micro-batch
+            // can carry t < s.end (or even t < s.start) — `end = t` would
+            // REWIND the session and corrupt durationSec (r19 review). Late
+            // events inside the gap horizon merge into the one tracked
+            // session; bounds only ever widen.
+            cur = Some(s.copy(start = math.min(s.start, t),
+              end = math.max(s.end, t), nEvents = s.nEvents + 1))
           case Some(s) =>
             closed ::= Session(userId, new Timestamp(s.start), new Timestamp(s.end),
               s.nEvents, (s.end - s.start) / 1000)

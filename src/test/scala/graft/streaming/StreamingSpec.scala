@@ -89,6 +89,39 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.head.durationSec == 600L)
   }
 
+  test("sessionize: a cross-batch late event widens the session, never rewinds it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[EventPipelines.Event]
+    val sessions = EventPipelines.sessionize(input.toDS(), withTimeout = false)
+    val query = sessions.writeStream.format("memory").queryName("sessions_late")
+      .outputMode("append").start()
+
+    // batch 1 establishes [10:00, 10:20]; batch 2 delivers a LATE event at
+    // 10:10 (t < state.end, within the gap) — pre-r19 the update wrote
+    // end = t, REWINDING the session to [10:00, 10:10] and corrupting
+    // durationSec; batch 3 closes it.
+    input.addData(
+      EventPipelines.Event(7L, ts("2024-01-01T10:00:00Z"), "view", 1.0),
+      EventPipelines.Event(7L, ts("2024-01-01T10:20:00Z"), "click", 1.0))
+    query.processAllAvailable()
+    input.addData(
+      EventPipelines.Event(7L, ts("2024-01-01T10:10:00Z"), "view", 1.0))
+    query.processAllAvailable()
+    input.addData(
+      EventPipelines.Event(7L, ts("2024-01-01T12:00:00Z"), "view", 1.0))
+    query.processAllAvailable()
+
+    val out = spark.table("sessions_late").as[EventPipelines.Session].collect()
+    query.stop()
+
+    assert(out.length == 1, s"got ${out.toSeq}")
+    assert(out.head.nEvents == 3L, s"late event must still count: ${out.head}")
+    assert(out.head.durationSec == 1200L,
+      s"session must stay [10:00, 10:20] after the late 10:10 event: ${out.head}")
+  }
+
   test("file-source deployment path: readEventStream processes landed parquet incrementally") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("stream-src")
