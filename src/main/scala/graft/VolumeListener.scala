@@ -52,19 +52,26 @@ final class StageShuffleListener extends SparkListener {
   def totalMemorySpillBytes: Long = stageSpill.asScala.values.map(_._1).sum
 
   /** Wait for the async bus to deliver everything: poll until the total
-    * observed task count is unchanged between polls AND the caller's
-    * floors hold. Pick the floor that fits the workload: `minTotalRows`
-    * for window/join shuffles that move real rows, `minTasks` for
+    * observed task count is unchanged across FOUR consecutive polls (1 s
+    * of quiet — a single unchanged 250 ms gap can declare victory during
+    * a bursty-delivery lull, and the floors only protect TOTALS: a
+    * straggler's in-flight task-end could undercount `worstTaskRows`,
+    * letting an upper-bound assertion pass vacuously; the JobCountProbe
+    * drain's r18 fix, applied here in r19) AND the caller's floors hold.
+    * Pick the floor that fits the workload: `minTotalRows` for
+    * window/join shuffles that move real rows, `minTasks` for
     * map-side-combined aggregations whose reducers legitimately read only
     * a handful of rows. Throws after `timeoutMs`. */
   def drain(minTotalRows: Long = 0L, minTasks: Long = 0L, timeoutMs: Long = 30000L): Unit = {
     val deadline = System.nanoTime() + timeoutMs * 1000000L
     var prevTasks = -1L
+    var stable = 0
     while (true) {
       val snap = stages
       val tasks = snap.map(_._2._3.toLong).sum
       val rows = snap.map(_._2._2).sum
-      if (tasks == prevTasks && rows >= minTotalRows && tasks >= minTasks) return
+      if (tasks == prevTasks) stable += 1 else stable = 0
+      if (stable >= 3 && rows >= minTotalRows && tasks >= minTasks) return
       if (System.nanoTime() > deadline)
         throw new IllegalStateException(
           s"listener bus did not drain: tasks=$tasks rows=$rows " +
