@@ -176,7 +176,11 @@ object Dedup extends org.apache.spark.internal.Logging {
     * entry points: the corpus scan + tokenize + shingle pass then runs one
     * time instead of once per path. */
   def shingleFrame(df: DataFrame, id: Column, text: Column, shingleSize: Int = 3): DataFrame =
-    df.select(id.as("id"), array_distinct(TextOps.shingles(text, shingleSize)).as("shs"))
+    // tokenize+shingle is the expensive narrow stage of every dedup path —
+    // spread a row-group-bound small scan over every core first (no-op at
+    // scale; see Rebalance.smallInput)
+    Rebalance.smallInput(df.select(id.as("id"), text.as("__text")))
+      .select(col("id"), array_distinct(TextOps.shingles(col("__text"), shingleSize)).as("shs"))
 
   /** End-to-end MinHash+LSH near-dup candidates over a text column. */
   def minhashCandidates(
@@ -239,7 +243,8 @@ object Dedup extends org.apache.spark.internal.Logging {
     // simhash+tokenize subtree re-ran 2-3× over the full corpus, the exact
     // cost shape the doc above promises to avoid. The explode re-derives
     // map-side from stored rows (checkpointInput = false below).
-    val sigs = df.select(id.as("id"), simhashChunks(TextOps.tokens(text)).as("sig"))
+    val sigs = Rebalance.smallInput(df.select(id.as("id"), text.as("__text")))
+      .select(col("id"), simhashChunks(TextOps.tokens(col("__text"))).as("sig"))
       .localCheckpoint(false)
     // chunk pigeonhole = banded LSH with (band, bucket) = (chunk index,
     // chunk value): same cap + self-join + distinct pair generation
@@ -618,9 +623,9 @@ object Dedup extends org.apache.spark.internal.Logging {
     // identical join sides, but totals is a different plan shape, so
     // without materialization the corpus-scale distinct runs twice;
     // localCheckpoint it once (the duplicateSpans idiom)
-    val grams = df
-      .select(stratum.as("src"), explode(array_distinct(
-        TextOps.shingles(text, shingleSize))).as("g"))
+    val grams = Rebalance.smallInput(df.select(stratum.as("src"), text.as("__text")))
+      .select(col("src"), explode(array_distinct(
+        TextOps.shingles(col("__text"), shingleSize))).as("g"))
       .distinct()
       .localCheckpoint(false)
     val totals = grams.groupBy(col("src")).agg(count(lit(1)).as("n"))
@@ -809,9 +814,9 @@ object Dedup extends org.apache.spark.internal.Logging {
     // rides the native codegen'd word_shingles (identical windows — same
     // lower/trim/split — once n_tokens >= w holds; the interpreted
     // transform/slice/concat_ws tree costs ~ms per long document)
-    val toks = df
-      .select(id.as("id"), text.as("text"),
-        size(TextOps.tokens(text)).as("n_tokens"))
+    val toks = Rebalance.smallInput(df.select(id.as("id"), text.as("text")))
+      .select(col("id"), col("text"),
+        size(TextOps.tokens(col("text"))).as("n_tokens"))
       .filter(col("n_tokens") >= w)
       .localCheckpoint(false)
     val (wins, dupWins) = dupWindowPostings(toks, w, carryNTokens = true)
@@ -863,8 +868,8 @@ object Dedup extends org.apache.spark.internal.Logging {
     // column costs ~the toks footprint again; the interpreted
     // transform/slice/concat_ws window tree it replaces cost ~ms per long
     // document per evaluation
-    val toks = df
-      .select(id.as("id"), text.as("text"), TextOps.tokens(text).as("toks"))
+    val toks = Rebalance.smallInput(df.select(id.as("id"), text.as("text")))
+      .select(col("id"), col("text"), TextOps.tokens(col("text")).as("toks"))
       .select(col("id"), col("text"), size(col("toks")).as("n_tokens"), col("toks"))
       .localCheckpoint(false)
     val (wins, dupWins) = dupWindowPostings(toks, w, carryNTokens = false)

@@ -128,14 +128,16 @@ object SearchIndex {
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val terms = queryTerms.filter(_.nonEmpty).distinct.sorted(utf8BinaryOrder)
     require(terms.nonEmpty, "bm25TopK needs at least one non-empty query term")
-    val base = docs.select(
-        id.as("doc_id") +: size(TextOps.tokens(text)).cast("double").as("dl") +:
+    val rebalanced = Rebalance.smallInput(docs.select(id.as("doc_id"), text.as("__text")))
+    val toksCol = TextOps.tokens(col("__text"))
+    val base = rebalanced.select(
+        col("doc_id") +: size(toksCol).cast("double").as("dl") +:
           terms.zipWithIndex.map { case (t, i) =>
             // count via size-difference, NOT filter(toks, = t): ArrayRemove
             // is codegen'd where the lambda HOF is CodegenFallback — an
             // interpreted per-token call on the corpus-scale hot path
-            (size(TextOps.tokens(text)) -
-              size(array_remove(TextOps.tokens(text), lit(t))))
+            (size(toksCol) -
+              size(array_remove(toksCol, lit(t))))
               .cast("double").as(s"tf$i")
           }: _*)
       // a NULL text tokenizes to NULL: not indexable, so it contributes to
@@ -267,8 +269,8 @@ object SearchIndex {
     require(k > 0, "bm25BatchTopK needs k > 0")
     require(fallbackSaltBuckets >= 0,
       "bm25BatchTopK needs fallbackSaltBuckets >= 0 (0 = derive from corpus size)")
-    val base = docs
-      .select(id.as("doc_id"), TextOps.tokens(text).as("toks"))
+    val base = Rebalance.smallInput(docs.select(id.as("doc_id"), text.as("__text")))
+      .select(col("doc_id"), TextOps.tokens(col("__text")).as("toks"))
       .select(col("doc_id"), col("toks"), size(col("toks")).cast("double").as("dl"))
       // NULL text is not indexable: excluded from N/avgdl/df and from the
       // candidate set (the bm25TopK frame filter)
@@ -337,7 +339,7 @@ object SearchIndex {
       if (fallbackSaltBuckets > 0) fallbackSaltBuckets else autoSaltBuckets(n)
     if (!smallQuery) pruneSaltBucketsProbe.set(pruneSalt)
     val pruneSalts = array((0 until pruneSalt).map(lit): _*)
-    val cand = (
+    val candAgg = (
         if (smallQuery) stream.join(broadcast(qvocab), Seq("term"))
         else stream
           .withColumn("__salt", pmod(xxhash64(col("doc_id")), lit(pruneSalt)))
@@ -346,6 +348,16 @@ object SearchIndex {
           .drop("__salt"))
       .groupBy(col("term"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).cast("double").as("tf"))
+    // For a SMALL corpus AQE coalesces the tf-aggregate exchange to 1-2
+    // partitions (its byte floor is blind to downstream per-row CPU), and
+    // the checkpoint freezes that: the scoring join + contribution explode
+    // then ran on ONE task for 3.6 s while 31 cores idled (r19
+    // StageBreakdownProbe). Re-spread the checkpoint when the corpus count
+    // — already collected for avgdl — says the candidate frame is small;
+    // at scale (n ≥ 250k × parallelism) no extra exchange is paid. The
+    // explicit count pins the exchange against AQE re-coalescing.
+    val candPar = docs.sparkSession.sparkContext.defaultParallelism
+    val cand = (if (n < candPar.toLong * 250000L) candAgg.repartition(candPar) else candAgg)
       // reused twice (df aggregate + scoring join): materialize once, and
       // keep the df pass from re-reading the corpus scan
       .localCheckpoint(false)
@@ -446,6 +458,9 @@ object SearchIndex {
   /** token → (document frequency, first `cap` doc ids ascending, as a
     * comma-joined string — arrays stay out of the driver-compare path). */
   def invertedIndex(docs: DataFrame, id: Column, text: Column, cap: Int = 20): DataFrame = {
+    // NOT rebalanced (r19 measured +0.34 s): the explode is cheap per row
+    // and the two-level window shuffles by (token, pid) right after — the
+    // extra exchange was pure overhead
     val postings = docs.select(id.as("doc_id"),
       explode(array_distinct(TextOps.tokens(text))).as("token"))
     // __pid is computed BELOW the window's exchange (the projection sits

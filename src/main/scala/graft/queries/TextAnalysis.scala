@@ -17,6 +17,17 @@ object TextAnalysis {
 
   private def docs(s: SparkSession, dir: String) = Tables.table(s, dir, "documents")
 
+  /** [[docs]] spread over every core before CPU-heavy NARROW text
+    * expressions (langid scoring, fingerprint regex+md5, redact regexes,
+    * per-char ratios): scan parallelism is row-group-bound, so a small
+    * corpus funnels those expressions through 1-3 tasks (r19 measured).
+    * Only the queries whose per-row expression cost dominates use this —
+    * for explode→aggregate shapes (tfidf, vocab, rollhash, splits) the
+    * extra exchange measured as pure overhead and they stay on [[docs]].
+    * No-op at scale (Rebalance.smallInput is bytes-gated). */
+  private def docsRebalanced(s: SparkSession, dir: String) =
+    graft.operators.Rebalance.smallInput(Tables.table(s, dir, "documents"))
+
   /** DuckDB equivalents of TextOps building blocks. */
   private val dkTokens = "string_split_regex(trim(lower(text)), '\\s+')"
 
@@ -123,7 +134,7 @@ object TextAnalysis {
     QueryDef(
       "q_text_tokens",
       (s, dir) => {
-        docs(s, dir)
+        docsRebalanced(s, dir)
           .select(
             col("doc_id"),
             TextOps.tokenCount(col("text")).as("n_tokens"),
@@ -147,7 +158,7 @@ object TextAnalysis {
     QueryDef(
       "q_text_quality",
       (s, dir) => {
-        docs(s, dir)
+        docsRebalanced(s, dir)
           .select(
             col("doc_id"),
             round(TextOps.punctRatio(col("text")), 6).as("punct_ratio"),
@@ -171,7 +182,7 @@ object TextAnalysis {
     QueryDef(
       "q_text_langid",
       (s, dir) => {
-        docs(s, dir)
+        docsRebalanced(s, dir)
           .select(
             col("doc_id"),
             TextOps.stopwordHits(col("text"), "en").as("en_hits"),
@@ -192,7 +203,7 @@ object TextAnalysis {
     QueryDef(
       "q_text_fingerprint",
       (s, dir) => {
-        docs(s, dir)
+        docsRebalanced(s, dir)
           .select(
             col("doc_id"),
             TextOps.fingerprint(col("text")).as("fp"),
@@ -234,7 +245,7 @@ object TextAnalysis {
       // codegen'd array ops; chunk grid is data-independent so the stage is
       // map-only at any scale.
       (s, dir) => {
-        docs(s, dir)
+        docsRebalanced(s, dir)
           .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
           .select(col("doc_id"),
             posexplode(transform(
@@ -400,7 +411,7 @@ object TextAnalysis {
       // both with the same regexes on both sides (RE2-compatible subset so
       // Java regex and DuckDB RE2 agree).
       (s, dir) => {
-        docs(s, dir)
+        docsRebalanced(s, dir)
           .select(col("doc_id"),
             concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
               lit("@example.com or 555-123-4567 now")).as("dirty"))
@@ -519,7 +530,7 @@ object TextAnalysis {
       "q_text_lang_stats",
       // Aggregate shape: predicted-language distribution vs labeled lang.
       (s, dir) => {
-        docs(s, dir)
+        docsRebalanced(s, dir)
           .groupBy(col("lang"), TextOps.langId(col("text")).as("pred_lang"))
           .agg(count(lit(1)).as("n"))
           .orderBy(col("lang"), col("pred_lang"))
