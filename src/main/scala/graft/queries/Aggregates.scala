@@ -25,6 +25,15 @@ object Aggregates {
 
   private def t(s: SparkSession, dir: String, n: String) = Tables.table(s, dir, n)
 
+  /** [[t]] spread over every core before a CPU-heavy partial aggregate
+    * (exact DECIMAL sums, exact percentile value maps): scan parallelism is
+    * row-group-bound, so a small fact table funnels the partial-aggregate
+    * stage through 1-3 tasks (r19 StageBreakdownProbe: q1_agg's scan+partial
+    * stage was 1.5 s on 3 tasks). Bytes-gated no-op at scale; column pruning
+    * pushes below the exchange so only the aggregated columns shuffle. */
+  private def tRebalanced(s: SparkSession, dir: String, n: String) =
+    graft.operators.Rebalance.smallInput(Tables.table(s, dir, n))
+
   /** Exact sum of a double column: DECIMAL(18,4) accumulation, DOUBLE out. */
   private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast("double")
 
@@ -34,7 +43,7 @@ object Aggregates {
       "q1_agg",
       // TPC-H Q1 shape — the flagship pricing-summary aggregate.
       (s, dir) => {
-        t(s, dir, "lineitem")
+        tRebalanced(s, dir, "lineitem")
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
             dsum(col("l_quantity")).as("sum_qty"),
@@ -91,7 +100,7 @@ object Aggregates {
     QueryDef(
       "q_rollup",
       (s, dir) => {
-        t(s, dir, "lineitem")
+        tRebalanced(s, dir, "lineitem")
           .rollup(col("l_returnflag"), col("l_linestatus"))
           .agg(
             grouping(col("l_returnflag")).cast("int").as("g_rf"),
@@ -203,7 +212,7 @@ object Aggregates {
       // to approx_percentile (q_approx_percentile's plan) — see SCALE.md
       // "Exact percentile".
       (s, dir) => {
-        t(s, dir, "lineitem")
+        tRebalanced(s, dir, "lineitem")
           .groupBy(col("l_returnflag"))
           .agg(
             round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),

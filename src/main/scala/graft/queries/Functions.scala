@@ -260,7 +260,13 @@ object Functions {
       // gaps. The oracle's hardcoded TRUE is data-dependent, verified on
       // the driver's sf0.001–0.1 corpora (deterministic sketch, fixed data).
       (s, dir) => {
-        t(s, dir, "lineitem")
+        // rebalanced (r19): the exact-percentile value map + sketch inserts
+        // are the partial-aggregate stage's cost, and the scan is
+        // row-group-bound — spread a small fact table first (bytes-gated
+        // no-op at scale). The hash-checked outputs stay partition-
+        // invariant: the exact percentile is a value-count map and the
+        // sketch only feeds the within-5% boolean.
+        graft.operators.Rebalance.smallInput(t(s, dir, "lineitem"))
           .groupBy(col("l_returnflag"))
           .agg(
             round(expr("percentile(l_extendedprice, 0.5)"), 4).as("exact_median"),
