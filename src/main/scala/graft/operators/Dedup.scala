@@ -243,8 +243,11 @@ object Dedup extends org.apache.spark.internal.Logging {
     // simhash+tokenize subtree re-ran 2-3× over the full corpus, the exact
     // cost shape the doc above promises to avoid. The explode re-derives
     // map-side from stored rows (checkpointInput = false below).
-    val sigs = Rebalance.smallInput(df.select(id.as("id"), text.as("__text")))
-      .select(col("id"), simhashChunks(TextOps.tokens(col("__text"))).as("sig"))
+    // NOT rebalanced (r19): a pinned alternating A/B vs the round-start
+    // tree measured the small-input spread as a consistent ~+0.2 s here —
+    // the signature pass is lighter than the shingle paths and the
+    // pigeonhole explode re-shuffles right after (tools/ab_simhash_r19.txt)
+    val sigs = df.select(id.as("id"), simhashChunks(TextOps.tokens(text)).as("sig"))
       .localCheckpoint(false)
     // chunk pigeonhole = banded LSH with (band, bucket) = (chunk index,
     // chunk value): same cap + self-join + distinct pair generation
