@@ -175,12 +175,21 @@ object Dedup extends org.apache.spark.internal.Logging {
     * this once, `localCheckpoint(false)` it, and feed both `FromShingles`
     * entry points: the corpus scan + tokenize + shingle pass then runs one
     * time instead of once per path. */
-  def shingleFrame(df: DataFrame, id: Column, text: Column, shingleSize: Int = 3): DataFrame =
+  def shingleFrame(
+      df: DataFrame, id: Column, text: Column, shingleSize: Int = 3,
+      rebalance: Boolean = true): DataFrame = {
     // tokenize+shingle is the expensive narrow stage of every dedup path —
     // spread a row-group-bound small scan over every core first (no-op at
-    // scale; see Rebalance.smallInput)
-    Rebalance.smallInput(df.select(id.as("id"), text.as("__text")))
+    // scale; see Rebalance.smallInput). `rebalance = false` is for callers
+    // shingling a frame KNOWN to be a handful of rows (an eval set of a few
+    // dozen docs): the bytes gate can't see through a Filter (no CBO
+    // selectivity, the estimate stays corpus-sized), and spreading 20 rows
+    // over 32 tasks costs more in task setup than the shingling itself —
+    // measured on q_decontaminate_fuzzy (driver r19: 0.74×).
+    val in = df.select(id.as("id"), text.as("__text"))
+    (if (rebalance) Rebalance.smallInput(in) else in)
       .select(col("id"), array_distinct(TextOps.shingles(col("__text"), shingleSize)).as("shs"))
+  }
 
   /** End-to-end MinHash+LSH near-dup candidates over a text column. */
   def minhashCandidates(

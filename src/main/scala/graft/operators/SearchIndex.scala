@@ -128,7 +128,12 @@ object SearchIndex {
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val terms = queryTerms.filter(_.nonEmpty).distinct.sorted(utf8BinaryOrder)
     require(terms.nonEmpty, "bm25TopK needs at least one non-empty query term")
-    val rebalanced = Rebalance.smallInput(docs.select(id.as("doc_id"), text.as("__text")))
+    // NOT rebalanced (r20): the r19 small-input spread regressed this query
+    // in the driver's run (0.76×; 8-core beat 32-core). Unlike the shingle
+    // paths, the per-row work here is a handful of codegen'd array_remove
+    // calls, and the un-checkpointed rebalance exchange re-ran in BOTH
+    // passes (stats aggregate + scoring), doubling its overhead.
+    val rebalanced = docs.select(id.as("doc_id"), text.as("__text"))
     val toksCol = TextOps.tokens(col("__text"))
     val base = rebalanced.select(
         col("doc_id") +: size(toksCol).cast("double").as("dl") +:

@@ -211,8 +211,12 @@ object Aggregates {
       // for oracle exactness, but past ~10M distinct values per group switch
       // to approx_percentile (q_approx_percentile's plan) — see SCALE.md
       // "Exact percentile".
+      // NOT rebalanced (r20): the r19 spread regressed this query in the
+      // driver's run (0.82×) and its 8-core run beat 32-core — the exact
+      // percentile's per-group value maps serialize between partial and
+      // final, so 32 partials mean 32 maps merged where 3 sufficed.
       (s, dir) => {
-        tRebalanced(s, dir, "lineitem")
+        t(s, dir, "lineitem")
           .groupBy(col("l_returnflag"))
           .agg(
             round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),

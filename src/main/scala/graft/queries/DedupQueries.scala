@@ -262,7 +262,10 @@ object DedupQueries {
         // one corpus shingle pass feeds BOTH the sketch and the truth side
         val toks = Dedup.shingleFrame(train, col("doc_id"), col("text"))
           .localCheckpoint(false)
-        val evalToks = Dedup.shingleFrame(evalSet, col("doc_id"), col("text"))
+        // eval side is 20 docs: spreading it 32-wide is pure task-setup
+        // overhead (driver r19: 0.74×), and the bytes gate can't see the
+        // filter's selectivity — skip the rebalance explicitly
+        val evalToks = Dedup.shingleFrame(evalSet, col("doc_id"), col("text"), rebalance = false)
         val fuzzy = Dedup.fuzzyContaminationPairsFromShingles(toks, evalToks)
         val evalPosts = evalToks.select(col("id").as("eval_id"),
           size(col("shs")).cast("long").as("n2"), explode(col("shs")).as("sh"))

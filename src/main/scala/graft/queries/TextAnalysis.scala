@@ -18,12 +18,17 @@ object TextAnalysis {
   private def docs(s: SparkSession, dir: String) = Tables.table(s, dir, "documents")
 
   /** [[docs]] spread over every core before CPU-heavy NARROW text
-    * expressions (langid scoring, fingerprint regex+md5, redact regexes,
-    * per-char ratios): scan parallelism is row-group-bound, so a small
-    * corpus funnels those expressions through 1-3 tasks (r19 measured).
-    * Only the queries whose per-row expression cost dominates use this —
+    * expressions (langid scoring, fingerprint regex+md5, chunk slicing):
+    * scan parallelism is row-group-bound, so a small corpus funnels those
+    * expressions through 1-3 tasks (r19 measured). Only the queries whose
+    * per-row expression cost dominates use this —
     * for explode→aggregate shapes (tfidf, vocab, rollhash, splits) the
-    * extra exchange measured as pure overhead and they stay on [[docs]].
+    * extra exchange measured as pure overhead and they stay on [[docs]],
+    * and the CHEAP map-only queries (tokens, quality, redact — single
+    * regex passes per row) reverted to [[docs]] in r20: the driver's r19
+    * run regressed all three (0.64-0.73×) and their 8-core runs beat
+    * 32-core (PERF_r19 scaling 0.42-0.53), i.e. 32 × (task setup + codegen
+    * init) exceeds the per-row win when per-row work is a few µs.
     * No-op at scale (Rebalance.smallInput is bytes-gated). */
   private def docsRebalanced(s: SparkSession, dir: String) =
     graft.operators.Rebalance.smallInput(Tables.table(s, dir, "documents"))
@@ -134,7 +139,7 @@ object TextAnalysis {
     QueryDef(
       "q_text_tokens",
       (s, dir) => {
-        docsRebalanced(s, dir)
+        docs(s, dir)
           .select(
             col("doc_id"),
             TextOps.tokenCount(col("text")).as("n_tokens"),
@@ -158,7 +163,7 @@ object TextAnalysis {
     QueryDef(
       "q_text_quality",
       (s, dir) => {
-        docsRebalanced(s, dir)
+        docs(s, dir)
           .select(
             col("doc_id"),
             round(TextOps.punctRatio(col("text")), 6).as("punct_ratio"),
@@ -411,7 +416,7 @@ object TextAnalysis {
       // both with the same regexes on both sides (RE2-compatible subset so
       // Java regex and DuckDB RE2 agree).
       (s, dir) => {
-        docsRebalanced(s, dir)
+        docs(s, dir)
           .select(col("doc_id"),
             concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
               lit("@example.com or 555-123-4567 now")).as("dirty"))
