@@ -16,7 +16,19 @@ import org.apache.spark.sql.SparkSession
   * the normalization casts, and the system-column projections all fuse into
   * one optimized plan with pushdown reaching the parquet scans.
   */
-class Engine(base: SparkSession, offsetStrategy: SystemColumns.OffsetStrategy = SystemColumns.PrefixSumOffsets) {
+/** Offset-strategy default (r20): WindowedOffsets, because this engine's
+  * only sink is the A14 single-file parquet writer, whose `coalesce(1)`
+  * already drags the entire upstream stage (scan, filters, the user's SQL)
+  * into ONE task in the write pass. Under that contract the windowed
+  * numbering is strictly cheaper: the prefix-sum strategy pays a full
+  * EXTRA distributed evaluation of the transform plan for its counting
+  * pass (only payload projections prune — the scan, joins and filters all
+  * re-run) and then single-tasks the whole pipeline in the write anyway,
+  * while the windowed plan evaluates everything exactly once with the
+  * identical dense, order-preserving offsets (PropertiesSpec pins the
+  * equality). PrefixSumOffsets remains the right strategy for any future
+  * multi-file sink — pass it explicitly then. */
+class Engine(base: SparkSession, offsetStrategy: SystemColumns.OffsetStrategy = SystemColumns.WindowedOffsets) {
 
   OdfSessions.configureBase(base)
 

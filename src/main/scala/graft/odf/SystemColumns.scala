@@ -42,12 +42,17 @@ import org.apache.spark.sql.types.LongType
   *     `zipWithIndex` — also one extra count job, but forces a
   *     row-serialization round-trip out of Tungsten. Kept as a second,
   *     independently-derived implementation for property cross-checks.
-  *   - `windowed` (parity/debug path): `coalesce(1)` then `row_number()` over
-  *     a single-partition window. NOTE `coalesce(1)` inserts no shuffle
+  *   - `windowed`: `coalesce(1)` then `row_number()` over a
+  *     single-partition window. NOTE `coalesce(1)` inserts no shuffle
   *     boundary, so it drags the ENTIRE upstream stage — scan, filters, the
   *     user's map-side SQL — into one task, exactly like the reference's
-  *     `target_partitions = 1`. Kept for bit-parity debugging against the
-  *     reference, not for production use.
+  *     `target_partitions = 1`. That makes it the WRONG strategy ahead of a
+  *     parallel multi-file sink, but the RIGHT one ahead of the A14
+  *     single-file sink (r20): the sink's own `coalesce(1)` forces the
+  *     identical single-task execution in the write pass regardless of
+  *     strategy, so windowed numbering costs nothing extra there while
+  *     skipping the counting pass's full second evaluation of the plan —
+  *     see Engine's default.
   *
   * Both parallel strategies assume partition contents are identical between
   * the count job and the numbering job — true for deterministic plans (file

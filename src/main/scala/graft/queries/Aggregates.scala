@@ -212,9 +212,17 @@ object Aggregates {
       // to approx_percentile (q_approx_percentile's plan) — see SCALE.md
       // "Exact percentile".
       // NOT rebalanced (r20): the r19 spread regressed this query in the
-      // driver's run (0.82×) and its 8-core run beat 32-core — the exact
-      // percentile's per-group value maps serialize between partial and
-      // final, so 32 partials mean 32 maps merged where 3 sufficed.
+      // driver's run (0.82×) — spreading the partial aggregate 32 ways
+      // means 32 per-group value maps merged where 3 sufficed (measured
+      // directly on q_approx_percentile: task time 11.5 s spread vs 3.1 s
+      // unspread). A sort+window exact percentile
+      // (operators/Percentiles.scala) was also built and A/B'd here: MORE
+      // jobs (6 vs 4) and more task time (4.4 s vs 3.1 s) than the plain
+      // aggregate on this shape, because l_quantity has ~50 distinct
+      // values per group — the value map is tiny and beats two full-column
+      // sorts. The window form wins only on distinct-heavy columns
+      // (q_approx_percentile's exact median uses it); banked in
+      // tools/ab_pct_odf_r20.jsonl and OPTIMIZATION_r20.md.
       (s, dir) => {
         t(s, dir, "lineitem")
           .groupBy(col("l_returnflag"))

@@ -260,22 +260,24 @@ object Functions {
       // gaps. The oracle's hardcoded TRUE is data-dependent, verified on
       // the driver's sf0.001–0.1 corpora (deterministic sketch, fixed data).
       (s, dir) => {
-        // rebalanced (r19): the exact-percentile value map + sketch inserts
-        // are the partial-aggregate stage's cost, and the scan is
-        // row-group-bound — spread a small fact table first (bytes-gated
-        // no-op at scale). The hash-checked outputs stay partition-
-        // invariant: the exact percentile is a value-count map and the
-        // sketch only feeds the within-5% boolean.
-        graft.operators.Rebalance.smallInput(t(s, dir, "lineitem"))
+        // Sort-based exact median (r20, guide §4/§5): the exact side moved
+        // off the `percentile()` value-map aggregate onto
+        // Percentiles.exactPercentile (bit-identical interpolation); the
+        // sketch aggregate is unchanged and still executes — the boolean
+        // still derives from its output. The r19 rebalance went with the
+        // value map it was spreading (driver measured it flat, 0.96).
+        val base = t(s, dir, "lineitem")
+        val sketch = base
           .groupBy(col("l_returnflag"))
-          .agg(
-            round(expr("percentile(l_extendedprice, 0.5)"), 4).as("exact_median"),
-            percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("am"))
+          .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("am"))
+        val exact = graft.operators.Percentiles.exactPercentile(
+          base, col("l_returnflag"), col("l_extendedprice"), 0.5, "l_returnflag", "__em")
+        sketch.join(exact, "l_returnflag")
           .select(
             col("l_returnflag"),
-            col("exact_median"),
-            (abs(col("am") - col("exact_median")) <=
-              col("exact_median") * 0.05).as("approx_within_5pct"))
+            round(col("__em"), 4).as("exact_median"),
+            (abs(col("am") - round(col("__em"), 4)) <=
+              round(col("__em"), 4) * 0.05).as("approx_within_5pct"))
           .orderBy(col("l_returnflag"))
       },
       Some("""SELECT l_returnflag,

@@ -38,12 +38,21 @@ object Tables {
     * This memoizes SCHEMA METADATA only, never data or results: every
     * query still computes from the parquet inputs on every invocation.
     * Keyed by full path so different SF dirs never collide; rebuilt from
-    * the footer in every fresh JVM. */
+    * the footer in every fresh JVM.
+    *
+    * Inference-conf hygiene (r19 ADVICE): the memoized schema depends on
+    * `spark.sql.legacy.parquet.nanosAsLong` at FIRST inference, so the
+    * conf is pinned inside [[footerSchema]] itself rather than trusted to
+    * every caller — a future entry point that forgot to set it can no
+    * longer poison the cache with (or silently read through) a schema
+    * inferred under the other setting. */
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
 
-  private[graft] def footerSchema(spark: SparkSession, path: String) =
+  private[graft] def footerSchema(spark: SparkSession, path: String) = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
+  }
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

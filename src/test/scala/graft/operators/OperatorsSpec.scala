@@ -1170,7 +1170,10 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast probe:\n${plan.take(2000)}")
     val beforeJoin = plan.substring(plan.indexOf("BroadcastHashJoin"))
     val corpusSide = beforeJoin.split("BroadcastExchange")(0)
-    assert("Exchange (?!RoundRobinPartitioning)".r.findAllIn(corpusSide).isEmpty,
+    // anchored (r19 ADVICE): without the lookbehind the pattern also
+    // matched inside "BroadcastExchange <mode>", so a legitimate broadcast
+    // would have been miscounted as a keyed corpus shuffle
+    assert("(?<!Broadcast)Exchange (?!RoundRobinPartitioning)".r.findAllIn(corpusSide).isEmpty,
       s"corpus side must not hash/range-shuffle before the bucket probe:\n${plan.take(3000)}")
   }
 

@@ -47,18 +47,15 @@ class QueryPlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
     // per-term tf rides the scan projection; the only shuffle anywhere is
     // inside the one-row stats aggregate already collected at plan time,
-    // so the SCORING plan carries no KEYED exchange — no hash or range
-    // repartitioning of the corpus. The one permitted exchange is the
-    // bytes-gated round-robin rebalance (Rebalance.smallInput, r19): it
-    // fires only under the small-input gate — never at scale — and spreads
-    // the per-term tf projection over every core instead of the scan's
-    // row-group count.
+    // so the SCORING plan carries NO exchange of any kind (r20: the r19
+    // round-robin rebalance was reverted here after the driver measured it
+    // as a regression, so the r19 carve-out is gone and the original
+    // strict no-exchange claim is restored; the regex is anchored so a
+    // future BroadcastExchange would not be miscounted as a shuffle).
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(2000))
-    assert(!p.contains("Exchange hashpartitioning") && !p.contains("Exchange rangepartitioning"),
-      "BM25 scoring should ride the scan with a top-k heap (keyed exchange found):\n" + p.take(2000))
-    val nonRebalance = "Exchange (?!RoundRobinPartitioning)".r.findAllIn(p).size
-    assert(nonRebalance == 0,
-      "only the gated round-robin rebalance may appear:\n" + p.take(2000))
+    val exchanges = "(?<!Broadcast)Exchange ".r.findAllIn(p).size
+    assert(exchanges == 0,
+      "BM25 scoring should ride the scan with a top-k heap (exchange found):\n" + p.take(2000))
   }
 
   test("q_bm25_batch: query-side-only broadcasts, corpus reads its checkpoint, candidate-sized shuffles only") {
