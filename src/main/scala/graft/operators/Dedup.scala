@@ -143,7 +143,19 @@ object Dedup extends org.apache.spark.internal.Logging {
       df: DataFrame, keys: Seq[String], cap: Int,
       checkpointInput: Boolean = true,
       maxBroadcastKeys: Long = 1000000L,
-      bloomFpp: Double = 0.001): DataFrame = {
+      bloomFpp: Double = 0.001): DataFrame =
+    capBucketsWithHotCount(df, keys, cap, checkpointInput, maxBroadcastKeys, bloomFpp)._1
+
+  /** [[capBuckets]] plus the over-cap key count it measured — for callers
+    * that can take a cheaper downstream plan when the guard provably
+    * dropped nothing (r20: ngramJaccardPairsFromShingles derives per-doc
+    * posting counts from the compact array sizes instead of re-exploding
+    * the posting stream whenever the cap was a no-op). */
+  private[graft] def capBucketsWithHotCount(
+      df: DataFrame, keys: Seq[String], cap: Int,
+      checkpointInput: Boolean = true,
+      maxBroadcastKeys: Long = 1000000L,
+      bloomFpp: Double = 0.001): (DataFrame, Long) = {
     val in = if (checkpointInput) df.localCheckpoint(false) else df
     // checkpointed so the aggregation runs ONCE: the sizing count
     // materializes it, the anti-join / bloom build replay stored rows
@@ -152,10 +164,15 @@ object Dedup extends org.apache.spark.internal.Logging {
       .filter(col("__bucket_n") > cap)
       .select(keys.map(col): _*)
       .localCheckpoint(false)
-    if (hot.count() <= maxBroadcastKeys) {
+    val nHot = hot.count()
+    // no over-cap key (the common, healthy-corpus case): dropping is the
+    // identity — skip the broadcast build and the per-row anti-join probe
+    // entirely (r20; the count above already ran, so this costs nothing)
+    if (nHot == 0L) (in, 0L)
+    else if (nHot <= maxBroadcastKeys) {
       val hotR = hot.select(keys.map(k => col(k).as(s"__hot_$k")): _*)
       val cond = keys.map(k => col(k) <=> col(s"__hot_$k")).reduce(_ && _)
-      in.join(broadcast(hotR), cond, "left_anti")
+      (in.join(broadcast(hotR), cond, "left_anti"), nHot)
     } else {
       logWarning(
         s"capBuckets: >$maxBroadcastKeys over-cap keys — using bloom fallback " +
@@ -165,7 +182,7 @@ object Dedup extends org.apache.spark.internal.Logging {
       val keyHash = xxhash64((keys.map(col) ++ keys.map(k => col(k).isNull)): _*)
       val bytes = BloomJoin.keyBloom(hot.select(keyHash.as("k")), "k", bloomFpp)
       graft.functions.NativeHashes.register(in.sparkSession)
-      in.filter(!call_function("bloom_might_contain", keyHash, lit(bytes)))
+      (in.filter(!call_function("bloom_might_contain", keyHash, lit(bytes))), nHot)
     }
   }
 
@@ -742,10 +759,22 @@ object Dedup extends org.apache.spark.internal.Logging {
       toks: DataFrame, threshold: Double, maxShingleDf: Int = 128,
       checkpointInput: Boolean = true): DataFrame = {
     val toksC = if (checkpointInput) toks.localCheckpoint(false) else toks
-    val sh = capBuckets(
+    val (sh, nHot) = capBucketsWithHotCount(
       toksC.select(col("id"), explode(col("shs")).as("sh")), Seq("sh"), maxShingleDf,
       checkpointInput = false)
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    // Per-doc posting counts: when the df cap dropped NOTHING (the common
+    // case — the cap is a skew guard, not a filter), every doc's surviving
+    // posting count is exactly its distinct-shingle array size, so sizes
+    // comes from the compact per-doc frame with no explode, no aggregate
+    // and no shuffle (r20: this explode+count pass measured ~8 s of task
+    // time on q_dedup_minhash at sf0.1 — a third full pass over the
+    // posting stream). Docs with zero/NULL shingles get a 0/NULL n_sh row
+    // here where the aggregate emitted none, but such ids cannot appear in
+    // `common` (no postings → no pairs), so the inner joins below drop
+    // them either way — output-identical, and the oracle re-checks it.
+    val sizes =
+      if (nHot == 0L) toksC.select(col("id"), size(col("shs")).cast("long").as("n_sh"))
+      else sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val common = sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))

@@ -509,9 +509,30 @@ object VectorOps extends org.apache.spark.internal.Logging {
       (acc, x) => acc + x.cast("double") * x.cast("double"))
     val nonZero = !isnan(sumSq) && sumSq > lit(0.0) &&
       sumSq =!= lit(Double.PositiveInfinity)
-    val anyDupHash = assigned.filter(nonZero)
-      .groupBy(xxhash64(col("v")).as("__h")).agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > 1).limit(1).count() > 0
+    // FUSED probe + sizing (r20, VERDICT r19 item 6): the dup-hash probe
+    // and the cluster sizing were two driver jobs over the same
+    // checkpoint; one two-level aggregate answers both — level 1 groups
+    // by (cluster, vector hash) with map-side combine (nonZero-failing
+    // rows keep a NULL hash so they never count as duplicates but still
+    // count toward their cluster's size), level 2 collapses to ≤ k rows
+    // carrying the cluster size and its max duplicate-hash multiplicity.
+    // Identical vectors always share a cluster (same argmax), so
+    // per-cluster grouping sees every true duplicate group whole; a
+    // cross-cluster xxhash64 collision that the old global probe would
+    // have (spuriously) fired on now doesn't — either way the precise
+    // path below is value-exact, so results are unchanged. At the
+    // measured ~127 ms of driver latency per job on this family, the
+    // fused action is the point.
+    val preSizes: Array[(Int, Long, Long)] = assigned
+      .groupBy(col("cluster"), when(nonZero, xxhash64(col("v"))).as("__h"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col("cluster"))
+      .agg(
+        sum(col("__n")).as("__size"),
+        max(when(col("__h").isNotNull, col("__n")).otherwise(lit(0L))).as("__maxdup"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val anyDupHash = preSizes.exists(_._3 > 1L)
     // Precise path only when the probe fires: the groupBy's map-side
     // partial aggregation bounds the blob (each task emits one row per
     // distinct vector); the re-association join streams a blob through
@@ -541,12 +562,16 @@ object VectorOps extends org.apache.spark.internal.Logging {
             .select(col("id"), col("v"), col("cluster")))
       }
 
-    // 3. Size the (post-collapse) clusters in ONE driver job (<= k rows —
-    // a map-side-combined count); the sub-split + residual-cap machinery
-    // is built only when some cluster is actually over cap, so the common
-    // balanced case pays the sizing count and nothing else.
-    val sizesArr: Array[(Int, Long)] = distinctAssigned.groupBy(col("cluster")).count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1))
+    // 3. Cluster sizes: when no exact collapse happened the fused
+    // aggregate above already measured them (distinctAssigned == assigned
+    // — no second job); after a collapse the post-collapse sizes are
+    // re-counted as before. The sub-split + residual-cap machinery is
+    // built only when some cluster is actually over cap, so the common
+    // balanced case pays the one fused job and nothing else.
+    val sizesArr: Array[(Int, Long)] =
+      if (!anyDupHash) preSizes.map { case (c, n, _) => c -> n }
+      else distinctAssigned.groupBy(col("cluster")).count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1))
     val maxHot = sizesArr.collect { case (_, n) if n > maxClusterSize => n }
       .maxOption.getOrElse(0L)
 
@@ -644,20 +669,18 @@ object VectorOps extends org.apache.spark.internal.Logging {
     graft.functions.NativeHashes.register(existing.sparkSession)
     val cents = kmeansFit(existing, vec, k, kmeansIters, idCol = id)
     // checkpoint the EXISTING side's assignment like newCk below (and like
-    // the batch path): capClustersLogged's sizing collect materializes it
+    // the batch path): the fused sizing collect materializes it
     // once, and the pair stage then reads stored partitions instead of
     // re-scanning the (typically much larger) existing corpus and
     // re-running the nearest_cells argmax per row (r15)
     // NULL-embedding rows are excluded from clustering on BOTH sides (r16
-    // review: a null cluster key NPE'd capClustersLogged's sizing collect);
+    // review: a null cluster key NPE'd the sizing collect);
     // incoming null rows still receive a self-label through the full
     // `newIds` node frame below
-    val oldA = capClustersLogged(
-      assignClusters(
-        existing.select(col(id).as("id"), col(vec).as("v")).filter(col("v").isNotNull),
-        cents, "v")
-        .localCheckpoint(false),
-      maxClusterSize, "existing")
+    val oldCk = assignClusters(
+      existing.select(col(id).as("id"), col(vec).as("v")).filter(col("v").isNotNull),
+      cents, "v")
+      .localCheckpoint(false)
     // CHECKPOINTED (r17, closing the r16 verdict's q_semantic_dedup_incr
     // watch item — pinned-commit A/B attributed a ~0.3 s regression to this
     // frame): `newIds` replaced the checkpointed newCk as the CC node set
@@ -673,7 +696,19 @@ object VectorOps extends org.apache.spark.internal.Logging {
       incoming.select(col(id).as("id"), col(vec).as("v")).filter(col("v").isNotNull),
       cents, "v")
       .localCheckpoint(false)
-    val newA = capClustersLogged(newCk, maxClusterSize, "incoming")
+    // FUSED sizing (r20, VERDICT r19 item 6): both sides' ≤ k-row cluster
+    // sizes come from ONE driver job over the union of the two checkpoints
+    // (which this action also materializes), instead of one sizing collect
+    // per side — the family's wall is job latency, not task time.
+    val sizesBoth: Array[(Boolean, Int, Long)] = oldCk
+      .select(lit(true).as("__old"), col("cluster"))
+      .unionAll(newCk.select(lit(false).as("__old"), col("cluster")))
+      .groupBy(col("__old"), col("cluster")).count()
+      .collect().map(r => (r.getBoolean(0), r.getInt(1), r.getLong(2)))
+    val oldA = capClustersFromSizes(
+      oldCk, sizesBoth.collect { case (true, c, n) => c -> n }, maxClusterSize, "existing")
+    val newA = capClustersFromSizes(
+      newCk, sizesBoth.collect { case (false, c, n) => c -> n }, maxClusterSize, "incoming")
 
     val l = oldA.withColumn("is_old", lit(true))
       .unionAll(newA.withColumn("is_old", lit(false)))
@@ -702,14 +737,14 @@ object VectorOps extends org.apache.spark.internal.Logging {
       .select(col("id").as(id), coalesce(col("old_min"), col("rep")).as("rep"))
   }
 
-  /** Over-cap-cluster refusal with accounting: one ≤ k-row sizing collect,
+  /** Over-cap-cluster refusal with accounting over pre-measured ≤ k-row
+    * sizes (one fused sizing job for both sides — see the call sites),
     * then a broadcast anti-join against the hot cluster ids. Shared by the
     * incremental path (the batch path's richer three-layer defense lives
     * inline in [[semanticDedupLabelsWithStats]]). */
-  private def capClustersLogged(
-      df: DataFrame, maxClusterSize: Int, side: String): DataFrame = {
-    val sizes = df.groupBy(col("cluster")).count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1))
+  private def capClustersFromSizes(
+      df: DataFrame, sizes: Array[(Int, Long)],
+      maxClusterSize: Int, side: String): DataFrame = {
     val hot = sizes.filter(_._2 > maxClusterSize)
     if (hot.isEmpty) df
     else {
