@@ -38,3 +38,32 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// r20 (VERDICT r19 item 2): the test suite outran the driver's verify
+// window at ~48 min of strictly sequential suites in one forked JVM —
+// VERIFY_r19 recorded tests_ok=false on a CUT-OFF run with zero failing
+// tests. The suites are independent by construction (each builds its own
+// SparkSession, binds servers on ephemeral ports, and works in unique
+// temp dirs), so run each suite in its OWN forked JVM, four at a time:
+// wall becomes ~max(longest suite, total/4) instead of the sum. Memory:
+// 4 × Xmx8g JVMs fits the 128 GiB sandbox with wide margin; assertion
+// count and per-suite behavior are unchanged.
+Test / testGrouping := {
+  val opts = (Test / javaOptions).value.toVector
+  // Schedule the longest suites FIRST: with 4 concurrent groups the wall
+  // is max(longest suite, total/4) only when the long ones are not queued
+  // last — the first parallel run measured EngineContractProps (~20 min of
+  // ingest-fuzz, the suite-time maximum) starting in the final slot and
+  // the wall barely moved. Durations from tools/test_r20_durations.txt.
+  val slowFirst = Seq(
+    "EngineContractProps", "TextContractProps", "FuzzDifferentialSpec",
+    "StructuredContractProps", "OperatorsSpec", "GrpcServerSpec")
+  val ordered = (Test / definedTests).value.sortBy { t =>
+    val i = slowFirst.indexOf(t.name.split('.').last)
+    if (i >= 0) i else slowFirst.size
+  }
+  ordered.map { t =>
+    Tests.Group(t.name, Seq(t), Tests.SubProcess(ForkOptions().withRunJVMOptions(opts)))
+  }
+}
+Global / concurrentRestrictions += Tags.limit(Tags.ForkedTestGroup, 4)
